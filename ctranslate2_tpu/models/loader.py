@@ -1,0 +1,182 @@
+"""Model loading: artifact directory -> (spec, params, consts, vocabularies)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from ..formats.model_file import ModelFile, load_model_file
+from ..formats.vocabulary import Vocabulary, VocabularyInfo
+from ..utils.dtypes import DTypePolicy, resolve_compute_type
+from .params import build_params
+from .spec import ArchSpec, extract_arch
+from . import transformer
+
+
+def _weights_dtype(mf: ModelFile) -> str:
+    """Dtype of the model's linear weights on disk."""
+    for name, var in mf.variables.items():
+        if name.endswith("/weight") and len(var.shape) == 2 and "embeddings" not in name:
+            return var.dtype_name
+    return "float32"
+
+
+@dataclass
+class LoadedModel:
+    mf: ModelFile
+    arch: ArchSpec
+    params: dict
+    policy: DTypePolicy
+    consts: dict
+    source_vocabularies: List[Vocabulary] = field(default_factory=list)
+    target_vocabulary: Optional[Vocabulary] = None
+    vmap_path: Optional[str] = None
+
+    @property
+    def config(self) -> dict:
+        return self.mf.config
+
+    @property
+    def is_sequence_to_sequence(self) -> bool:
+        return self.arch.encoder is not None and self.arch.decoder is not None
+
+    @property
+    def is_decoder_only(self) -> bool:
+        return self.arch.encoder is None and self.arch.decoder is not None
+
+    @property
+    def out_dtype(self):
+        return self.policy.activation_jnp
+
+    def ensure_consts(self, max_positions: int) -> dict:
+        if max_positions > self.consts.get("max_positions", 0):
+            grown = 1 << max(11, (max_positions - 1).bit_length())
+            self.consts = transformer.make_consts(self.arch, self.params, grown)
+        return self.consts
+
+
+def _map_v1_name(name: str) -> str:
+    """Map spec-revision-1 (OpenNMT-tf style) variable names to the modern
+    scheme (reference: src/models/transformer.cc:16-33). Each rule rewrites
+    only the first occurrence."""
+    rules = [
+        ("transformer/", ""),
+        (":0", ""),
+        ("w_embs", "embeddings/weight"),
+        ("kernel", "weight"),
+        ("LayerNorm", "layer_norm"),
+        ("dense", "projection"),
+        ("conv1d_", "linear_"),
+        ("conv1d", "linear_0"),
+    ]
+    for old, new in rules:
+        name = name.replace(old, new, 1)
+    if "encoder" in name:
+        name = name.replace("multi_head", "self_attention", 1)
+    else:
+        name = name.replace("masked_multi_head", "self_attention", 1)
+        name = name.replace("multi_head", "attention", 1)
+    return name
+
+
+_LEGACY_SPECS = ("", "TransformerBase", "TransformerBig")
+
+
+def _apply_v1_mapping(mf: ModelFile) -> None:
+    if mf.spec_name not in _LEGACY_SPECS or mf.spec_revision != 1:
+        return
+    renamed = {}
+    for name, var in mf.variables.items():
+        new_name = _map_v1_name(name)
+        var.name = new_name
+        renamed[new_name] = var
+    mf.variables = renamed
+
+
+def _legacy_config(mf: ModelFile) -> None:
+    """Fill config defaults for pre-v6 binaries from attribute variables
+    (reference: src/models/sequence_to_sequence.cc:60-77)."""
+
+    def str_attr(name, default):
+        var = mf.get(name)
+        if var is None:
+            return default
+        return bytes(var.array.astype("int8").tobytes()).decode("utf-8")
+
+    cfg = mf.config
+    if mf.binary_version < 6:
+        cfg.setdefault("unk_token", str_attr("unk_token", "<unk>"))
+        cfg.setdefault("bos_token", str_attr("bos_token", "<s>"))
+        cfg.setdefault("eos_token", str_attr("eos_token", "</s>"))
+        cfg.setdefault("add_source_bos", bool(mf.attribute("with_source_bos", False)))
+        cfg.setdefault("add_source_eos", bool(mf.attribute("with_source_eos", False)))
+        if "decoder_start_token" not in cfg:
+            if mf.attribute("user_decoder_start_tokens", False):
+                cfg["decoder_start_token"] = None
+            elif mf.attribute("with_target_bos", True):
+                cfg["decoder_start_token"] = cfg["bos_token"]
+            else:
+                cfg["decoder_start_token"] = cfg["eos_token"]
+    else:
+        cfg.setdefault("unk_token", "<unk>")
+        cfg.setdefault("bos_token", "<s>")
+        cfg.setdefault("eos_token", "</s>")
+
+
+def load_model(
+    path: str,
+    compute_type: str = "default",
+    max_positions: int = 2048,
+) -> LoadedModel:
+    mf = load_model_file(path)
+    _apply_v1_mapping(mf)
+    _legacy_config(mf)
+    arch = extract_arch(mf)
+    policy = resolve_compute_type(compute_type, _weights_dtype(mf))
+    params = build_params(mf, arch, policy)
+    consts = transformer.make_consts(arch, params, max_positions)
+
+    info = VocabularyInfo(
+        unk_token=mf.config.get("unk_token", "<unk>"),
+        bos_token=mf.config.get("bos_token", "<s>"),
+        eos_token=mf.config.get("eos_token", "</s>"),
+    )
+
+    shared = Vocabulary.load(path, "shared_vocabulary", info)
+    source_vocabularies = []
+    target_vocabulary = None
+    if shared is not None:
+        source_vocabularies = [shared]
+        target_vocabulary = shared
+    else:
+        target_vocabulary = Vocabulary.load(path, "target_vocabulary", info)
+        source = Vocabulary.load(path, "source_vocabulary", info)
+        if source is not None:
+            source_vocabularies = [source]
+        else:
+            i = 1
+            while True:
+                v = Vocabulary.load(path, f"source_{i}_vocabulary", info)
+                if v is None:
+                    break
+                source_vocabularies.append(v)
+                i += 1
+        if target_vocabulary is None and arch.decoder is not None:
+            # Decoder-only models use "vocabulary".
+            target_vocabulary = Vocabulary.load(path, "vocabulary", info)
+
+    vmap = os.path.join(path, "vmap.txt")
+
+    return LoadedModel(
+        mf=mf,
+        arch=arch,
+        params=params,
+        policy=policy,
+        consts=consts,
+        source_vocabularies=source_vocabularies,
+        target_vocabulary=target_vocabulary,
+        vmap_path=vmap if os.path.isfile(vmap) else None,
+    )

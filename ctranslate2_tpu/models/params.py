@@ -1,0 +1,273 @@
+"""Parameter pytree construction from a model artifact.
+
+Maps the artifact's scope-named variables into a nested-dict pytree of
+``jnp`` arrays laid out for TPU compute:
+
+- linear weights are transposed to ``(in, out)`` (reference stores
+  ``(out, in)``: reference src/layers/common.cc:266-312) so matmuls hit the
+  MXU without a transpose;
+- quantized weights keep int8 payload + per-output-channel scales when the
+  dtype policy asks for int8 compute, otherwise they are dequantized at
+  load (the reference's quantize/dequantize-on-load ``ensure_dtype``,
+  reference: src/models/model.cc:304-369);
+- embeddings stay in gather layout ``(vocab, dim)``; int8/int16 embeddings
+  keep payload + scales and dequantize after gather (reference:
+  src/layers/common.cc:66-81).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..formats.model_file import ModelFile, Variable
+from ..utils.dtypes import DTypePolicy
+from .spec import ArchSpec, AttentionSpec, DecoderSpec, EncoderSpec
+
+
+def _to_np_float(var: Variable) -> np.ndarray:
+    return var.as_float32()
+
+
+def _dequantize(var: Variable, scale: Optional[Variable]) -> np.ndarray:
+    q = var.array.astype(np.float32)
+    if scale is None:
+        if var.dtype_name == "int16":
+            # Legacy int16 models carry no scale; the global scale is 1000
+            # (reference: src/models/model.cc:310-316, src/ops/quantize.cc:8).
+            return q / 1000.0
+        return q
+    s = scale.as_float32()
+    if s.ndim == 0 or s.size == 1:
+        return q / float(s.reshape(()))
+    # Per-row scales align with the leading axis.
+    return q / s.reshape(s.shape + (1,) * (q.ndim - s.ndim))
+
+
+def _quantize_per_row(w: np.ndarray):
+    """Symmetric int8 row-wise quantization (rows = output channels),
+    matching the converter's behavior (reference:
+    python/ctranslate2/specs/model_spec.py:228-244)."""
+    amax = np.max(np.abs(w), axis=tuple(range(1, w.ndim)))
+    amax = np.where(amax > 0, amax, 1.0)
+    scale = 127.0 / amax
+    q = np.clip(np.rint(w * scale.reshape((-1,) + (1,) * (w.ndim - 1))), -127, 127)
+    return q.astype(np.int8), scale.astype(np.float32)
+
+
+class ParamsBuilder:
+    def __init__(self, mf: ModelFile, policy: DTypePolicy):
+        self.mf = mf
+        self.policy = policy
+        self.float_dtype = jnp.bfloat16 if policy.weight_dtype == "bfloat16" else jnp.float32
+
+    # ---- leaf builders ----
+
+    def array(self, name: str, dtype=None) -> Optional[jnp.ndarray]:
+        var = self.mf.get(name)
+        if var is None:
+            return None
+        return jnp.asarray(var.as_float32(), dtype=dtype or self.float_dtype)
+
+    def linear(self, scope: str) -> Optional[dict]:
+        """Build a linear param dict {w|wq+scale, b} from a CT2 scope."""
+        var = self.mf.get(scope + "/weight")
+        if var is None:
+            return None
+        scale = self.mf.get(scope + "/weight_scale")
+        out: dict = {}
+
+        if var.dtype_name in ("int8", "int16"):
+            if self.policy.weight_dtype == "int8" and var.dtype_name == "int8":
+                out["wq"] = jnp.asarray(np.ascontiguousarray(var.array.T))
+                s = scale.as_float32()
+                out["scale"] = jnp.asarray(
+                    np.broadcast_to(s.reshape(-1), (var.shape[0],))
+                    if s.size in (1, var.shape[0])
+                    else s
+                )
+            else:
+                w = _dequantize(var, scale)
+                if self.policy.weight_dtype == "int8":
+                    q, s = _quantize_per_row(w)
+                    out["wq"] = jnp.asarray(np.ascontiguousarray(q.T))
+                    out["scale"] = jnp.asarray(s)
+                else:
+                    out["w"] = jnp.asarray(np.ascontiguousarray(w.T), dtype=self.float_dtype)
+        else:
+            w = _to_np_float(var)
+            if self.policy.weight_dtype == "int8":
+                q, s = _quantize_per_row(w)
+                out["wq"] = jnp.asarray(np.ascontiguousarray(q.T))
+                out["scale"] = jnp.asarray(s)
+            else:
+                out["w"] = jnp.asarray(np.ascontiguousarray(w.T), dtype=self.float_dtype)
+
+        bias = self.mf.get(scope + "/bias")
+        if bias is not None:
+            out["b"] = jnp.asarray(bias.as_float32(), dtype=jnp.float32)
+        return out
+
+    def norm(self, scope: str) -> Optional[dict]:
+        gamma = self.mf.get(scope + "/gamma")
+        if gamma is None:
+            return None
+        out = {"gamma": jnp.asarray(gamma.as_float32(), dtype=jnp.float32)}
+        beta = self.mf.get(scope + "/beta")
+        if beta is not None:
+            out["beta"] = jnp.asarray(beta.as_float32(), dtype=jnp.float32)
+        return out
+
+    def embeddings(self, scope: str) -> Optional[dict]:
+        var = self.mf.get(scope + "/weight")
+        if var is None:
+            return None
+        scale = self.mf.get(scope + "/weight_scale")
+        if var.dtype_name in ("int8", "int16"):
+            # Keep quantized payload; dequantize after gather.
+            if var.dtype_name == "int8":
+                out = {"wq": jnp.asarray(var.array)}
+            else:
+                return {"w": jnp.asarray(_dequantize(var, scale), dtype=self.float_dtype)}
+            s = scale.as_float32()
+            out["scale"] = jnp.asarray(
+                s if s.ndim else np.full((var.shape[0],), float(s), np.float32)
+            )
+            return out
+        return {"w": jnp.asarray(_to_np_float(var), dtype=self.float_dtype)}
+
+    # ---- composite builders ----
+
+    def attention(self, scope: str, spec: AttentionSpec) -> dict:
+        out: dict = {"linear": []}
+        for i in range(8):
+            lin = self.linear(f"{scope}/linear_{i}")
+            if lin is None:
+                break
+            out["linear"].append(lin)
+        for name in ("layer_norm", "q_norm", "k_norm", "v_norm"):
+            n = self.norm(f"{scope}/{name}")
+            if n is not None:
+                out[name] = n
+        for name in (
+            "relative_attention_bias",
+            "relative_position_keys",
+            "relative_asymmetric_position_keys",
+            "relative_position_values",
+        ):
+            arr = self.array(f"{scope}/{name}", dtype=jnp.float32)
+            if arr is not None:
+                out[name] = arr
+        if spec.rotary is not None and spec.rotary.has_long_short_factors:
+            out["rotary_long_factor"] = self.array(
+                f"{scope}/rotary_scaling_long_factor", dtype=jnp.float32
+            )
+            out["rotary_short_factor"] = self.array(
+                f"{scope}/rotary_scaling_short_factor", dtype=jnp.float32
+            )
+        if spec.has_memory_kv:
+            out["memory_kv"] = self.linear(f"{scope}/memory_kv")
+        return out
+
+    def ffn(self, scope: str) -> dict:
+        out = {"linear_0": self.linear(f"{scope}/linear_0"), "linear_1": self.linear(f"{scope}/linear_1")}
+        noact = self.linear(f"{scope}/linear_0_noact")
+        if noact is not None:
+            out["linear_0_noact"] = noact
+        ln = self.norm(f"{scope}/layer_norm")
+        if ln is not None:
+            out["layer_norm"] = ln
+        return out
+
+    def parallel_embeddings(self, scope: str, num_features: int) -> list:
+        if num_features == 1:
+            emb = self.embeddings(f"{scope}/embeddings")
+            if emb is None:
+                emb = self.embeddings(f"{scope}/embeddings_0")
+            return [emb]
+        return [self.embeddings(f"{scope}/embeddings_{i}") for i in range(num_features)]
+
+    def encoder(self, spec: EncoderSpec, scope: str = "encoder") -> dict:
+        out: dict = {
+            "embeddings": self.parallel_embeddings(scope, spec.embeddings.num_features),
+            "layers": [],
+        }
+        if spec.has_position_embedding:
+            out["position_encodings"] = self.array(
+                f"{scope}/position_encodings/encodings"
+            )
+        for name in ("layernorm_embedding", "layer_norm"):
+            n = self.norm(f"{scope}/{name}")
+            if n is not None:
+                out[name] = n
+        for i, layer in enumerate(spec.layers):
+            lscope = f"{scope}/layer_{i}"
+            lp = {
+                "self_attention": self.attention(f"{lscope}/self_attention", layer.self_attention),
+                "ffn": self.ffn(f"{lscope}/ffn"),
+            }
+            for name in (
+                "input_layer_norm",
+                "post_attention_layer_norm",
+                "pre_feedforward_layer_norm",
+                "post_feedforward_layer_norm",
+            ):
+                n = self.norm(f"{lscope}/{name}")
+                if n is not None:
+                    lp[name] = n
+            out["layers"].append(lp)
+        return out
+
+    def decoder(self, spec: DecoderSpec, scope: str = "decoder") -> dict:
+        out: dict = {
+            "embeddings": self.parallel_embeddings(scope, spec.embeddings.num_features),
+            "layers": [],
+        }
+        if spec.has_position_embedding:
+            out["position_encodings"] = self.array(
+                f"{scope}/position_encodings/encodings"
+            )
+        for name in ("layernorm_embedding", "layer_norm"):
+            n = self.norm(f"{scope}/{name}")
+            if n is not None:
+                out[name] = n
+        for name in ("project_in", "project_out", "projection"):
+            lin = self.linear(f"{scope}/{name}")
+            if lin is not None:
+                out[name] = lin
+        if spec.has_outputs_scale:
+            out["scale_outputs"] = self.array(f"{scope}/scale_outputs", dtype=jnp.float32)
+        for i, layer in enumerate(spec.layers):
+            lscope = f"{scope}/layer_{i}"
+            lp = {
+                "self_attention": self.attention(f"{lscope}/self_attention", layer.self_attention),
+                "ffn": self.ffn(f"{lscope}/ffn"),
+            }
+            if layer.cross_attention is not None:
+                lp["attention"] = self.attention(f"{lscope}/attention", layer.cross_attention)
+            for name in (
+                "shared_layer_norm",
+                "input_layer_norm",
+                "post_attention_layer_norm",
+                "pre_feedforward_layer_norm",
+                "post_feedforward_layer_norm",
+                "external_pre_encoder_attention_layer_norm",
+                "external_post_encoder_attention_layer_norm",
+            ):
+                n = self.norm(f"{lscope}/{name}")
+                if n is not None:
+                    lp[name] = n
+            out["layers"].append(lp)
+        return out
+
+
+def build_params(mf: ModelFile, arch: ArchSpec, policy: DTypePolicy) -> dict:
+    builder = ParamsBuilder(mf, policy)
+    params: dict = {}
+    if arch.encoder is not None:
+        params["encoder"] = builder.encoder(arch.encoder)
+    if arch.decoder is not None:
+        params["decoder"] = builder.decoder(arch.decoder)
+    return params

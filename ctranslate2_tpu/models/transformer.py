@@ -1,0 +1,671 @@
+"""Functional Transformer encoder/decoder forwards (jit-friendly).
+
+TPU-first re-design of the reference execution model
+(reference: src/layers/transformer.cc, src/layers/attention.cc):
+
+- **static shapes everywhere**: inputs are padded to bucketed shapes by the
+  host runtime; padding is handled with additive masks, not the reference's
+  gather/scatter Padder (reference: src/padder.cc).
+- **fixed-capacity KV cache** updated with ``lax.dynamic_update_slice``
+  instead of per-step Concat/Slide (reference: src/layers/attention.cc:536-557).
+  Positions are uniform across the batch, as in the reference's decoding
+  loops (reference: src/decoding.cc:424-974).
+- **beam-shared memory**: cross-attention keys/values are computed once per
+  source sequence and shared across beams by folding the beam dimension into
+  the query time axis (the reference instead excludes ``memory_*`` from beam
+  replication: reference: src/layers/transformer.cc:560-563).
+- GQA/MQA keep KV heads un-replicated (grouped attention einsum) rather than
+  materializing tiled heads (reference: src/layers/attention.cc:295-313).
+
+All functions are pure; the architecture is carried in frozen specs
+(:mod:`.spec`) which are static under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention as attn_ops
+from ..ops.activations import get_activation
+from ..ops.linear import linear
+from ..ops.norms import apply_norm
+from ..ops.positions import (
+    alibi_slopes,
+    apply_rotary,
+    rotary_tables,
+    sinusoidal_position_encoding,
+)
+from .spec import (
+    ArchSpec,
+    AttentionSpec,
+    DecoderSpec,
+    EncoderSpec,
+)
+
+
+# ---------------------------------------------------------------------------
+# Constants (host-precomputed tables bundled as a device pytree).
+# ---------------------------------------------------------------------------
+
+
+def _rotary_consts(spec: AttentionSpec, attn_params: dict, max_positions: int):
+    r = spec.rotary
+    dim = r.dim if r.dim else spec.head_dim
+    long_factor = attn_params.get("rotary_long_factor")
+    short_factor = attn_params.get("rotary_short_factor")
+    sin, cos = rotary_tables(
+        max_positions,
+        dim,
+        base=r.base,
+        interleave=r.interleave,
+        scaling_type=r.scaling_type,
+        scaling_factor=r.scaling_factor,
+        long_factor=np.asarray(long_factor) if long_factor is not None else None,
+        short_factor=np.asarray(short_factor) if short_factor is not None else None,
+        low_freq_factor=r.low_freq_factor,
+        high_freq_factor=r.high_freq_factor,
+        original_max_position_embeddings=r.original_max_position_embeddings,
+        max_position_embeddings=r.max_position_embeddings,
+    )
+    return {"sin": jnp.asarray(sin), "cos": jnp.asarray(cos)}
+
+
+def make_consts(arch: ArchSpec, params: dict, max_positions: int = 4096) -> dict:
+    """Precompute PE / rotary / alibi tables as a device-array pytree."""
+    consts: dict = {"max_positions": max_positions}
+    for side, spec in (("encoder", arch.encoder), ("decoder", arch.decoder)):
+        if spec is None:
+            continue
+        side_consts: dict = {}
+        if spec.sinusoidal_positions:
+            dim = params[side]["embeddings"][0].get("w", params[side]["embeddings"][0].get("wq")).shape[-1]
+            if spec.embeddings.num_features > 1 and spec.embeddings.merge == "concat":
+                dim = sum(
+                    e.get("w", e.get("wq")).shape[-1] for e in params[side]["embeddings"]
+                )
+            side_consts["sinusoidal"] = jnp.asarray(
+                sinusoidal_position_encoding(max_positions, dim)
+            )
+        rotary_layers = {}
+        for i, layer in enumerate(spec.layers):
+            a = layer.self_attention
+            if a.rotary is not None:
+                rotary_layers[str(i)] = _rotary_consts(
+                    a, params[side]["layers"][i]["self_attention"], max_positions
+                )
+        if rotary_layers:
+            side_consts["rotary"] = rotary_layers
+        if getattr(spec, "alibi", False):
+            side_consts["alibi_slopes"] = jnp.asarray(alibi_slopes(spec.num_heads))
+        consts[side] = side_consts
+    return consts
+
+
+# ---------------------------------------------------------------------------
+# Embeddings.
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(emb_params: dict, ids, out_dtype):
+    """Gather embedding rows, dequantizing int8 payloads after gather
+    (reference: src/layers/common.cc:66-81)."""
+    if "wq" in emb_params:
+        rows = jnp.take(emb_params["wq"], ids, axis=0).astype(jnp.float32)
+        scale = jnp.take(emb_params["scale"], ids, axis=0)
+        return (rows / scale[..., None]).astype(out_dtype)
+    return jnp.take(emb_params["w"], ids, axis=0).astype(out_dtype)
+
+
+def embed(side_params: dict, spec, ids, out_dtype, merge: str = "concat"):
+    """Single- or multi-feature embedding lookup.
+
+    ``ids``: [B, T] or tuple of [B, T] for multi-feature models.
+    """
+    emb_list = side_params["embeddings"]
+    if not isinstance(ids, (tuple, list)):
+        ids = (ids,)
+    outs = [embed_tokens(p, i, out_dtype) for p, i in zip(emb_list, ids)]
+    if len(outs) == 1:
+        return outs[0]
+    if merge == "add":
+        return functools.reduce(jnp.add, outs)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _apply_positions(side_params, side_consts, spec, x, offset):
+    """Add learned or sinusoidal position encodings at ``offset``.
+
+    The tables encode position t at row t (sinusoidal row t = position t+1,
+    matching the reference's 1-based convention:
+    reference src/layers/common.cc:203-236).
+    """
+    T = x.shape[1]
+    if spec.has_position_embedding:
+        table = side_params["position_encodings"]
+    elif spec.sinusoidal_positions:
+        table = side_consts["sinusoidal"]
+    else:
+        return x
+    pe = jax.lax.dynamic_slice_in_dim(table, offset, T, axis=0)
+    return x + pe.astype(x.dtype)[None]
+
+
+# ---------------------------------------------------------------------------
+# Attention blocks.
+# ---------------------------------------------------------------------------
+
+
+def _norm(arch: ArchSpec, p: Optional[dict], x):
+    if p is None:
+        return x
+    eps = arch.ln_epsilon
+    if eps is None:
+        eps = 1e-5 if "beta" in p else 1e-6
+    return apply_norm(p, x, eps)
+
+
+def _project_qkv(ap: dict, spec: AttentionSpec, x, quantize_acts: bool):
+    """Fused QKV projection + head split for self-attention.
+
+    Fused layout: [Hq*D | Hkv*D | Hkv*D] when Hkv < Hq, else 3 equal thirds
+    (reference: src/layers/attention.cc:479-519).
+    """
+    fused = linear(ap["linear"][0], x, quantize_activations=quantize_acts)
+    H, Hkv, D = spec.num_heads, spec.num_heads_kv, spec.head_dim
+    q, k, v = jnp.split(fused, [H * D, H * D + Hkv * D], axis=-1)
+    return (
+        attn_ops.split_heads(q, H),
+        attn_ops.split_heads(k, Hkv),
+        attn_ops.split_heads(v, Hkv),
+    )
+
+
+def _maybe_rotary(spec: AttentionSpec, rot_consts, q, k, offset):
+    if spec.rotary is None:
+        return q, k
+    T = q.shape[2]
+    dim = spec.rotary.dim if spec.rotary.dim else spec.head_dim
+    sin = jax.lax.dynamic_slice_in_dim(rot_consts["sin"], offset, T, axis=0)
+    cos = jax.lax.dynamic_slice_in_dim(rot_consts["cos"], offset, T, axis=0)
+    q = apply_rotary(q, sin, cos, spec.rotary.interleave, dim)
+    k = apply_rotary(k, sin, cos, spec.rotary.interleave, dim)
+    return q, k
+
+
+def _qk_norms(arch, ap, spec, q, k, v):
+    if spec.has_q_norm:
+        q = _norm(arch, ap.get("q_norm"), q)
+    if spec.has_k_norm:
+        k = _norm(arch, ap.get("k_norm"), k)
+    if spec.has_v_norm:
+        v = _norm(arch, ap.get("v_norm"), v)
+    return q, k, v
+
+
+def self_attention_block(
+    arch: ArchSpec,
+    spec: AttentionSpec,
+    ap: dict,
+    x,
+    *,
+    bias,
+    rot_consts=None,
+    offset=0,
+    cache: Optional[dict] = None,
+    pre_norm: bool = True,
+    quantize_acts: bool = True,
+    alibi_bias=None,
+    rel_positions=None,
+    position_bias=None,
+    wrap_norm: bool = True,
+):
+    """Self-attention with optional fixed-capacity KV cache.
+
+    Returns (output, new_cache). ``cache`` holds {"k","v"} of shape
+    [B, Hkv, C, D]; new entries are written at ``offset``.
+    """
+    residual = x
+    h = x
+    if wrap_norm and pre_norm and spec.has_layer_norm:
+        h = _norm(arch, ap.get("layer_norm"), h)
+
+    q, k, v = _project_qkv(ap, spec, h, quantize_acts)
+    q, k, v = _qk_norms(arch, ap, spec, q, k, v)
+    q, k = _maybe_rotary(spec, rot_consts, q, k, offset)
+
+    new_cache = None
+    if cache is not None:
+        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
+        new_cache = {"k": ck, "v": cv}
+        k, v = ck, cv
+
+    extra_bias = attn_ops.combine_bias(alibi_bias, position_bias)
+    full_bias = attn_ops.combine_bias(bias, extra_bias)
+
+    ctx = attn_ops.dot_product_attention(
+        q,
+        k,
+        v,
+        bias=full_bias,
+        queries_scale=spec.queries_scale,
+        rel_position_keys=ap.get("relative_position_keys"),
+        rel_position_values=ap.get("relative_position_values"),
+        rel_positions=rel_positions,
+    )
+    out = attn_ops.combine_heads(ctx)
+
+    res = residual if (wrap_norm and spec.has_layer_norm) else None
+    out = linear(ap["linear"][-1], out, residual=res, quantize_activations=quantize_acts)
+    if wrap_norm and not pre_norm and spec.has_layer_norm:
+        out = _norm(arch, ap.get("layer_norm"), out)
+    return out, new_cache
+
+
+def precompute_cross_kv(arch: ArchSpec, spec: AttentionSpec, ap: dict, memory,
+                        quantize_acts: bool = True):
+    """Project encoder output to cross-attention K/V once
+    (reference caches these on step 0: src/layers/attention.cc:371-440)."""
+    fused = linear(ap["linear"][1], memory, quantize_activations=quantize_acts)
+    Hkv, D = spec.num_heads_kv, spec.head_dim
+    k, v = jnp.split(fused, 2, axis=-1)
+    k = attn_ops.split_heads(k, Hkv)
+    v = attn_ops.split_heads(v, Hkv)
+    if spec.has_k_norm:
+        k = _norm(arch, ap.get("k_norm"), k)
+    if spec.has_v_norm:
+        v = _norm(arch, ap.get("v_norm"), v)
+    return {"k": k, "v": v}
+
+
+def cross_attention_block(
+    arch: ArchSpec,
+    spec: AttentionSpec,
+    ap: dict,
+    x,
+    mem_kv: dict,
+    *,
+    memory_bias,
+    beam_size: int = 1,
+    pre_norm: bool = True,
+    quantize_acts: bool = True,
+    return_weights: bool = False,
+    wrap_norm: bool = True,
+):
+    """Cross-attention with beam-shared memory.
+
+    ``x``: [B*beam, T, D_model]; ``mem_kv["k"]``: [B, Hkv, S, Dh].
+    The beam dim folds into the query time axis so memory K/V are read once.
+    """
+    residual = x
+    h = x
+    if wrap_norm and pre_norm and spec.has_layer_norm:
+        h = _norm(arch, ap.get("layer_norm"), h)
+
+    BK, T, _ = h.shape
+    B = mem_kv["k"].shape[0]
+    K = BK // B
+
+    q = linear(ap["linear"][0], h, quantize_activations=quantize_acts)
+    if spec.has_q_norm:
+        q = _norm(arch, ap.get("q_norm"), q)
+    q = attn_ops.split_heads(q.reshape(B, K * T, -1), spec.num_heads)
+
+    out = attn_ops.dot_product_attention(
+        q,
+        mem_kv["k"],
+        mem_kv["v"],
+        bias=memory_bias,
+        queries_scale=spec.queries_scale,
+        return_weights=return_weights,
+    )
+    if return_weights:
+        ctx, weights = out
+        # [B, Hq, K*T, S] -> [B*K, Hq, T, S]
+        S = weights.shape[-1]
+        weights = (
+            weights.reshape(B, spec.num_heads, K, T, S)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(BK, spec.num_heads, T, S)
+        )
+    else:
+        ctx = out
+        weights = None
+
+    ctx = attn_ops.combine_heads(ctx).reshape(BK, T, -1)
+    res = residual if (wrap_norm and spec.has_layer_norm) else None
+    y = linear(ap["linear"][-1], ctx, residual=res, quantize_activations=quantize_acts)
+    if wrap_norm and not pre_norm and spec.has_layer_norm:
+        y = _norm(arch, ap.get("layer_norm"), y)
+    return y, weights
+
+
+def ffn_block(arch: ArchSpec, spec, fp: dict, x, pre_norm: bool,
+              quantize_acts: bool = True, wrap_norm: bool = True):
+    """Feed-forward with optional GLU (reference: src/layers/transformer.cc:8-51)."""
+    residual = x
+    h = x
+    has_norm = "layer_norm" in fp
+    if wrap_norm and pre_norm and has_norm:
+        h = _norm(arch, fp.get("layer_norm"), h)
+    act = get_activation(spec.activation)
+    inner = linear(fp["linear_0"], h, activation=act, quantize_activations=quantize_acts)
+    if spec.glu:
+        gate = linear(fp["linear_0_noact"], h, quantize_activations=quantize_acts)
+        inner = inner * gate
+    res = residual if (wrap_norm and has_norm) else None
+    out = linear(fp["linear_1"], inner, residual=res, quantize_activations=quantize_acts)
+    if wrap_norm and not pre_norm and has_norm:
+        out = _norm(arch, fp.get("layer_norm"), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder.
+# ---------------------------------------------------------------------------
+
+
+def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
+                    quantize_acts: bool = True, out_dtype=jnp.float32):
+    """Full encoder pass. ids [B, S] int32, lengths [B] int32 -> [B, S, D]."""
+    spec = arch.encoder
+    ep = params["encoder"]
+    ec = consts.get("encoder", {})
+
+    x = embed(ep, spec, ids, out_dtype, spec.embeddings.merge)
+    if spec.embeddings.scale:
+        x = x * jnp.asarray(spec.embeddings.scale, dtype=x.dtype)
+    x = _apply_positions(ep, ec, spec, x, 0)
+    if spec.has_layernorm_embedding:
+        x = _norm(arch, ep.get("layernorm_embedding"), x)
+
+    S = ids.shape[-1]
+    bias = attn_ops.length_mask_bias(lengths, S)
+
+    position_bias = None
+    for i, layer in enumerate(spec.layers):
+        lp = ep["layers"][i]
+        aspec = layer.self_attention
+        rot = ec.get("rotary", {}).get(str(i))
+
+        rel_positions = None
+        if aspec.has_rel_position_keys or aspec.has_rel_asymmetric_keys:
+            rel_positions = attn_ops.make_relative_positions(
+                S, S, aspec.max_relative_position,
+                asymmetric=aspec.has_rel_asymmetric_keys,
+                left_max=aspec.rel_left_max, right_max=aspec.rel_right_max)
+        if aspec.has_rel_attention_bias and position_bias is None:
+            position_bias = attn_ops.t5_position_bias(
+                lp["self_attention"]["relative_attention_bias"],
+                S, S, aspec.rel_max_distance, bidirectional=True)
+
+        if layer.sandwich_norm:
+            h = _norm(arch, lp["input_layer_norm"], x)
+            ctx, _ = self_attention_block(
+                arch, aspec, lp["self_attention"], h,
+                bias=bias, rot_consts=rot, offset=0,
+                pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                rel_positions=rel_positions, position_bias=position_bias,
+                wrap_norm=False)
+            x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
+            h = _norm(arch, lp["pre_feedforward_layer_norm"], x)
+            f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
+                          quantize_acts, wrap_norm=False)
+            x = x + _norm(arch, lp["post_feedforward_layer_norm"], f)
+        else:
+            x, _ = self_attention_block(
+                arch, aspec, lp["self_attention"], x,
+                bias=bias, rot_consts=rot, offset=0,
+                pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                rel_positions=rel_positions, position_bias=position_bias)
+            x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm, quantize_acts)
+
+    if spec.has_output_norm:
+        x = _norm(arch, ep.get("layer_norm"), x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Decoder.
+# ---------------------------------------------------------------------------
+
+
+def init_self_cache(arch: ArchSpec, batch: int, capacity: int, dtype=jnp.float32):
+    """Fixed-capacity self-attention KV cache for every decoder layer."""
+    spec = arch.decoder
+    layers = []
+    for layer in spec.layers:
+        a = layer.self_attention
+        shape = (batch, a.num_heads_kv, capacity, a.head_dim)
+        layers.append({"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)})
+    return layers
+
+
+def precompute_memory(arch: ArchSpec, params: dict, memory, quantize_acts: bool = True):
+    """Project encoder output into per-layer cross K/V (prefill-once)."""
+    spec = arch.decoder
+    out = []
+    for i, layer in enumerate(spec.layers):
+        if layer.cross_attention is None:
+            out.append(None)
+            continue
+        ap = params["decoder"]["layers"][i]["attention"]
+        out.append(
+            precompute_cross_kv(arch, layer.cross_attention, ap, memory, quantize_acts)
+        )
+    return out
+
+
+def decoder_forward(
+    arch: ArchSpec,
+    params: dict,
+    consts: dict,
+    ids,  # [B*beam, T] int32
+    pos,  # scalar int32: position of ids[:, 0]
+    self_cache,  # list per layer of {"k","v"} [B*beam, Hkv, C, D], or None
+    mem_kv=None,  # list per layer of {"k","v"} [B, Hkv, S, D] (beam-shared)
+    memory_bias=None,  # [B, 1, 1, S] additive f32
+    *,
+    beam_size: int = 1,
+    lengths=None,  # [B*beam] optional per-row valid lengths for seq mode
+    return_attention: bool = False,
+    quantize_acts: bool = True,
+    out_dtype=jnp.float32,
+    return_logits: bool = True,
+):
+    """Decoder pass covering both modes:
+
+    - cached step/prefill: ``self_cache`` given; keys live at [0, pos+T).
+    - full-sequence (scoring): ``self_cache=None``; plain causal masking.
+
+    Returns (logits [B*beam, T, V], new_self_cache, attention or None).
+    """
+    spec = arch.decoder
+    dp = params["decoder"]
+    dc = consts.get("decoder", {})
+    T = ids.shape[-1]
+
+    x = embed(dp, spec, ids, out_dtype, spec.embeddings.merge)
+    if spec.start_from_zero_embedding:
+        # Zero the embedding of the BOS timestep at step 0
+        # (reference: src/layers/transformer.cc:637-640).
+        t_idx = jnp.arange(T, dtype=jnp.int32) + pos
+        x = jnp.where((t_idx == 0)[None, :, None], 0.0, x)
+    if spec.embeddings.scale:
+        x = x * jnp.asarray(spec.embeddings.scale, dtype=x.dtype)
+    if spec.has_project_in:
+        x = linear(dp["project_in"], x, quantize_activations=quantize_acts)
+    x = _apply_positions(dp, dc, spec, x, pos)
+    if spec.has_layernorm_embedding:
+        x = _norm(arch, dp.get("layernorm_embedding"), x)
+
+    # Self-attention bias.
+    if self_cache is not None:
+        C = self_cache[0]["k"].shape[2]
+        causal = attn_ops.causal_mask_bias(T, C, offset=pos)
+        bias = causal
+        if lengths is not None:
+            bias = bias + attn_ops.length_mask_bias(lengths, C)
+    else:
+        bias = attn_ops.causal_mask_bias(T, T, offset=0)
+        if lengths is not None:
+            bias = bias + attn_ops.length_mask_bias(lengths, T)
+
+    position_bias = None
+    attn_out = None
+    new_cache = [] if self_cache is not None else None
+
+    for i, layer in enumerate(spec.layers):
+        lp = dp["layers"][i]
+        aspec = layer.self_attention
+        rot = dc.get("rotary", {}).get(str(i))
+
+        layer_bias = bias
+        if aspec.sliding_window and self_cache is not None:
+            layer_bias = layer_bias + attn_ops.sliding_window_bias(
+                T, self_cache[i]["k"].shape[2], aspec.sliding_window, offset=pos
+            )
+        elif aspec.sliding_window:
+            layer_bias = layer_bias + attn_ops.sliding_window_bias(
+                T, T, aspec.sliding_window, offset=0
+            )
+
+        alibi_bias = None
+        if spec.alibi:
+            Tk = self_cache[i]["k"].shape[2] if self_cache is not None else T
+            slopes = dc["alibi_slopes"]
+            positions = jnp.arange(Tk, dtype=jnp.float32)
+            if not spec.alibi_use_positive_positions:
+                # Negative positions end at 0 on the last *current* key
+                # (reference: src/layers/attention_layer.cc:38-41).
+                cur_len = (pos + T) if self_cache is not None else T
+                positions = positions - (jnp.asarray(cur_len, jnp.float32) - 1)
+            scale = spec.layers[i].self_attention.queries_scale if spec.scale_alibi else 1.0
+            alibi_bias = (slopes[:, None, None] * positions[None, None, :] * scale)
+
+        rel_positions = None
+        if aspec.has_rel_position_keys:
+            Tk = self_cache[i]["k"].shape[2] if self_cache is not None else T
+            rel_positions = attn_ops.make_relative_positions(
+                T, Tk, aspec.max_relative_position,
+                query_offset=pos if self_cache is not None else None)
+        if aspec.has_rel_attention_bias and position_bias is None:
+            Tk = self_cache[i]["k"].shape[2] if self_cache is not None else T
+            position_bias = attn_ops.t5_position_bias(
+                lp["self_attention"]["relative_attention_bias"],
+                T, Tk, aspec.rel_max_distance, bidirectional=False,
+                query_offset=pos if self_cache is not None else 0)
+
+        cache_i = self_cache[i] if self_cache is not None else None
+
+        layer_attention = None
+
+        if layer.sandwich_norm:
+            h = _norm(arch, lp["input_layer_norm"], x)
+            ctx, nc = self_attention_block(
+                arch, aspec, lp["self_attention"], h,
+                bias=layer_bias, rot_consts=rot, offset=pos, cache=cache_i,
+                pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                alibi_bias=alibi_bias, rel_positions=rel_positions,
+                position_bias=position_bias, wrap_norm=False)
+            x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
+            if layer.cross_attention is not None:
+                h = _norm(arch, lp["external_pre_encoder_attention_layer_norm"], x) \
+                    if layer.external_pre_cross_norm else x
+                ctx, layer_attention = cross_attention_block(
+                    arch, layer.cross_attention, lp["attention"], h,
+                    mem_kv[i], memory_bias=memory_bias, beam_size=beam_size,
+                    pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                    return_weights=return_attention and i == spec.alignment_layer,
+                    wrap_norm=False)
+                if layer.external_post_cross_norm:
+                    ctx = _norm(
+                        arch, lp["external_post_encoder_attention_layer_norm"], ctx)
+                x = x + ctx
+            h = _norm(arch, lp["pre_feedforward_layer_norm"], x)
+            f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
+                          quantize_acts, wrap_norm=False)
+            x = x + _norm(arch, lp["post_feedforward_layer_norm"], f)
+            if layer.layer_scalar != 1.0:
+                x = x * jnp.asarray(layer.layer_scalar, dtype=x.dtype)
+        elif layer.shared_layer_norm or layer.input_layer_norm:
+            # Parallel residual (GPT-J / GPT-NeoX)
+            # (reference: src/layers/transformer.cc:298-332).
+            norm_p = lp.get("shared_layer_norm") or lp.get("input_layer_norm")
+            h = _norm(arch, norm_p, x)
+            a, nc = self_attention_block(
+                arch, aspec, lp["self_attention"], h,
+                bias=layer_bias, rot_consts=rot, offset=pos, cache=cache_i,
+                pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                alibi_bias=alibi_bias, rel_positions=rel_positions,
+                position_bias=position_bias, wrap_norm=False)
+            if layer.post_attention_layer_norm:
+                h = _norm(arch, lp["post_attention_layer_norm"], x)
+            f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
+                          quantize_acts, wrap_norm=False)
+            x = x + a + f
+        else:
+            x, nc = self_attention_block(
+                arch, aspec, lp["self_attention"], x,
+                bias=layer_bias, rot_consts=rot, offset=pos, cache=cache_i,
+                pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                alibi_bias=alibi_bias, rel_positions=rel_positions,
+                position_bias=position_bias)
+            if layer.cross_attention is not None:
+                x, layer_attention = cross_attention_block(
+                    arch, layer.cross_attention, lp["attention"], x,
+                    mem_kv[i], memory_bias=memory_bias, beam_size=beam_size,
+                    pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                    return_weights=return_attention and i == spec.alignment_layer)
+            x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm, quantize_acts)
+
+        if new_cache is not None:
+            new_cache.append(nc)
+        if layer_attention is not None:
+            # Average the alignment heads
+            # (reference: src/layers/transformer.cc:565-603, 821-836).
+            attn_out = jnp.mean(
+                layer_attention[:, : spec.alignment_heads], axis=1
+            )
+
+    if spec.has_output_norm:
+        x = _norm(arch, dp.get("layer_norm"), x)
+    if spec.has_project_out:
+        x = linear(dp["project_out"], x, quantize_activations=quantize_acts)
+    if spec.has_outputs_scale:
+        x = x * dp["scale_outputs"].astype(x.dtype)
+
+    if return_logits and spec.has_projection:
+        logits = linear(dp["projection"], x, quantize_activations=quantize_acts)
+        if spec.final_logit_softcapping:
+            cap = spec.final_logit_softcapping
+            logits = jnp.tanh(logits / cap) * cap
+    else:
+        logits = x
+
+    return logits, new_cache, attn_out
+
+
+# Jitted entry points (arch/flags static, everything else traced).
+encoder_forward_jit = jax.jit(
+    encoder_forward, static_argnames=("arch", "quantize_acts", "out_dtype")
+)
+decoder_forward_jit = jax.jit(
+    decoder_forward,
+    static_argnames=(
+        "arch",
+        "beam_size",
+        "return_attention",
+        "quantize_acts",
+        "out_dtype",
+        "return_logits",
+    ),
+)
+precompute_memory_jit = jax.jit(
+    precompute_memory, static_argnames=("arch", "quantize_acts")
+)

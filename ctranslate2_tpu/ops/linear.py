@@ -1,0 +1,100 @@
+"""Linear (dense) op with CT2-compatible weight quantization.
+
+Capability parity with the reference Dense layer
+(reference: src/layers/common.cc:266-442):
+
+- float path: ``y = act(x @ w + b) (+ residual)``
+- int8 path (W8A8 dynamic): activations are quantized per row with
+  ``a_scale = 127 / amax(row)`` and rounded
+  (reference: src/ops/quantize_cpu.cc:11-25), multiplied on the int8
+  MXU path (``lax.dot_general`` with int32 accumulation), then the output
+  is dequantized with the outer product of activation/weight scales and
+  fused with bias + activation + residual
+  (reference: src/ops/dequantize.cc:13-59).
+- int8 weight-only: weights dequantized to the activation dtype on the
+  fly (``w = q / scale``); higher-accuracy alternative used when
+  activation quantization is disabled.
+
+Weights are stored transposed relative to the artifact, as ``(in, out)``
+with per-output-channel scales, the layout XLA prefers for ``x @ w``.
+
+Param dict keys:
+  ``w``      float weight (in, out)                      [float path]
+  ``wq``     int8/int4-unpacked weight (in, out)         [quantized path]
+  ``scale``  per-output-channel scale (out,) or scalar
+  ``b``      optional bias (out,)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_per_row(x, round_before_cast: bool = True):
+    """Quantize activations to int8 with per-row (last-axis) amax scales.
+
+    Returns (q, scale) where ``x ≈ q / scale`` and scale has shape
+    ``x.shape[:-1]``.
+    """
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    scaled = x32 * scale[..., None]
+    if round_before_cast:
+        scaled = jnp.rint(scaled)
+    q = jnp.clip(scaled, -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def linear(
+    params: dict,
+    x,
+    activation: Optional[Callable] = None,
+    residual=None,
+    quantize_activations: bool = True,
+):
+    """Apply a dense layer. ``x``: (..., in) -> (..., out)."""
+    out_dtype = x.dtype
+    bias = params.get("b")
+
+    if "wq" in params:
+        wq = params["wq"]
+        w_scale = params["scale"].astype(jnp.float32)
+        if quantize_activations and wq.dtype == jnp.int8:
+            q, a_scale = quantize_per_row(x)
+            acc = jax.lax.dot_general(
+                q,
+                wq,
+                dimension_numbers=(((q.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) / (a_scale[..., None] * w_scale)
+        else:
+            w = wq.astype(jnp.float32) / w_scale
+            y = jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)
+    else:
+        w = params["w"]
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    if activation is not None:
+        y = activation(y)
+    y = y.astype(out_dtype)
+    if residual is not None:
+        y = y + residual.astype(out_dtype)
+    return y
+
+
+def output_size(params: dict) -> int:
+    w = params.get("w", params.get("wq"))
+    return w.shape[-1]
+
+
+def input_size(params: dict) -> int:
+    w = params.get("w", params.get("wq"))
+    return w.shape[0]

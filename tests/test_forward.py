@@ -1,0 +1,117 @@
+"""End-to-end forward tests against the reference tiny transliteration model."""
+
+import jax.numpy as jnp
+import pytest
+
+from ctranslate2_tpu.models.loader import load_model
+from ctranslate2_tpu.models import transformer as T
+from ctranslate2_tpu.ops import attention as A
+
+SRC = ["آ", "ت", "ز", "م", "و", "ن"]
+SRC2 = ["آ", "ت", "ش", "ي", "س", "و", "ن"]
+
+
+def _greedy(m, src_tokens, max_len=30, quantize_acts=False):
+    sv = m.source_vocabularies[0]
+    tv = m.target_vocabulary
+    ids = [sv.to_id(t) for t in src_tokens] + [sv.eos_id]
+    ids_arr = jnp.asarray([ids], dtype=jnp.int32)
+    lengths = jnp.asarray([len(ids)], dtype=jnp.int32)
+    enc = T.encoder_forward_jit(m.arch, m.params, m.consts, ids_arr, lengths,
+                            quantize_acts=quantize_acts,
+                            out_dtype=m.out_dtype)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, enc, quantize_acts=quantize_acts)
+    mem_bias = A.length_mask_bias(lengths, enc.shape[1])
+    cache = T.init_self_cache(m.arch, 1, 64, dtype=m.out_dtype)
+    tok = jnp.asarray([[tv.bos_id]], dtype=jnp.int32)
+    out = []
+    for pos in range(max_len):
+        logits, cache, _ = T.decoder_forward_jit(
+            m.arch, m.params, m.consts, tok, jnp.int32(pos), cache, mem_kv,
+            mem_bias, quantize_acts=quantize_acts, out_dtype=m.out_dtype)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        if nxt == tv.eos_id:
+            break
+        out.append(tv.to_token(nxt))
+        tok = jnp.asarray([[nxt]], dtype=jnp.int32)
+    return out
+
+
+def test_greedy_fp32(tiny_model_path):
+    m = load_model(tiny_model_path, compute_type="float32")
+    assert _greedy(m, SRC)[:6] == ["a", "t", "z", "m", "o", "n"]
+    assert _greedy(m, SRC2)[:7] == ["a", "c", "h", "i", "s", "o", "n"]
+
+
+def test_greedy_all_model_versions(any_tiny_model_path):
+    m = load_model(any_tiny_model_path, compute_type="default")
+    quant = m.policy.quantize_activations
+    assert _greedy(m, SRC, quantize_acts=quant)[:6] == ["a", "t", "z", "m", "o", "n"]
+
+
+def test_cached_matches_sequence_decoding(tiny_model_path):
+    """Iterative (cached) decoding must match one full-sequence pass
+    (the reference asserts the same: tests/model_test.cc:59-151)."""
+    m = load_model(tiny_model_path, compute_type="float32")
+    sv = m.source_vocabularies[0]
+    tv = m.target_vocabulary
+    ids = [sv.to_id(t) for t in SRC] + [sv.eos_id]
+    ids_arr = jnp.asarray([ids], dtype=jnp.int32)
+    lengths = jnp.asarray([len(ids)], dtype=jnp.int32)
+    enc = T.encoder_forward_jit(m.arch, m.params, m.consts, ids_arr, lengths,
+                            quantize_acts=False)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, enc, quantize_acts=False)
+    mem_bias = A.length_mask_bias(lengths, enc.shape[1])
+
+    tgt = [tv.bos_id] + [tv.to_id(t) for t in ["a", "t", "z", "m"]]
+    tgt_arr = jnp.asarray([tgt], dtype=jnp.int32)
+
+    # Full-sequence (scoring-style) pass without cache.
+    seq_logits, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, tgt_arr, jnp.int32(0), None, mem_kv,
+        mem_bias, quantize_acts=False)
+
+    # Iterative pass with cache.
+    cache = T.init_self_cache(m.arch, 1, 16)
+    step_logits = []
+    for pos, tok in enumerate(tgt):
+        logits, cache, _ = T.decoder_forward_jit(
+            m.arch, m.params, m.consts,
+            jnp.asarray([[tok]], dtype=jnp.int32), jnp.int32(pos),
+            cache, mem_kv, mem_bias, quantize_acts=False)
+        step_logits.append(logits[:, 0])
+    step_logits = jnp.stack(step_logits, axis=1)
+
+    assert jnp.allclose(seq_logits, step_logits, atol=1e-4)
+
+
+def test_prefill_matches_stepwise(tiny_model_path):
+    """Multi-token cached prefill == token-by-token stepping."""
+    m = load_model(tiny_model_path, compute_type="float32")
+    tv = m.target_vocabulary
+    sv = m.source_vocabularies[0]
+    ids = [sv.to_id(t) for t in SRC] + [sv.eos_id]
+    ids_arr = jnp.asarray([ids], dtype=jnp.int32)
+    lengths = jnp.asarray([len(ids)], dtype=jnp.int32)
+    enc = T.encoder_forward_jit(m.arch, m.params, m.consts, ids_arr, lengths,
+                            quantize_acts=False)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, enc, quantize_acts=False)
+    mem_bias = A.length_mask_bias(lengths, enc.shape[1])
+
+    tgt = [tv.bos_id] + [tv.to_id(t) for t in ["a", "t"]]
+
+    cache1 = T.init_self_cache(m.arch, 1, 16)
+    logits1, cache1, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray([tgt], dtype=jnp.int32),
+        jnp.int32(0), cache1, mem_kv, mem_bias, quantize_acts=False)
+
+    cache2 = T.init_self_cache(m.arch, 1, 16)
+    last = None
+    for pos, tok in enumerate(tgt):
+        last, cache2, _ = T.decoder_forward_jit(
+            m.arch, m.params, m.consts, jnp.asarray([[tok]], dtype=jnp.int32),
+            jnp.int32(pos), cache2, mem_kv, mem_bias, quantize_acts=False)
+
+    assert jnp.allclose(logits1[:, -1], last[:, 0], atol=1e-4)
+    for l in range(len(cache1)):
+        assert jnp.allclose(cache1[l]["k"], cache2[l]["k"], atol=1e-4)

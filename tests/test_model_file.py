@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+from ctranslate2_tpu.formats.model_file import (
+    ModelFile,
+    Variable,
+    load_model_file,
+    make_variable,
+)
+
+
+def test_load_tiny_v2(tiny_model_path):
+    mf = load_model_file(tiny_model_path)
+    assert mf.spec_name == "TransformerBase"
+    assert mf.binary_version == 2
+    w = mf.get("encoder/layer_0/self_attention/linear_0/weight")
+    assert w.shape == (96, 32)
+    assert w.dtype_name == "float32"
+
+
+def test_load_all_versions(any_tiny_model_path):
+    mf = load_model_file(any_tiny_model_path)
+    assert len(mf.variables) > 100
+    if mf.binary_version >= 2:
+        assert "decoder/embeddings/weight" in mf
+    else:
+        # v1 names are raw OpenNMT-tf names; the loader remaps them.
+        from ctranslate2_tpu.models.loader import _apply_v1_mapping
+
+        _apply_v1_mapping(mf)
+        assert "decoder/embeddings/weight" in mf
+
+
+def test_roundtrip(tmp_path):
+    mf = ModelFile(spec_name="TransformerSpec", spec_revision=7, binary_version=6)
+    mf.variables["layer/weight"] = make_variable(
+        "layer/weight", np.arange(12, dtype=np.float32).reshape(3, 4)
+    )
+    mf.variables["layer/weight_scale"] = make_variable(
+        "layer/weight_scale", np.ones(3, np.float32)
+    )
+    mf.variables["num_heads"] = make_variable("num_heads", 8, "int16")
+    mf.aliases["alias/weight"] = "layer/weight"
+    mf.config = {"bos_token": "<s>"}
+    mf.save(str(tmp_path))
+
+    loaded = load_model_file(str(tmp_path))
+    assert loaded.spec_name == "TransformerSpec"
+    assert loaded.spec_revision == 7
+    np.testing.assert_array_equal(
+        loaded.get("layer/weight").array, mf.variables["layer/weight"].array
+    )
+    # Alias resolution (including derived _scale alias).
+    assert loaded.get("alias/weight") is not None
+    assert loaded.get("alias/weight_scale") is not None
+    assert loaded.attribute("num_heads") == 8
+    assert loaded.config["bos_token"] == "<s>"
+
+
+def test_bfloat16_roundtrip(tmp_path):
+    x = np.array([1.5, -2.25, 3.0], np.float32)
+    var = make_variable("x", x, "bfloat16")
+    assert var.dtype_name == "bfloat16"
+    np.testing.assert_allclose(var.as_float32(), x, rtol=1e-2)
