@@ -1,0 +1,36 @@
+"""ctranslate2_tpu: a TPU-native inference engine with the capabilities of
+CTranslate2 (JAX / XLA / Pallas), reading CTranslate2 model directories."""
+
+__version__ = "0.1.0"
+
+from .runtime.translator import Translator
+from .runtime.generator import Generator
+from .runtime.encoder import Encoder
+from .runtime.results import (
+    AsyncResult,
+    ExecutionStats,
+    GenerationResult,
+    GenerationStepResult,
+    ScoringResult,
+    TranslationResult,
+)
+from .models.loader import LoadedModel, load_model
+
+_RANDOM_SEED = 0
+
+
+def set_random_seed(seed: int) -> None:
+    """Set the seed used by sampling decoders (parity with the reference's
+    global set_random_seed: src/random.cc)."""
+    global _RANDOM_SEED
+    _RANDOM_SEED = seed
+
+
+def get_random_seed() -> int:
+    return _RANDOM_SEED
+
+
+def contains_model(path: str) -> bool:
+    import os
+
+    return os.path.isfile(os.path.join(path, "model.bin"))

@@ -1,0 +1,283 @@
+"""Programmatic model-directory builder.
+
+The moral equivalent of the reference's Python spec layer
+(reference: python/ctranslate2/specs/transformer_spec.py): assembles a
+CTranslate2-format model directory from weight arrays. Used by the
+converters and by tests to fabricate tiny models.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..formats.model_file import ModelFile, make_variable
+
+ACTIVATION_IDS = {
+    "relu": 0, "gelu_tanh": 1, "swish": 2, "gelu": 3,
+    "gelu_sigmoid": 4, "tanh": 5, "sigmoid": 6,
+}
+
+
+class SpecBuilder:
+    """Accumulates variables under CT2 scope names."""
+
+    def __init__(self, spec_name: str, spec_revision: int):
+        self.mf = ModelFile(
+            spec_name=spec_name,
+            spec_revision=spec_revision,
+            binary_version=6,
+        )
+
+    def add(self, name: str, value, dtype: Optional[str] = None):
+        self.mf.variables[name] = make_variable(name, value, dtype)
+
+    def add_attr(self, name: str, value, dtype: str):
+        self.add(name, value, dtype)
+
+    def quantize(self, quantization: Optional[str]):
+        """Quantize linear/embedding weights in place
+        (reference: python/ctranslate2/specs/model_spec.py:191-260)."""
+        if quantization in (None, "float32"):
+            return
+        new_vars = {}
+        for name, var in list(self.mf.variables.items()):
+            is_weight = name.endswith("/weight") and len(var.shape) >= 2
+            if not is_weight or var.dtype_name != "float32":
+                continue
+            w = var.array
+            if quantization in ("int8", "int8_float32", "int8_float16",
+                                "int8_bfloat16"):
+                amax = np.amax(np.abs(w), axis=tuple(range(1, w.ndim)))
+                amax[amax == 0] = 127.0
+                scale = 127.0 / amax
+                q = np.clip(
+                    np.rint(w * scale.reshape((-1,) + (1,) * (w.ndim - 1))),
+                    -127, 127).astype(np.int8)
+                new_vars[name] = make_variable(name, q, "int8")
+                new_vars[name + "_scale"] = make_variable(
+                    name + "_scale", scale.astype(np.float32))
+            elif quantization == "int16":
+                amax = np.amax(np.abs(w))
+                scale = float(2 ** 10) / amax
+                q = np.clip(np.rint(w * scale), -(2 ** 15), 2 ** 15 - 1).astype(np.int16)
+                new_vars[name] = make_variable(name, q, "int16")
+                new_vars[name + "_scale"] = make_variable(
+                    name + "_scale", np.float32(scale))
+            elif quantization in ("float16", "bfloat16"):
+                new_vars[name] = make_variable(name, w, quantization)
+        self.mf.variables.update(new_vars)
+
+    def save(self, directory: str, config: Optional[dict] = None,
+             vocabulary: Optional[Sequence[str]] = None,
+             source_vocabulary: Optional[Sequence[str]] = None,
+             target_vocabulary: Optional[Sequence[str]] = None):
+        import json
+        import os
+
+        self.mf.config = config or {}
+        self.mf.save(directory)
+        if vocabulary is not None:
+            with open(os.path.join(directory, "shared_vocabulary.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(list(vocabulary), f)
+        if source_vocabulary is not None:
+            with open(os.path.join(directory, "source_vocabulary.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(list(source_vocabulary), f)
+        if target_vocabulary is not None:
+            with open(os.path.join(directory, "target_vocabulary.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(list(target_vocabulary), f)
+
+
+def _rand(rng, *shape):
+    return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+
+def _add_attention(b: SpecBuilder, scope: str, rng, d_model: int,
+                   num_heads: int, self_attention: bool,
+                   num_heads_kv: Optional[int] = None,
+                   rotary_dim: Optional[int] = None,
+                   rotary_interleave: bool = True,
+                   head_dim: Optional[int] = None,
+                   with_norm: bool = True,
+                   rms_norm: bool = False):
+    hd = head_dim or d_model // num_heads
+    hkv = num_heads_kv if num_heads_kv is not None else num_heads
+    if with_norm:
+        b.add(f"{scope}/layer_norm/gamma", np.ones(d_model, np.float32))
+        if not rms_norm:
+            b.add(f"{scope}/layer_norm/beta", np.zeros(d_model, np.float32))
+    if self_attention:
+        qkv_out = num_heads * hd + 2 * hkv * hd
+        b.add(f"{scope}/linear_0/weight", _rand(rng, qkv_out, d_model))
+        b.add(f"{scope}/linear_0/bias", _rand(rng, qkv_out))
+        b.add(f"{scope}/linear_1/weight", _rand(rng, d_model, num_heads * hd))
+        b.add(f"{scope}/linear_1/bias", _rand(rng, d_model))
+    else:
+        b.add(f"{scope}/linear_0/weight", _rand(rng, num_heads * hd, d_model))
+        b.add(f"{scope}/linear_0/bias", _rand(rng, num_heads * hd))
+        b.add(f"{scope}/linear_1/weight", _rand(rng, 2 * hkv * hd, d_model))
+        b.add(f"{scope}/linear_1/bias", _rand(rng, 2 * hkv * hd))
+        b.add(f"{scope}/linear_2/weight", _rand(rng, d_model, num_heads * hd))
+        b.add(f"{scope}/linear_2/bias", _rand(rng, d_model))
+    if hkv != num_heads:
+        b.add_attr(f"{scope}/num_heads_kv", hkv, "int32")
+    if head_dim is not None:
+        b.add_attr(f"{scope}/head_dim", head_dim, "int32")
+    if rotary_dim is not None:
+        b.add_attr(f"{scope}/rotary_dim", rotary_dim, "int32")
+        b.add_attr(f"{scope}/rotary_interleave", 1 if rotary_interleave else 0, "int8")
+
+
+def _add_ffn(b: SpecBuilder, scope: str, rng, d_model: int, d_ff: int,
+             glu: bool = False, rms_norm: bool = False, bias: bool = True):
+    b.add(f"{scope}/layer_norm/gamma", np.ones(d_model, np.float32))
+    if not rms_norm:
+        b.add(f"{scope}/layer_norm/beta", np.zeros(d_model, np.float32))
+    b.add(f"{scope}/linear_0/weight", _rand(rng, d_ff, d_model))
+    if bias:
+        b.add(f"{scope}/linear_0/bias", _rand(rng, d_ff))
+    if glu:
+        b.add(f"{scope}/linear_0_noact/weight", _rand(rng, d_ff, d_model))
+        if bias:
+            b.add(f"{scope}/linear_0_noact/bias", _rand(rng, d_ff))
+    b.add(f"{scope}/linear_1/weight", _rand(rng, d_model, d_ff))
+    if bias:
+        b.add(f"{scope}/linear_1/bias", _rand(rng, d_model))
+
+
+def build_decoder_only_model(
+    directory: str,
+    *,
+    vocab_size: int = 64,
+    num_layers: int = 2,
+    num_heads: int = 4,
+    d_model: int = 32,
+    d_ff: int = 64,
+    num_heads_kv: Optional[int] = None,
+    rotary_dim: Optional[int] = None,
+    glu: bool = False,
+    rms_norm: bool = False,
+    activation: str = "relu",
+    alibi: bool = False,
+    parallel_residual: bool = False,
+    shared_layer_norm: bool = False,
+    sliding_window: int = 0,
+    seed: int = 1234,
+    quantization: Optional[str] = None,
+    vocabulary: Optional[Sequence[str]] = None,
+):
+    """Fabricate a TransformerDecoderSpec model directory (GPT-style)."""
+    rng = np.random.default_rng(seed)
+    b = SpecBuilder("TransformerDecoderSpec", 8)
+    sc = "decoder"
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation", ACTIVATION_IDS[activation], "int8")
+    if sliding_window:
+        b.add_attr(f"{sc}/sliding_window", sliding_window, "int32")
+    if alibi:
+        b.add_attr(f"{sc}/alibi", 1, "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    b.add(f"{sc}/embeddings/weight", _rand(rng, vocab_size, d_model))
+    if rotary_dim is None and not alibi:
+        # Learned position embeddings.
+        b.add(f"{sc}/position_encodings/encodings", _rand(rng, 512, d_model))
+    b.add(f"{sc}/layer_norm/gamma", np.ones(d_model, np.float32))
+    if not rms_norm:
+        b.add(f"{sc}/layer_norm/beta", np.zeros(d_model, np.float32))
+    b.add(f"{sc}/projection/weight", _rand(rng, vocab_size, d_model))
+
+    for i in range(num_layers):
+        ls = f"{sc}/layer_{i}"
+        _add_attention(
+            b, f"{ls}/self_attention", rng, d_model, num_heads,
+            self_attention=True, num_heads_kv=num_heads_kv,
+            rotary_dim=rotary_dim, rms_norm=rms_norm,
+            with_norm=not (parallel_residual and shared_layer_norm))
+        if parallel_residual:
+            norm_scope = ("shared_layer_norm" if shared_layer_norm
+                          else "input_layer_norm")
+            b.add(f"{ls}/{norm_scope}/gamma", np.ones(d_model, np.float32))
+            b.add(f"{ls}/{norm_scope}/beta", np.zeros(d_model, np.float32))
+            if not shared_layer_norm:
+                b.add(f"{ls}/post_attention_layer_norm/gamma",
+                      np.ones(d_model, np.float32))
+                b.add(f"{ls}/post_attention_layer_norm/beta",
+                      np.zeros(d_model, np.float32))
+            # Parallel-residual FFN has no layer norm of its own.
+            b.add(f"{ls}/ffn/linear_0/weight", _rand(rng, d_ff, d_model))
+            b.add(f"{ls}/ffn/linear_0/bias", _rand(rng, d_ff))
+            b.add(f"{ls}/ffn/linear_1/weight", _rand(rng, d_model, d_ff))
+            b.add(f"{ls}/ffn/linear_1/bias", _rand(rng, d_model))
+        else:
+            _add_ffn(b, f"{ls}/ffn", rng, d_model, d_ff, glu=glu,
+                     rms_norm=rms_norm)
+
+    b.quantize(quantization)
+    vocab = vocabulary or _default_vocab(vocab_size)
+    b.save(directory,
+           config={"unk_token": "<unk>", "bos_token": "<s>",
+                   "eos_token": "</s>"},
+           vocabulary=vocab)
+    return directory
+
+
+def build_seq2seq_model(
+    directory: str,
+    *,
+    vocab_size: int = 64,
+    num_layers: int = 2,
+    num_heads: int = 4,
+    d_model: int = 32,
+    d_ff: int = 64,
+    activation: str = "relu",
+    seed: int = 1234,
+    quantization: Optional[str] = None,
+):
+    """Fabricate a TransformerSpec encoder-decoder model directory."""
+    rng = np.random.default_rng(seed)
+    b = SpecBuilder("TransformerSpec", 7)
+
+    for sc in ("encoder", "decoder"):
+        b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+        b.add_attr(f"{sc}/pre_norm", 1, "int8")
+        b.add_attr(f"{sc}/activation", ACTIVATION_IDS[activation], "int8")
+        b.add(f"{sc}/embeddings/weight" if sc == "decoder"
+              else f"{sc}/embeddings_0/weight",
+              _rand(rng, vocab_size, d_model))
+        b.add(f"{sc}/layer_norm/gamma", np.ones(d_model, np.float32))
+        b.add(f"{sc}/layer_norm/beta", np.zeros(d_model, np.float32))
+    b.add_attr("encoder/embeddings_merge", 0, "int8")
+    b.add("decoder/projection/weight", _rand(rng, vocab_size, d_model))
+    b.add("decoder/projection/bias", _rand(rng, vocab_size))
+
+    for i in range(num_layers):
+        ls = f"encoder/layer_{i}"
+        _add_attention(b, f"{ls}/self_attention", rng, d_model, num_heads, True)
+        _add_ffn(b, f"{ls}/ffn", rng, d_model, d_ff)
+    for i in range(num_layers):
+        ls = f"decoder/layer_{i}"
+        _add_attention(b, f"{ls}/self_attention", rng, d_model, num_heads, True)
+        _add_attention(b, f"{ls}/attention", rng, d_model, num_heads, False)
+        _add_ffn(b, f"{ls}/ffn", rng, d_model, d_ff)
+
+    b.quantize(quantization)
+    b.save(directory,
+           config={"unk_token": "<unk>", "bos_token": "<s>",
+                   "eos_token": "</s>", "add_source_bos": False,
+                   "add_source_eos": False, "decoder_start_token": "<s>"},
+           vocabulary=_default_vocab(vocab_size))
+    return directory
+
+
+def _default_vocab(vocab_size: int):
+    vocab = ["<unk>", "<s>", "</s>"]
+    vocab += [f"tok{i}" for i in range(vocab_size - len(vocab))]
+    return vocab

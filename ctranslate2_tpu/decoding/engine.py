@@ -1,0 +1,617 @@
+"""Beam / greedy decoding engine.
+
+Architecture (TPU-first restructuring of reference: src/decoding.cc:411-974):
+
+- ONE jitted "step" function per (model, options-signature) fuses the decoder
+  forward, logits processors, log-softmax, beam-score accumulation and
+  top-k/sampling — a single device dispatch per generated token.
+- The host loop only does CT2-equivalent candidate bookkeeping on tiny
+  [batch, 2*beam] arrays (EOS harvesting, secondary-candidate promotion,
+  hard-prefix overrides) and issues one jitted gather to reorder the KV
+  cache by beam origin.
+- Batches are NEVER shrunk mid-decode (the reference prunes finished rows,
+  forcing reallocation: reference src/decoding.cc:683-716); finished rows
+  keep running masked instead, so shapes stay static and XLA caches one
+  executable per bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import transformer as T
+from ..models.loader import LoadedModel
+from ..ops import attention as attn_ops
+from . import processors as proc
+from .options import DecodingOptions, DecodingResult, DecodingStepResult
+from .sampling import sample_tokens
+
+NEG = -1e10
+
+
+@dataclass(frozen=True)
+class StepSig:
+    """Static signature of a jitted decode step."""
+
+    beam_size: int
+    num_candidates: int  # beam: 2*beam ; greedy: 1
+    end_ids: Tuple[int, ...]
+    suppress_ids: Tuple[int, ...]
+    begin_suppress_ids: Tuple[int, ...]
+    suppress_sequences: Tuple[Tuple[int, ...], ...]
+    repetition_penalty: float
+    no_repeat_ngram_size: int
+    use_alive_seq: bool
+    return_attention: bool
+    has_memory: bool
+    greedy_sampler: bool  # argmax vs random sampling
+    sampling_topk: int
+    sampling_topp: float
+    sampling_temperature: float
+    use_bias_token: bool = False  # prefix-biased decoding
+    prefix_bias_beta: float = 0.0
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+class DecodingEngine:
+    """Owns jitted step functions for one loaded model."""
+
+    def __init__(self, model: LoadedModel):
+        self.model = model
+        self._step_fns = {}
+        self._reorder_fn = jax.jit(self._reorder)
+        self._append_fn = jax.jit(self._append)
+
+    # ------------------------------------------------------------------
+    # Jitted pieces.
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _reorder(cache, alive_seq, rows, new_tokens, gen_step):
+        cache = jax.tree.map(lambda a: a[rows], cache)
+        if alive_seq is not None:
+            alive_seq = alive_seq[rows]
+            alive_seq = jax.lax.dynamic_update_slice(
+                alive_seq, new_tokens[:, None], (0, gen_step)
+            )
+        return cache, alive_seq
+
+    @staticmethod
+    def _append(alive_seq, new_tokens, gen_step):
+        return jax.lax.dynamic_update_slice(alive_seq, new_tokens[:, None], (0, gen_step))
+
+    def _build_step(self, sig: StepSig):
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+
+        def step(params, consts, tokens, pos, cache, mem_kv, mem_bias,
+                 scores, disable_end, alive_seq, gen_len, bias_tokens, key):
+            logits, cache, attn = T.decoder_forward(
+                arch, params, consts, tokens[:, None], pos, cache,
+                mem_kv, mem_bias,
+                beam_size=sig.beam_size if sig.has_memory else 1,
+                return_attention=sig.return_attention,
+                quantize_acts=quantize_acts,
+                out_dtype=out_dtype,
+            )
+            l = logits[:, -1].astype(jnp.float32)  # [N, V]
+
+            # --- logits processors (fused) ---
+            l = proc.disable_tokens(l, sig.suppress_ids)
+            if sig.begin_suppress_ids:
+                l = jnp.where(
+                    jnp.equal(gen_len, 0),
+                    proc.disable_tokens(l, sig.begin_suppress_ids),
+                    l,
+                )
+            if sig.end_ids:
+                l = proc.disable_tokens_if(l, sig.end_ids, disable_end)
+            if sig.use_alive_seq:
+                if sig.repetition_penalty != 1.0:
+                    l = proc.repetition_penalty(
+                        l, alive_seq, gen_len, sig.repetition_penalty)
+                if sig.no_repeat_ngram_size > 0:
+                    l = proc.no_repeat_ngram(
+                        l, alive_seq, gen_len, sig.no_repeat_ngram_size)
+                if sig.suppress_sequences:
+                    l = proc.suppress_sequences_mask(
+                        l, alive_seq, gen_len, sig.suppress_sequences)
+
+            log_probs = jax.nn.log_softmax(l, axis=-1)
+
+            if sig.use_bias_token:
+                # Prefix-biased decoding (reference: src/decoding.cc:256-353):
+                # interpolate the distribution toward the prefix token for
+                # rows that have not diverged (bias_tokens >= 0, encoding
+                # beta in the fractional part is avoided by making beta
+                # static in the signature via sampling_temperature slot).
+                V = log_probs.shape[-1]
+                probs = jnp.exp(log_probs)
+                onehot = jax.nn.one_hot(jnp.maximum(bias_tokens, 0), V)
+                beta = sig.prefix_bias_beta
+                biased = (1.0 - beta) * probs + beta * onehot
+                use = (bias_tokens >= 0)[:, None]
+                log_probs = jnp.where(use, jnp.log(jnp.maximum(biased, 1e-20)), log_probs)
+
+            if sig.beam_size > 1:
+                total = log_probs + scores[:, None]
+                N, V = total.shape
+                B = N // sig.beam_size
+                flat = total.reshape(B, sig.beam_size * V)
+                topk_scores, topk_ids = jax.lax.top_k(flat, sig.num_candidates)
+                return topk_ids, topk_scores, cache, attn, log_probs
+            else:
+                ids, s = sample_tokens(
+                    log_probs, key,
+                    topk=sig.sampling_topk,
+                    topp=sig.sampling_topp,
+                    temperature=sig.sampling_temperature,
+                    greedy=sig.greedy_sampler,
+                )
+                return ids, s, cache, attn, log_probs
+
+        return jax.jit(step)
+
+    def _get_step(self, sig: StepSig):
+        fn = self._step_fns.get(sig)
+        if fn is None:
+            fn = self._build_step(sig)
+            self._step_fns[sig] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Public entry.
+    # ------------------------------------------------------------------
+
+    def decode(
+        self,
+        start_ids: Sequence[int],
+        options: DecodingOptions,
+        *,
+        memory=None,  # encoder output [B, S, D]
+        memory_lengths=None,  # [B] int32
+        cache=None,  # pre-filled self cache (generator prompt prefill)
+        start_step: int = 0,
+        prefix_ids: Optional[Sequence[Optional[Sequence[int]]]] = None,
+        end_ids: Sequence[int] = (),
+        capacity: Optional[int] = None,
+        step_callback=None,
+    ) -> List[DecodingResult]:
+        if options.beam_size > 1:
+            return self._beam_search(
+                start_ids, options, memory=memory, memory_lengths=memory_lengths,
+                cache=cache, start_step=start_step, prefix_ids=prefix_ids,
+                end_ids=end_ids, capacity=capacity)
+        return self._greedy_search(
+            start_ids, options, memory=memory, memory_lengths=memory_lengths,
+            cache=cache, start_step=start_step, prefix_ids=prefix_ids,
+            end_ids=end_ids, capacity=capacity, step_callback=step_callback)
+
+    # ------------------------------------------------------------------
+
+    def _common_setup(self, batch_size, beam, options, memory, memory_lengths,
+                      cache, start_step, prefix_ids, end_ids, capacity):
+        model = self.model
+        N = batch_size * beam
+
+        use_hard_prefix = prefix_ids is not None and options.prefix_bias_beta <= 0
+        max_prefix = 0
+        if prefix_ids is not None:
+            max_prefix = max((len(p) if p else 0) for p in prefix_ids)
+        max_step = options.max_length + (max_prefix if use_hard_prefix and not options.return_prefix else 0)
+
+        if capacity is None:
+            capacity = _round_up(max(start_step + max_step, 16), 64)
+        model.ensure_consts(capacity)
+
+        mem_kv = None
+        mem_bias = None
+        if memory is not None:
+            mem_kv = T.precompute_memory_jit(
+                model.arch, model.params, memory,
+                quantize_acts=model.policy.quantize_activations)
+            mem_bias = attn_ops.length_mask_bias(memory_lengths, memory.shape[1])
+
+        if cache is None:
+            cache = T.init_self_cache(model.arch, N, capacity, dtype=model.out_dtype)
+        else:
+            # Grow/replicate an existing cache to N rows and `capacity` cols.
+            def grow(a):
+                if a.shape[0] != N:
+                    a = jnp.repeat(a, N // a.shape[0], axis=0)
+                if a.shape[2] < capacity:
+                    pad = [(0, 0)] * a.ndim
+                    pad[2] = (0, capacity - a.shape[2])
+                    a = jnp.pad(a, pad)
+                return a
+            cache = jax.tree.map(grow, cache)
+
+        return N, max_step, capacity, mem_kv, mem_bias, cache, use_hard_prefix
+
+    def _make_sig(self, options: DecodingOptions, beam, num_candidates,
+                  end_ids, has_memory, greedy_sampler) -> StepSig:
+        use_alive = (
+            options.repetition_penalty != 1.0
+            or options.no_repeat_ngram_size > 0
+            or bool(options.suppress_sequences)
+        )
+        return StepSig(
+            beam_size=beam,
+            num_candidates=num_candidates,
+            end_ids=tuple(end_ids),
+            suppress_ids=tuple(options.suppress_tokens),
+            begin_suppress_ids=tuple(options.suppress_tokens_begin),
+            suppress_sequences=tuple(tuple(s) for s in options.suppress_sequences),
+            repetition_penalty=options.repetition_penalty,
+            no_repeat_ngram_size=options.no_repeat_ngram_size,
+            use_alive_seq=use_alive,
+            return_attention=(options.return_attention
+                              or options.coverage_penalty != 0),
+            has_memory=has_memory,
+            greedy_sampler=greedy_sampler,
+            sampling_topk=options.sampling_topk,
+            sampling_topp=options.sampling_topp,
+            sampling_temperature=options.sampling_temperature,
+            use_bias_token=False,
+        )
+
+    @staticmethod
+    def _finalize(result: DecodingResult, num_hypotheses, length_penalty,
+                  coverage_penalty, return_scores, return_attention):
+        """Normalize scores and sort hypotheses
+        (reference: src/decoding.cc:176-254)."""
+        for i in range(len(result.scores)):
+            length = max(len(result.hypotheses[i]), 1)
+            score = result.scores[i] / math.pow(length, length_penalty)
+            if coverage_penalty != 0 and result.attention:
+                attn = np.asarray(result.attention[i])  # [T, S]
+                coverage = attn.sum(axis=0)
+                penalty = np.log(np.minimum(coverage[coverage > 0], 1.0)).sum()
+                score += coverage_penalty * penalty
+            result.scores[i] = score
+        order = sorted(range(len(result.scores)),
+                       key=lambda i: -result.scores[i])[:num_hypotheses]
+        result.hypotheses = [result.hypotheses[i] for i in order]
+        result.scores = [result.scores[i] for i in order] if return_scores else []
+        result.attention = (
+            [result.attention[i] for i in order]
+            if return_attention and result.attention else []
+        )
+        return result
+
+    # ------------------------------------------------------------------
+    # Beam search.
+    # ------------------------------------------------------------------
+
+    def _beam_search(self, start_ids, options, *, memory, memory_lengths,
+                     cache, start_step, prefix_ids, end_ids, capacity):
+        model = self.model
+        B = len(start_ids)
+        K = options.beam_size
+        K2 = K * 2
+        num_hyp = options.num_hypotheses
+        max_candidates = max(1, round(K * options.patience))
+        has_memory = memory is not None
+
+        N, max_step, capacity, mem_kv, mem_bias, cache, use_hard_prefix = (
+            self._common_setup(B, K, options, memory, memory_lengths, cache,
+                               start_step, prefix_ids, end_ids, capacity))
+
+        sig = self._make_sig(options, K, K2, end_ids, has_memory, True)
+        step_fn = self._get_step(sig)
+
+        V = None
+        alive_seq = (
+            jnp.zeros((N, max_step), jnp.int32) if sig.use_alive_seq else None
+        )
+
+        tokens = np.repeat(np.asarray(start_ids, np.int32), K)
+        scores = np.zeros(N, np.float32)
+        scores[np.arange(N) % K != 0] = NEG  # only beam 0 active at step 0
+
+        history = np.zeros((N, 0), np.int64)
+        attn_history: List[List[np.ndarray]] = [[] for _ in range(N)]
+        results = [DecodingResult() for _ in range(B)]
+        top_beam_finished = [False] * B
+        batch_active = [True] * B
+        allow_early_exit = (options.length_penalty == 0
+                            and options.coverage_penalty == 0)
+        end_set = set(end_ids)
+        key = jax.random.PRNGKey(options.seed)
+
+        prefix_lengths = [0] * B
+        if use_hard_prefix and prefix_ids is not None:
+            prefix_lengths = [len(p) if p else 0 for p in prefix_ids]
+
+        def is_last_step(step, prefix_length):
+            return step + 1 == options.max_length + (
+                0 if options.return_prefix else prefix_length)
+
+        for step in range(max_step):
+            disable_end_np = np.zeros(N, bool)
+            for i in range(B):
+                plen_min = prefix_lengths[i] if not options.return_prefix else 0
+                if step < plen_min + options.min_length:
+                    disable_end_np[i * K:(i + 1) * K] = True
+
+            gen_len = jnp.int32(step)
+            topk_ids_d, topk_scores_d, cache, attn_d, _ = step_fn(
+                model.params, model.consts, jnp.asarray(tokens),
+                jnp.int32(start_step + step), cache, mem_kv, mem_bias,
+                jnp.asarray(scores), jnp.asarray(disable_end_np),
+                alive_seq, gen_len, None, key)
+
+            topk_flat = np.array(topk_ids_d)      # [B, 2K] flat beam*V ids
+            topk_scores = np.array(topk_scores_d, np.float32)  # [B, 2K]
+            if V is None:
+                V = (model.params["decoder"]["projection"].get(
+                        "w", model.params["decoder"]["projection"].get("wq"))
+                     ).shape[-1]
+            words = topk_flat % V
+            origins = topk_flat // V  # beam index within batch
+
+            attn_step = None
+            if attn_d is not None:
+                attn_step = np.asarray(attn_d, np.float32)  # [N, 1, S]
+
+            # Hard prefix override (reference: src/decoding.cc:21-67).
+            if use_hard_prefix:
+                for i in range(B):
+                    plen = prefix_lengths[i]
+                    if step > plen or not batch_active[i]:
+                        continue
+                    for k in range(K2):
+                        if step < plen:
+                            words[i, k] = prefix_ids[i][step]
+                            topk_scores[i, k] = 0.0 if k == 0 else NEG
+                            origins[i, k] = 0
+                        elif k > 0 and words[i, k] in end_set:
+                            words[i, k] = 0
+                            topk_scores[i, k] = NEG
+
+            # --- candidate bookkeeping (exact CT2 semantics) ---
+            new_rows = np.arange(N, dtype=np.int32)
+            new_tokens = np.zeros(N, np.int32)
+            new_scores = np.full(N, NEG, np.float32)
+            any_active = False
+
+            for i in range(B):
+                if not batch_active[i]:
+                    continue
+                plen = prefix_lengths[i]
+                last_step = is_last_step(step, plen)
+                result = results[i]
+                secondary = K
+
+                for k in range(K):
+                    word = int(words[i, k])
+                    next_j = k
+                    if (word in end_set and step >= plen) or last_step:
+                        if k == 0:
+                            top_beam_finished[i] = True
+                        ignore_last = word in end_set and not options.return_end_token
+                        start = 0 if options.return_prefix else plen
+                        end = step if ignore_last else step + 1
+                        row = i * K + int(origins[i, k])
+                        full = list(history[row]) + [word]
+                        result.scores.append(float(topk_scores[i, k]))
+                        result.hypotheses.append(full[start:end])
+                        if attn_step is not None:
+                            full_attn = attn_history[row] + [attn_step[row, 0]]
+                            result.attention.append(
+                                [a.tolist() for a in full_attn[start:end]])
+                        # Promote a secondary candidate.
+                        for j in range(secondary, K2):
+                            if int(words[i, j]) not in end_set:
+                                next_j = j
+                                secondary = j + 1
+                                break
+
+                    slot = i * K + k
+                    new_rows[slot] = i * K + int(origins[i, next_j])
+                    new_tokens[slot] = int(words[i, next_j])
+                    new_scores[slot] = float(topk_scores[i, next_j])
+
+                if last_step:
+                    finished = True
+                elif allow_early_exit:
+                    finished = top_beam_finished[i] and len(result.hypotheses) >= num_hyp
+                else:
+                    finished = len(result.hypotheses) >= max_candidates
+
+                if finished:
+                    batch_active[i] = False
+                    self._finalize(result, num_hyp, options.length_penalty,
+                                   options.coverage_penalty,
+                                   options.return_scores,
+                                   options.return_attention)
+                else:
+                    any_active = True
+
+            if not any_active:
+                break
+
+            # Reorder device state and append tokens.
+            rows_d = jnp.asarray(new_rows)
+            cache, alive_seq = self._reorder_fn(
+                cache, alive_seq, rows_d, jnp.asarray(new_tokens), gen_len)
+
+            history = np.concatenate(
+                [history[new_rows], new_tokens[:, None].astype(np.int64)], axis=1)
+            if attn_step is not None:
+                attn_history = [
+                    attn_history[r] + [attn_step[r, 0]] for r in new_rows
+                ]
+
+            tokens = new_tokens
+            scores = new_scores
+
+        # Any batch that never finished (shouldn't happen) finalizes here.
+        for i in range(B):
+            if batch_active[i]:
+                self._finalize(results[i], num_hyp, options.length_penalty,
+                               options.coverage_penalty, options.return_scores,
+                               options.return_attention)
+        return results
+
+    # ------------------------------------------------------------------
+    # Greedy / sampling search.
+    # ------------------------------------------------------------------
+
+    def _greedy_search(self, start_ids, options, *, memory, memory_lengths,
+                       cache, start_step, prefix_ids, end_ids, capacity,
+                       step_callback=None):
+        model = self.model
+        num_hyp = options.num_hypotheses
+        is_random = not (options.sampling_topk == 1 and options.sampling_topp >= 1.0)
+
+        # Multiple hypotheses via batch replication
+        # (reference: src/decoding.cc:753-814).
+        replicas = num_hyp if (num_hyp > 1 and is_random) else 1
+        B0 = len(start_ids)
+        if replicas > 1:
+            start_ids = [s for s in start_ids for _ in range(replicas)]
+            if prefix_ids is not None:
+                prefix_ids = [p for p in prefix_ids for _ in range(replicas)]
+            if memory is not None:
+                memory = jnp.repeat(memory, replicas, axis=0)
+                memory_lengths = jnp.repeat(memory_lengths, replicas, axis=0)
+
+        B = len(start_ids)
+        has_memory = memory is not None
+
+        N, max_step, capacity, mem_kv, mem_bias, cache, use_hard_prefix = (
+            self._common_setup(B, 1, options, memory, memory_lengths, cache,
+                               start_step, prefix_ids, end_ids, capacity))
+
+        sig = self._make_sig(options, 1, 1, end_ids, has_memory,
+                             greedy_sampler=not is_random)
+        step_fn = self._get_step(sig)
+
+        alive_seq = (
+            jnp.zeros((N, max_step), jnp.int32) if sig.use_alive_seq else None
+        )
+
+        tokens = np.asarray(start_ids, np.int32)
+        results = [DecodingResult() for _ in range(B)]
+        for r in results:
+            r.hypotheses.append([])
+            r.scores.append(0.0)
+            r.attention.append([])
+        active = np.ones(B, bool)
+        end_set = set(end_ids)
+        key = jax.random.PRNGKey(options.seed)
+
+        prefix_lengths = [0] * B
+        if prefix_ids is not None:
+            prefix_lengths = [len(p) if p else 0 for p in prefix_ids]
+
+        def is_last_step(step, prefix_length):
+            return step + 1 == options.max_length + (
+                0 if options.return_prefix else prefix_length)
+
+        for step in range(max_step):
+            disable_end_np = np.asarray(
+                [step < (prefix_lengths[i] if not options.return_prefix else 0)
+                 + options.min_length for i in range(B)])
+
+            key, subkey = jax.random.split(key)
+            ids_d, scores_d, cache, attn_d, _ = step_fn(
+                model.params, model.consts, jnp.asarray(tokens),
+                jnp.int32(start_step + step), cache, mem_kv, mem_bias,
+                jnp.zeros(N, jnp.float32), jnp.asarray(disable_end_np),
+                alive_seq, jnp.int32(step), None, subkey)
+
+            ids = np.array(ids_d, np.int32)
+            step_scores = np.array(scores_d, np.float32)
+            attn_step = np.asarray(attn_d, np.float32) if attn_d is not None else None
+
+            # Hard prefix forcing.
+            if prefix_ids is not None:
+                for i in range(B):
+                    if step < prefix_lengths[i]:
+                        ids[i] = prefix_ids[i][step]
+                        step_scores[i] = 0.0
+
+            all_done = True
+            for i in range(B):
+                if not active[i]:
+                    continue
+                word = int(ids[i])
+                plen = prefix_lengths[i]
+                result = results[i]
+                if ((word not in end_set or options.return_end_token)
+                        and (options.return_prefix or step >= plen)):
+                    result.hypotheses[0].append(word)
+                    if attn_step is not None:
+                        result.attention[0].append(attn_step[i, 0].tolist())
+                result.scores[0] += float(step_scores[i])
+
+                finished = ((word in end_set and step >= plen)
+                            or is_last_step(step, plen))
+
+                if step_callback is not None and (options.return_prefix or step >= plen):
+                    sr = DecodingStepResult(
+                        step=step,
+                        batch_id=i // replicas,
+                        token_id=word,
+                        hypothesis_id=i % replicas,
+                        score=float(step_scores[i]) if options.return_scores else None,
+                        is_last=finished,
+                    )
+                    if step_callback(sr):
+                        finished = True
+
+                if finished:
+                    active[i] = False
+                    self._finalize(result, 1, options.length_penalty,
+                                   options.coverage_penalty,
+                                   True,
+                                   options.return_attention)
+                else:
+                    all_done = False
+                    tokens[i] = word
+
+            if all_done:
+                break
+
+            if alive_seq is not None:
+                alive_seq = self._append_fn(alive_seq, jnp.asarray(ids), jnp.int32(step))
+
+        # Merge replicas into single results.
+        if replicas > 1:
+            merged = [DecodingResult() for _ in range(B0)]
+            for i, r in enumerate(results):
+                m = merged[i // replicas]
+                m.hypotheses.append(r.hypotheses[0])
+                m.scores.append(r.scores[0])
+                if options.return_attention:
+                    m.attention.append(r.attention[0])
+            for m in merged:
+                order = sorted(range(len(m.scores)), key=lambda i: -m.scores[i])
+                m.hypotheses = [m.hypotheses[i] for i in order]
+                m.scores = [m.scores[i] for i in order] if options.return_scores else []
+                m.attention = ([m.attention[i] for i in order]
+                               if options.return_attention else [])
+            return merged
+
+        if not options.return_scores:
+            for r in results:
+                r.scores = []
+        if not options.return_attention:
+            for r in results:
+                r.attention = []
+        return results

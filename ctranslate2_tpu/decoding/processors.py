@@ -1,0 +1,124 @@
+"""Vectorized on-device logits processors.
+
+Replaces the reference's host/GPU DisableTokens index-batching design
+(reference: include/ctranslate2/decoding_utils.h:36-180,
+src/decoding_utils.cc) with masked tensor ops that fuse into the jitted
+decode step: no per-step host<->device synchronization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DISABLE = -3.4e38 / 4  # matches "lowest" semantics without producing NaNs
+
+
+def disable_tokens(logits, token_ids: Tuple[int, ...]):
+    """Statically disable a fixed token set."""
+    if not token_ids:
+        return logits
+    mask = jnp.zeros((logits.shape[-1],), jnp.bool_).at[jnp.asarray(token_ids)].set(True)
+    return jnp.where(mask, DISABLE, logits)
+
+
+def disable_tokens_if(logits, token_ids: Tuple[int, ...], cond):
+    """Disable a fixed token set for rows where ``cond`` ([N] bool) holds."""
+    if not token_ids:
+        return logits
+    mask = jnp.zeros((logits.shape[-1],), jnp.bool_).at[jnp.asarray(token_ids)].set(True)
+    return jnp.where(cond[:, None] & mask[None, :], DISABLE, logits)
+
+
+def repetition_penalty(logits, alive_seq, seq_len, penalty: float):
+    """Penalize tokens already generated
+    (reference: src/decoding_utils.cc RepetitionPenalty::apply):
+    positive logits are divided by the penalty, negative multiplied.
+
+    ``alive_seq``: [N, L] int32 history buffer; entries >= seq_len ignored.
+    """
+    N, V = logits.shape
+    L = alive_seq.shape[1]
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < seq_len  # [N, L]
+    rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, L))
+    seen = jnp.zeros((N, V), jnp.bool_).at[rows, alive_seq].max(valid)
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def no_repeat_ngram(logits, alive_seq, seq_len, ngram_size: int):
+    """Ban tokens that would complete an already-seen n-gram
+    (reference: src/decoding_utils.cc NoRepeatNgram::apply).
+
+    For each position j in the history, if history[j : j+n-1] equals the last
+    n-1 generated tokens, the token history[j+n-1] is banned.
+    """
+    N, V = logits.shape
+    L = alive_seq.shape[1]
+    n = ngram_size
+    if L < n:
+        return logits
+
+    # Last (n-1) tokens of each row: gather at positions seq_len-n+1 .. seq_len-1.
+    tail_pos = seq_len - (n - 1) + jnp.arange(n - 1, dtype=jnp.int32)  # [n-1]
+    tail_pos = jnp.clip(tail_pos, 0, L - 1)
+    tail = jnp.take_along_axis(
+        alive_seq, jnp.broadcast_to(tail_pos[None, :], (N, n - 1)), axis=1
+    )  # [N, n-1]
+
+    # Compare every window start j (0..L-n) against the tail.
+    num_windows = L - n + 1
+    j = jnp.arange(num_windows, dtype=jnp.int32)
+    # windows[:, j, t] = alive_seq[:, j+t]
+    idx = j[:, None] + jnp.arange(n - 1, dtype=jnp.int32)[None, :]  # [W, n-1]
+    windows = alive_seq[:, idx]  # [N, W, n-1]
+    matches = jnp.all(windows == tail[:, None, :], axis=-1)  # [N, W]
+    # Window must lie fully in the generated region: j + n - 1 < seq_len.
+    in_range = (j[None, :] + (n - 1)) < seq_len
+    matches = matches & in_range & (seq_len >= n)
+
+    # banned token of window j is alive_seq[:, j + n - 1]
+    banned_tokens = alive_seq[:, j + (n - 1)]  # [N, W]
+
+    rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], matches.shape)
+    ban_mask = jnp.zeros((N, V), jnp.bool_).at[rows, banned_tokens].max(matches)
+    return jnp.where(ban_mask, DISABLE, logits)
+
+
+def suppress_sequences_mask(
+    logits, alive_seq, seq_len, sequences: Tuple[Tuple[int, ...], ...]
+):
+    """Ban the final token of any user-suppressed sequence whose previous
+    tokens match the tail of the history
+    (reference: src/decoding_utils.cc SuppressSequences).
+
+    Single-token sequences are statically disabled; longer ones are matched
+    against the history tail.
+    """
+    single = tuple(s[0] for s in sequences if len(s) == 1)
+    logits = disable_tokens(logits, single)
+
+    N, V = logits.shape
+    L = alive_seq.shape[1]
+    for seq in sequences:
+        if len(seq) < 2:
+            continue
+        k = len(seq) - 1
+        if k > L:
+            continue
+        prev = jnp.asarray(seq[:-1], dtype=jnp.int32)
+        pos = seq_len - k + jnp.arange(k, dtype=jnp.int32)
+        pos_c = jnp.clip(pos, 0, L - 1)
+        tail = jnp.take_along_axis(
+            alive_seq, jnp.broadcast_to(pos_c[None, :], (N, k)), axis=1
+        )
+        match = jnp.all(tail == prev[None, :], axis=-1) & (seq_len >= k)
+        logits = jnp.where(
+            match[:, None]
+            & (jnp.arange(V, dtype=jnp.int32) == seq[-1])[None, :],
+            DISABLE,
+            logits,
+        )
+    return logits

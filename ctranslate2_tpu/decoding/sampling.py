@@ -1,0 +1,66 @@
+"""On-device token sampling, fused into the decode step.
+
+Order of operations mirrors the reference RandomSampler
+(reference: src/sampling.cc:35-101): top-k restriction -> temperature ->
+top-p (nucleus) mask -> categorical draw -> map back to original ids and
+gather scores from the *unmodified* distribution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .processors import DISABLE
+
+
+def top_p_mask(scores, p: float):
+    """Mask scores outside the nucleus of cumulative probability ``p``.
+
+    Keeps the smallest set of highest-probability tokens whose cumulative
+    probability reaches ``p`` (the first token is always kept)
+    (reference: src/ops/topp_mask.cc).
+    """
+    sorted_scores = jnp.sort(scores, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_scores, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Exclusive cumulative sum: token kept while mass before it < p.
+    keep_sorted = (cum - probs) < p
+    # Threshold score: smallest kept score.
+    num_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)
+    threshold = jnp.take_along_axis(sorted_scores, num_keep - 1, axis=-1)
+    return jnp.where(scores >= threshold, scores, DISABLE)
+
+
+def sample_tokens(
+    log_probs,  # [N, V] log-softmaxed scores
+    key,
+    *,
+    topk: int = 1,
+    topp: float = 1.0,
+    temperature: float = 1.0,
+    greedy: bool = False,
+):
+    """Returns (ids [N], scores [N]) where scores are log-probs of the picks."""
+    if greedy:
+        ids = jnp.argmax(log_probs, axis=-1)
+        scores = jnp.take_along_axis(log_probs, ids[:, None], axis=-1)[:, 0]
+        return ids.astype(jnp.int32), scores
+
+    V = log_probs.shape[-1]
+    scores = log_probs
+    top_ids = None
+    if 0 < topk < V:
+        scores, top_ids = jax.lax.top_k(scores, topk)
+    if temperature != 1.0:
+        scores = scores / temperature
+    if topp < 1.0:
+        scores = top_p_mask(scores, topp)
+
+    sampled = jax.random.categorical(key, scores, axis=-1)  # [N]
+    if top_ids is not None:
+        ids = jnp.take_along_axis(top_ids, sampled[:, None], axis=-1)[:, 0]
+    else:
+        ids = sampled
+    out_scores = jnp.take_along_axis(log_probs, ids[:, None], axis=-1)[:, 0]
+    return ids.astype(jnp.int32), out_scores

@@ -1,0 +1,62 @@
+"""Encoder: the encoder-only task API
+(parity with reference: include/ctranslate2/encoder.h:9-25,
+src/models/language_model.cc:340-403)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models import transformer as T
+from ..models.loader import LoadedModel, load_model
+from ..ops.activations import get_activation
+from ..ops.linear import linear
+from .batching import pad_batch
+
+
+@dataclass
+class EncoderForwardOutput:
+    last_hidden_state: object
+    pooler_output: Optional[object] = None
+
+
+class Encoder:
+    def __init__(self, model_path: str, device: str = "auto",
+                 compute_type: str = "default", **kwargs):
+        self.model: LoadedModel = load_model(model_path, compute_type=compute_type)
+        if self.model.arch.encoder is None:
+            raise ValueError(
+                f"The model at {model_path} does not have an encoder")
+
+    def forward_batch(self, inputs: Sequence[Sequence[str]],
+                      token_type_ids: Optional[Sequence[Sequence[int]]] = None
+                      ) -> EncoderForwardOutput:
+        model = self.model
+        vocab = (model.source_vocabularies[0]
+                 if model.source_vocabularies else model.target_vocabulary)
+        ids = [[vocab.to_id(t) for t in seq] for seq in inputs]
+        padded, lengths = pad_batch(ids, length_multiple=8, min_length=8)
+        ids_arr = jnp.asarray(padded, dtype=jnp.int32)
+        lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)
+        out = T.encoder_forward_jit(
+            model.arch, model.params, model.consts, ids_arr, lengths_arr,
+            quantize_acts=model.policy.quantize_activations,
+            out_dtype=model.out_dtype)
+
+        pooler_output = None
+        pooler = model.mf.get("pooler/weight")
+        if pooler is not None:
+            # BERT-style pooler: dense+tanh on the first token.
+            from ..models.params import ParamsBuilder
+
+            builder = ParamsBuilder(model.mf, model.policy)
+            pooler_params = builder.linear("pooler")
+            act_id = int(model.mf.attribute("pooler_activation", 5))
+            pooler_output = linear(
+                pooler_params, out[:, 0],
+                activation=get_activation(act_id),
+                quantize_activations=model.policy.quantize_activations)
+        return EncoderForwardOutput(out, pooler_output)

@@ -1,0 +1,327 @@
+"""Generator: the decoder-only LM task API
+(parity with reference: include/ctranslate2/generator.h:10-39,
+src/models/language_model.cc:105-300).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..decoding.engine import DecodingEngine, _round_up
+from ..decoding.options import DecodingOptions
+from ..models import transformer as T
+from ..models.loader import LoadedModel, load_model
+from .batching import pad_batch, rebatch_input
+from .results import (
+    AsyncResult,
+    GenerationResult,
+    GenerationStepResult,
+    ScoringResult,
+)
+
+
+class Generator:
+    def __init__(
+        self,
+        model_path: str,
+        device: str = "auto",
+        compute_type: str = "default",
+        **kwargs,
+    ):
+        self.model: LoadedModel = load_model(model_path, compute_type=compute_type)
+        if not self.model.is_decoder_only:
+            raise ValueError(
+                f"The model at {model_path} is not a decoder-only model "
+                "that can be used with Generator")
+        self.engine = DecodingEngine(self.model)
+        # Static-prompt state cache
+        # (reference: include/ctranslate2/layers/decoder.h:102-110).
+        self._static_prompt_cache: Dict[Tuple[int, ...], tuple] = {}
+
+    @property
+    def _vocab(self):
+        return self.model.target_vocabulary
+
+    # ------------------------------------------------------------------
+
+    def generate_batch(
+        self,
+        start_tokens: Sequence[Sequence[str]],
+        *,
+        max_batch_size: int = 0,
+        batch_type: str = "examples",
+        asynchronous: bool = False,
+        beam_size: int = 1,
+        patience: float = 1.0,
+        num_hypotheses: int = 1,
+        length_penalty: float = 1.0,
+        repetition_penalty: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        disable_unk: bool = False,
+        suppress_sequences: Sequence[Sequence[str]] = (),
+        end_token=None,
+        return_end_token: bool = False,
+        max_length: int = 512,
+        min_length: int = 0,
+        sampling_topk: int = 1,
+        sampling_topp: float = 1.0,
+        sampling_temperature: float = 1.0,
+        return_scores: bool = False,
+        return_alternatives: bool = False,
+        min_alternative_expansion_prob: float = 0.0,
+        static_prompt: Optional[Sequence[str]] = None,
+        cache_static_prompt: bool = True,
+        include_prompt_in_result: bool = True,
+        callback=None,
+        seed: int = 0,
+    ) -> List[GenerationResult]:
+        if len(start_tokens) == 0:
+            return []
+        if any(len(s) == 0 for s in start_tokens):
+            raise ValueError("Generator expects at least one start token per example")
+        if return_alternatives:
+            raise NotImplementedError("return_alternatives is not implemented yet")
+
+        v = self._vocab
+        end_ids = self._resolve_end_token(end_token)
+        options = DecodingOptions(
+            beam_size=beam_size,
+            patience=patience,
+            length_penalty=length_penalty,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size,
+            suppress_tokens=((v.unk_id,) if disable_unk else ()),
+            suppress_sequences=tuple(
+                tuple(v.to_id(t, allow_unk=False) for t in seq)
+                for seq in suppress_sequences
+            ),
+            return_end_token=return_end_token,
+            max_length=max_length,
+            min_length=min_length,
+            sampling_topk=sampling_topk,
+            sampling_topp=sampling_topp,
+            sampling_temperature=sampling_temperature,
+            num_hypotheses=num_hypotheses,
+            return_scores=return_scores,
+            return_prefix=True,
+            seed=seed,
+        )
+
+        results: List[Optional[GenerationResult]] = [None] * len(start_tokens)
+        batches = rebatch_input(
+            [len(s) for s in start_tokens], max_batch_size, batch_type)
+        if not batches:
+            batches = [list(range(len(start_tokens)))]
+        for batch in batches:
+            batch_results = self._generate(
+                [start_tokens[i] for i in batch], options, end_ids,
+                static_prompt, cache_static_prompt,
+                include_prompt_in_result, callback)
+            for i, r in zip(batch, batch_results):
+                results[i] = r
+        if asynchronous:
+            return [AsyncResult(r) for r in results]
+        return results
+
+    def _resolve_end_token(self, end_token) -> tuple:
+        v = self._vocab
+        if end_token is None or end_token == "":
+            return (v.eos_id,)
+        if isinstance(end_token, str):
+            return (v.to_id(end_token, allow_unk=False),)
+        ids = [t if isinstance(t, int) else v.to_id(t, allow_unk=False)
+               for t in end_token]
+        return tuple(ids) if ids else (v.eos_id,)
+
+    # ------------------------------------------------------------------
+
+    def _prefill(self, ids_list: List[List[int]], cache, start_step: int,
+                 capacity: int):
+        """Forward a uniform-length prompt chunk into the cache."""
+        model = self.model
+        ids_arr = jnp.asarray(ids_list, dtype=jnp.int32)
+        _, cache, _ = T.decoder_forward_jit(
+            model.arch, model.params, model.consts,
+            ids_arr, jnp.int32(start_step), cache, None, None,
+            quantize_acts=model.policy.quantize_activations,
+            out_dtype=model.out_dtype,
+            return_logits=False)
+        return cache
+
+    def _generate(self, start_tokens, options, end_ids, static_prompt,
+                  cache_static_prompt, include_prompt_in_result, callback):
+        model = self.model
+        v = self._vocab
+        B = len(start_tokens)
+        start_ids = [
+            [v.to_id(t) for t in tokens] for tokens in start_tokens
+        ]
+
+        start_step = 0
+        max_prompt = max(len(s) for s in start_ids)
+        static_len = len(static_prompt) if static_prompt else 0
+        capacity = _round_up(
+            static_len + max_prompt + options.max_length + 1, 64)
+        model.ensure_consts(capacity)
+
+        cache = T.init_self_cache(
+            model.arch, B * options.beam_size
+            if options.beam_size > 1 else B,
+            capacity, dtype=model.out_dtype)
+
+        # Static prompt (reference: src/models/language_model.cc:186-215).
+        if static_prompt:
+            sp_ids = tuple(v.to_id(t) for t in static_prompt)
+            cached = self._static_prompt_cache.get(sp_ids) if cache_static_prompt else None
+            if cached is not None and cached[1] <= capacity:
+                sp_cache, _ = cached
+            else:
+                single = T.init_self_cache(model.arch, 1, capacity,
+                                           dtype=model.out_dtype)
+                sp_cache = self._prefill([list(sp_ids)], single, 0, capacity)
+                if cache_static_prompt:
+                    self._static_prompt_cache[sp_ids] = (sp_cache, capacity)
+            N = B * options.beam_size if options.beam_size > 1 else B
+            cache = jax.tree.map(
+                lambda a: jnp.repeat(a, N, axis=0), sp_cache)
+            start_step += len(sp_ids)
+
+        return_prefix = options.return_prefix
+        if not include_prompt_in_result:
+            forward_length = min(len(s) for s in start_ids) - 1
+            if forward_length > 0:
+                prompt_chunk = [s[:forward_length] for s in start_ids]
+                start_ids = [s[forward_length:] for s in start_ids]
+                # Beam replication happens inside the engine; prefill the
+                # un-replicated rows then tile.
+                if options.beam_size > 1:
+                    base = T.init_self_cache(model.arch, B, capacity,
+                                             dtype=model.out_dtype)
+                    if static_prompt:
+                        base = jax.tree.map(
+                            lambda a: jnp.repeat(a, B, axis=0), sp_cache)
+                    base = self._prefill(prompt_chunk, base, start_step, capacity)
+                    cache = jax.tree.map(
+                        lambda a: jnp.repeat(a, options.beam_size, axis=0), base)
+                else:
+                    cache = self._prefill(prompt_chunk, cache, start_step, capacity)
+                start_step += forward_length
+                return_prefix = False
+
+        options = DecodingOptions(**{
+            **options.__dict__, "return_prefix": return_prefix})
+
+        first_ids = [s[0] for s in start_ids]
+        prefix_ids = [s[1:] for s in start_ids]
+        if not any(prefix_ids):
+            prefix_ids = None
+
+        step_callback = None
+        if callback is not None:
+            def step_callback(sr):
+                return callback(GenerationStepResult(
+                    step=sr.step, batch_id=sr.batch_id, token_id=sr.token_id,
+                    hypothesis_id=sr.hypothesis_id,
+                    token=v.to_token(sr.token_id),
+                    score=sr.score, is_last=sr.is_last))
+
+        dec_results = self.engine.decode(
+            first_ids, options,
+            cache=cache,
+            start_step=start_step,
+            prefix_ids=prefix_ids,
+            end_ids=end_ids,
+            capacity=capacity,
+            step_callback=step_callback,
+        )
+
+        out = []
+        for i, dr in enumerate(dec_results):
+            hyps = dr.hypotheses
+            # Forward the start token to the output when it is not BOS
+            # (reference: src/models/language_model.cc:258-263).
+            if include_prompt_in_result and start_ids[i] and start_ids[i][0] != v.bos_id:
+                hyps = [[start_ids[i][0]] + h for h in hyps]
+            out.append(GenerationResult(
+                sequences=[[v.to_token(t) for t in h] for h in hyps],
+                sequences_ids=[list(h) for h in hyps],
+                scores=dr.scores,
+            ))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def score_batch(
+        self,
+        tokens: Sequence[Sequence[str]],
+        *,
+        max_batch_size: int = 0,
+        batch_type: str = "examples",
+        max_input_length: int = 1024,
+        offset: int = 0,
+        asynchronous: bool = False,
+    ) -> List[ScoringResult]:
+        model = self.model
+        v = self._vocab
+        results: List[Optional[ScoringResult]] = [None] * len(tokens)
+
+        compute_idx = [i for i, t in enumerate(tokens) if len(t) >= 2]
+        for i, t in enumerate(tokens):
+            if len(t) < 2:
+                results[i] = ScoringResult()
+
+        batches = rebatch_input(
+            [len(tokens[i]) for i in compute_idx], max_batch_size, batch_type)
+        for batch in batches:
+            idx = [compute_idx[j] for j in batch]
+            ids = [
+                [v.to_id(t) for t in tokens[i]][:max_input_length] for i in idx
+            ]
+            padded, lengths = pad_batch(ids, length_multiple=8, min_length=8)
+            ids_arr = jnp.asarray(padded, dtype=jnp.int32)
+            lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)
+
+            logits, _, _ = T.decoder_forward_jit(
+                model.arch, model.params, model.consts,
+                ids_arr[:, :-1], jnp.int32(0), None, None, None,
+                lengths=lengths_arr - 1,
+                quantize_acts=model.policy.quantize_activations,
+                out_dtype=model.out_dtype)
+            log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            token_scores = np.asarray(jnp.take_along_axis(
+                log_probs, ids_arr[:, 1:, None], axis=-1)[..., 0])
+
+            for row, i in enumerate(idx):
+                n = lengths[row] - 1
+                r = ScoringResult()
+                for t in range(offset if offset > 0 else 0, n):
+                    r.tokens.append(v.to_token(ids[row][t + 1]))
+                    r.tokens_score.append(float(token_scores[row, t]))
+                results[i] = r
+        if asynchronous:
+            return [AsyncResult(r) for r in results]
+        return results
+
+    def forward_batch(self, inputs: Sequence[Sequence[str]],
+                      return_log_probs: bool = False):
+        """Full-sequence logits (reference: language_model.cc:279-299)."""
+        model = self.model
+        v = self._vocab
+        ids = [[v.to_id(t) for t in seq] for seq in inputs]
+        padded, lengths = pad_batch(ids, length_multiple=8, min_length=8)
+        ids_arr = jnp.asarray(padded, dtype=jnp.int32)
+        lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)
+        logits, _, _ = T.decoder_forward_jit(
+            model.arch, model.params, model.consts,
+            ids_arr, jnp.int32(0), None, None, None,
+            lengths=lengths_arr,
+            quantize_acts=model.policy.quantize_activations,
+            out_dtype=model.out_dtype)
+        if return_log_probs:
+            return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return logits

@@ -1,0 +1,405 @@
+"""Translator: the sequence-to-sequence task API
+(parity with reference: include/ctranslate2/translator.h:26-345,
+src/models/sequence_to_sequence.cc:304-470).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..decoding.engine import DecodingEngine
+from ..decoding.options import DecodingOptions
+from ..formats.vocabulary_map import VocabularyMap
+from ..models import transformer as T
+from ..models.loader import LoadedModel, load_model
+from ..ops import attention as attn_ops
+from .batching import bucket_length, pad_batch, rebatch_input
+from .results import AsyncResult, ExecutionStats, ScoringResult, TranslationResult
+
+
+class Translator:
+    def __init__(
+        self,
+        model_path: str,
+        device: str = "auto",
+        compute_type: str = "default",
+        inter_threads: int = 1,
+        intra_threads: int = 0,
+        **kwargs,
+    ):
+        self.model: LoadedModel = load_model(model_path, compute_type=compute_type)
+        if not self.model.is_sequence_to_sequence:
+            raise ValueError(
+                f"The model at {model_path} is not an encoder-decoder model "
+                "that can be used with Translator")
+        self.engine = DecodingEngine(self.model)
+        self._vmap = None
+        if self.model.vmap_path:
+            self._vmap = VocabularyMap.load(
+                self.model.vmap_path, self.model.target_vocabulary)
+
+    # ------------------------------------------------------------------
+    # Vocabulary helpers (reference: src/models/sequence_to_sequence.cc:97-233).
+    # ------------------------------------------------------------------
+
+    @property
+    def _source_vocab(self):
+        return self.model.source_vocabularies[0]
+
+    @property
+    def _target_vocab(self):
+        return self.model.target_vocabulary
+
+    def _make_source_ids(self, source: Sequence[Sequence[str]], max_input_length: int):
+        cfg = self.model.config
+        return self._source_vocab.tokens_to_ids(
+            source,
+            max_length=max_input_length,
+            add_bos=bool(cfg.get("add_source_bos", False)),
+            add_eos=bool(cfg.get("add_source_eos", False)),
+        )
+
+    def _decoder_start_id(self) -> Optional[int]:
+        start = self.model.config.get("decoder_start_token", "<s>")
+        if start is None:
+            return None
+        return self._target_vocab.to_id(start)
+
+    # ------------------------------------------------------------------
+
+    def translate_batch(
+        self,
+        source: Sequence[Sequence[str]],
+        target_prefix: Optional[Sequence[Optional[Sequence[str]]]] = None,
+        *,
+        max_batch_size: int = 0,
+        batch_type: str = "examples",
+        asynchronous: bool = False,
+        beam_size: int = 2,
+        patience: float = 1.0,
+        num_hypotheses: int = 1,
+        length_penalty: float = 1.0,
+        coverage_penalty: float = 0.0,
+        repetition_penalty: float = 1.0,
+        no_repeat_ngram_size: int = 0,
+        disable_unk: bool = False,
+        suppress_sequences: Sequence[Sequence[str]] = (),
+        end_token=None,
+        return_end_token: bool = False,
+        prefix_bias_beta: float = 0.0,
+        max_input_length: int = 1024,
+        max_decoding_length: int = 256,
+        min_decoding_length: int = 1,
+        use_vmap: bool = False,
+        return_scores: bool = False,
+        return_attention: bool = False,
+        return_alternatives: bool = False,
+        min_alternative_expansion_prob: float = 0.0,
+        sampling_topk: int = 1,
+        sampling_topp: float = 1.0,
+        sampling_temperature: float = 1.0,
+        replace_unknowns: bool = False,
+        callback=None,
+    ) -> List[TranslationResult]:
+        if len(source) == 0:
+            return []
+        if min_decoding_length > max_decoding_length:
+            raise ValueError(
+                "min_decoding_length is greater than max_decoding_length")
+        if max_decoding_length == 0:
+            raise ValueError("max_decoding_length must be > 0")
+        if return_alternatives and (len(source) > 1 or beam_size > 1):
+            pass  # handled per example below
+        if prefix_bias_beta > 0:
+            raise NotImplementedError(
+                "prefix_bias_beta (biased decoding) is not implemented yet")
+        if return_alternatives:
+            raise NotImplementedError(
+                "return_alternatives is not implemented yet")
+
+        tv = self._target_vocab
+        end_ids = self._resolve_end_token(end_token)
+
+        options = DecodingOptions(
+            beam_size=beam_size,
+            patience=patience,
+            length_penalty=length_penalty,
+            coverage_penalty=coverage_penalty,
+            repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram_size,
+            suppress_tokens=((tv.unk_id,) if disable_unk else ()),
+            suppress_sequences=tuple(
+                tuple(tv.to_id(t, allow_unk=False) for t in seq)
+                for seq in suppress_sequences
+            ),
+            return_end_token=return_end_token,
+            max_length=max_decoding_length,
+            min_length=min_decoding_length,
+            sampling_topk=sampling_topk,
+            sampling_topp=sampling_topp,
+            sampling_temperature=sampling_temperature,
+            num_hypotheses=num_hypotheses,
+            return_scores=return_scores,
+            return_attention=return_attention or replace_unknowns,
+            return_prefix=True,
+            prefix_bias_beta=prefix_bias_beta,
+        )
+
+        results: List[Optional[TranslationResult]] = [None] * len(source)
+
+        # Empty-source rows are resolved without running the model
+        # (reference: src/models/sequence_to_sequence.cc:432-470).
+        compute_idx = []
+        for i, src in enumerate(source):
+            if len(src) == 0:
+                results[i] = self._empty_source_result(
+                    target_prefix[i] if target_prefix else None,
+                    options, return_attention)
+            else:
+                compute_idx.append(i)
+
+        batches = rebatch_input(
+            [len(source[i]) for i in compute_idx], max_batch_size, batch_type)
+        for batch in batches:
+            idx = [compute_idx[j] for j in batch]
+            batch_source = [source[i] for i in idx]
+            batch_prefix = (
+                [target_prefix[i] if target_prefix else None for i in idx]
+                if target_prefix else None
+            )
+            batch_results = self._translate_padded(
+                batch_source, batch_prefix, options, max_input_length,
+                replace_unknowns, return_attention, callback, end_ids)
+            for i, r in zip(idx, batch_results):
+                results[i] = r
+
+        if asynchronous:
+            return [AsyncResult(r) for r in results]
+        return results
+
+    def _resolve_end_token(self, end_token) -> tuple:
+        tv = self._target_vocab
+        if end_token is None or end_token == "":
+            return (tv.eos_id,)
+        if isinstance(end_token, str):
+            return (tv.to_id(end_token, allow_unk=False),)
+        ids = []
+        for t in end_token:
+            ids.append(t if isinstance(t, int) else tv.to_id(t, allow_unk=False))
+        return tuple(ids) if ids else (tv.eos_id,)
+
+    def _empty_source_result(self, prefix, options, return_attention):
+        hypothesis: List[str] = []
+        if prefix:
+            hypothesis = list(prefix)[: options.max_length]
+        r = TranslationResult()
+        for _ in range(options.num_hypotheses):
+            r.hypotheses.append(list(hypothesis))
+            if options.return_scores:
+                r.scores.append(0.0)
+            if return_attention:
+                r.attention.append([[0.0] * 0 for _ in hypothesis])
+        return r
+
+    def _encode_batch(self, source_ids):
+        model = self.model
+        padded, lengths = pad_batch(source_ids, length_multiple=1)
+        S = bucket_length(len(padded[0]), 8)
+        padded = [row + [0] * (S - len(row)) for row in padded]
+        ids_arr = jnp.asarray(padded, dtype=jnp.int32)
+        lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)
+        memory = T.encoder_forward_jit(
+            model.arch, model.params, model.consts, ids_arr, lengths_arr,
+            quantize_acts=model.policy.quantize_activations,
+            out_dtype=model.out_dtype)
+        return memory, lengths_arr
+
+    def _translate_padded(self, source, target_prefix, options,
+                          max_input_length, replace_unknowns,
+                          return_attention, callback, end_ids):
+        tv = self._target_vocab
+        source_ids = self._make_source_ids(source, max_input_length)
+        memory, memory_lengths = self._encode_batch(source_ids)
+
+        start_id = self._decoder_start_id()
+        prefix_ids = None
+        if target_prefix is not None and any(p for p in target_prefix):
+            prefix_ids = [
+                (tv.tokens_to_ids([p])[0] if p else []) for p in target_prefix
+            ]
+        if start_id is None:
+            if prefix_ids is None or any(not p for p in prefix_ids):
+                raise ValueError(
+                    "The model requires a target prefix as the decoder start token")
+            start_ids = [p[0] for p in prefix_ids]
+            prefix_ids = [p[1:] for p in prefix_ids]
+        else:
+            start_ids = [start_id] * len(source)
+
+        step_callback = None
+        if callback is not None:
+            from .results import GenerationStepResult
+
+            def step_callback(sr):
+                return callback(GenerationStepResult(
+                    step=sr.step, batch_id=sr.batch_id, token_id=sr.token_id,
+                    hypothesis_id=sr.hypothesis_id,
+                    token=tv.to_token(sr.token_id),
+                    score=sr.score, is_last=sr.is_last))
+
+        dec_results = self.engine.decode(
+            start_ids, options,
+            memory=memory, memory_lengths=memory_lengths,
+            prefix_ids=prefix_ids,
+            end_ids=end_ids,
+            step_callback=step_callback,
+        )
+
+        out = []
+        for i, dr in enumerate(dec_results):
+            hyps = [[tv.to_token(t) for t in h] for h in dr.hypotheses]
+            attention = []
+            if dr.attention:
+                src_len = len(source_ids[i])
+                cfg = self.model.config
+                for h, attn in enumerate(dr.attention):
+                    rows = []
+                    for vec in attn:
+                        vec = list(vec[:src_len])
+                        if cfg.get("add_source_bos"):
+                            vec = vec[1:]
+                        if cfg.get("add_source_eos"):
+                            vec = vec[:-1]
+                        # Resize to the original tokens.
+                        vec = vec[: len(source[i])]
+                        vec += [0.0] * (len(source[i]) - len(vec))
+                        rows.append(vec)
+                    attention.append(rows)
+                    if replace_unknowns:
+                        for t, tok in enumerate(hyps[h]):
+                            if tok == tv.unk_token and t < len(rows):
+                                best = int(np.argmax(rows[t]))
+                                hyps[h][t] = source[i][best]
+            r = TranslationResult(
+                hypotheses=hyps,
+                scores=dr.scores if options.return_scores else [],
+                attention=attention if return_attention else [],
+            )
+            out.append(r)
+        return out
+
+    # ------------------------------------------------------------------
+    # Scoring (reference: src/scoring.cc:5-68).
+    # ------------------------------------------------------------------
+
+    def score_batch(
+        self,
+        source: Sequence[Sequence[str]],
+        target: Sequence[Sequence[str]],
+        *,
+        max_batch_size: int = 0,
+        batch_type: str = "examples",
+        max_input_length: int = 1024,
+        offset: int = 0,
+        asynchronous: bool = False,
+    ) -> List[ScoringResult]:
+        tv = self._target_vocab
+        start_id = self._decoder_start_id()
+        results: List[Optional[ScoringResult]] = [None] * len(source)
+
+        compute_idx = []
+        for i in range(len(source)):
+            if len(self._make_source_ids([source[i]], max_input_length)[0]) == 0:
+                r = ScoringResult()
+                ids = tv.tokens_to_ids([target[i]], max_input_length)[0]
+                for t in ids:
+                    r.tokens.append(tv.to_token(t))
+                    r.tokens_score.append(0.0)
+                results[i] = r
+            else:
+                compute_idx.append(i)
+
+        batches = rebatch_input(
+            [len(source[i]) for i in compute_idx], max_batch_size, batch_type)
+        for batch in batches:
+            idx = [compute_idx[j] for j in batch]
+            for i, r in zip(idx, self._score_padded(
+                    [source[i] for i in idx], [target[i] for i in idx],
+                    max_input_length, start_id)):
+                results[i] = r
+        if asynchronous:
+            return [AsyncResult(r) for r in results]
+        return results
+
+    def _score_padded(self, source, target, max_input_length, start_id):
+        model = self.model
+        tv = self._target_vocab
+        source_ids = self._make_source_ids(source, max_input_length)
+        memory, memory_lengths = self._encode_batch(source_ids)
+        mem_kv = T.precompute_memory_jit(
+            model.arch, model.params, memory,
+            quantize_acts=model.policy.quantize_activations)
+        mem_bias = attn_ops.length_mask_bias(memory_lengths, memory.shape[1])
+
+        # Full target sequence: start + tokens + eos.
+        full_ids = []
+        for t in target:
+            ids = tv.tokens_to_ids([t], max_input_length)[0]
+            seq = ([start_id] if start_id is not None else []) + ids + [tv.eos_id]
+            full_ids.append(seq)
+
+        padded, lengths = pad_batch(full_ids, length_multiple=8, min_length=8)
+        ids_arr = jnp.asarray(padded, dtype=jnp.int32)
+        lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)
+
+        logits, _, _ = T.decoder_forward_jit(
+            model.arch, model.params, model.consts,
+            ids_arr[:, :-1], jnp.int32(0), None, mem_kv, mem_bias,
+            lengths=lengths_arr - 1,
+            quantize_acts=model.policy.quantize_activations,
+            out_dtype=model.out_dtype)
+        import jax
+
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        token_scores = jnp.take_along_axis(
+            log_probs, ids_arr[:, 1:, None], axis=-1)[..., 0]
+        scores = np.asarray(token_scores)
+
+        out = []
+        for i, seq in enumerate(full_ids):
+            n = len(seq) - 1
+            r = ScoringResult()
+            for t in range(n):
+                r.tokens.append(tv.to_token(seq[t + 1]))
+                r.tokens_score.append(float(scores[i, t]))
+            out.append(r)
+        return out
+
+    # ------------------------------------------------------------------
+
+    def translate_file(self, source_path: str, output_path: str,
+                       max_batch_size: int = 32, read_batch_size: int = 0,
+                       batch_type: str = "examples", **kwargs) -> ExecutionStats:
+        start = time.time()
+        num_tokens = 0
+        num_examples = 0
+        with open(source_path, encoding="utf-8") as fin:
+            lines = [line.rstrip("\n").split() for line in fin]
+        results = self.translate_batch(
+            lines, max_batch_size=max_batch_size, batch_type=batch_type, **kwargs)
+        with open(output_path, "w", encoding="utf-8") as fout:
+            for r in results:
+                tokens = r.hypotheses[0] if r.hypotheses else []
+                num_tokens += len(tokens)
+                num_examples += 1
+                fout.write(" ".join(tokens))
+                fout.write("\n")
+        return ExecutionStats(
+            num_tokens=num_tokens,
+            num_examples=num_examples,
+            total_time_in_ms=(time.time() - start) * 1000.0,
+        )

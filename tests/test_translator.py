@@ -1,0 +1,148 @@
+"""Translator API tests mirroring the reference's Python test surface
+(reference: python/tests/test_translator.py)."""
+
+import os
+
+import pytest
+
+from ctranslate2_tpu import Translator
+
+SRC1 = ["آ", "ت", "ز", "م", "و", "ن"]
+SRC2 = ["آ", "ت", "ش", "ي", "س", "و", "ن"]
+
+
+@pytest.fixture(scope="module")
+def translator():
+    return Translator("/root/reference/tests/data/models/v2/aren-transliteration")
+
+
+@pytest.mark.parametrize("max_batch_size", [0, 1])
+def test_batch_translation(translator, max_batch_size):
+    output = translator.translate_batch(
+        [SRC1, SRC2], max_batch_size=max_batch_size, return_scores=True)
+    assert len(output) == 2
+    assert output[0].hypotheses == [["a", "t", "z", "m", "o", "n"]]
+    assert output[1].hypotheses == [["a", "c", "h", "i", "s", "o", "n"]]
+    assert output[0].scores[0] < 0
+    assert not output[0].attention
+
+
+def test_batch_translation_tokens_batch_type(translator):
+    output = translator.translate_batch(
+        [SRC1, SRC2], max_batch_size=10, batch_type="tokens")
+    assert output[0].hypotheses == [["a", "t", "z", "m", "o", "n"]]
+    assert output[1].hypotheses == [["a", "c", "h", "i", "s", "o", "n"]]
+
+
+def test_greedy(translator):
+    output = translator.translate_batch([SRC1], beam_size=1)
+    assert output[0].hypotheses[0][:6] == ["a", "t", "z", "m", "o", "n"]
+
+
+def test_ignore_scores(translator):
+    output = translator.translate_batch([SRC1], beam_size=1, return_scores=False)
+    assert not output[0].scores
+
+
+def test_empty_source(translator):
+    output = translator.translate_batch([[], SRC1, []], return_scores=True)
+    assert output[0].hypotheses == [[]]
+    assert output[0].scores == [0.0]
+    assert output[1].hypotheses == [["a", "t", "z", "m", "o", "n"]]
+    assert output[2].hypotheses == [[]]
+
+
+def test_target_prefix(translator):
+    output = translator.translate_batch([SRC1], target_prefix=[["a", "t", "s"]])
+    assert output[0].hypotheses[0][:3] == ["a", "t", "s"]
+
+
+def test_num_hypotheses(translator):
+    output = translator.translate_batch([SRC1], beam_size=4, num_hypotheses=4)
+    assert len(output[0].hypotheses) == 4
+
+
+def test_max_decoding_length(translator):
+    output = translator.translate_batch([SRC1], max_decoding_length=2)
+    assert len(output[0].hypotheses[0]) <= 2
+
+
+def test_min_decoding_length(translator):
+    output = translator.translate_batch([SRC1], min_decoding_length=7)
+    assert len(output[0].hypotheses[0]) >= 7
+
+
+def test_return_attention(translator):
+    output = translator.translate_batch([SRC1], return_attention=True)
+    attention = output[0].attention[0]
+    assert len(attention) == 6
+    for vector in attention:
+        assert len(vector) == 6
+        assert all(isinstance(v, float) for v in vector)
+
+
+def test_invalid_decoding_lengths(translator):
+    with pytest.raises(ValueError):
+        translator.translate_batch([SRC1], min_decoding_length=10,
+                                   max_decoding_length=5)
+
+
+def test_async(translator):
+    output = translator.translate_batch([SRC1], asynchronous=True)
+    assert output[0].result().hypotheses == [["a", "t", "z", "m", "o", "n"]]
+    assert output[0].done()
+
+
+def test_score_batch(translator):
+    output = translator.score_batch([SRC1], [["a", "t", "z", "m", "o", "n"]])
+    r = output[0]
+    assert r.tokens == ["a", "t", "z", "m", "o", "n", "</s>"]
+    assert len(r.tokens_score) == 7
+    assert all(s <= 0 for s in r.tokens_score)
+    assert -5 < r.normalized_score() < 0
+
+
+def test_file_translation(translator, tmp_path):
+    input_path = str(tmp_path / "input.txt")
+    output_path = str(tmp_path / "output.txt")
+    with open(input_path, "w", encoding="utf-8") as f:
+        f.write("آ ت ز م و ن\n")
+        f.write("آ ت ش ي س و ن\n")
+    stats = translator.translate_file(input_path, output_path)
+    with open(output_path, encoding="utf-8") as f:
+        lines = f.readlines()
+    assert lines[0].strip() == "a t z m o n"
+    assert lines[1].strip() == "a c h i s o n"
+    assert stats.num_tokens == 13
+    assert stats.num_examples == 2
+
+
+def test_random_sampling_multiple_hypotheses(translator):
+    output = translator.translate_batch(
+        [SRC1], beam_size=1, sampling_topk=20, num_hypotheses=3,
+        return_scores=True)
+    assert len(output[0].hypotheses) == 3
+    # Scores sorted descending.
+    scores = output[0].scores
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_repetition_penalty_runs(translator):
+    output = translator.translate_batch([SRC1], repetition_penalty=1.5)
+    assert output[0].hypotheses[0]
+
+
+def test_no_repeat_ngram_runs(translator):
+    output = translator.translate_batch([SRC1], no_repeat_ngram_size=2)
+    assert output[0].hypotheses[0]
+
+
+def test_callback_streaming(translator):
+    tokens = []
+
+    def callback(step_result):
+        tokens.append(step_result.token)
+        return False
+
+    translator.translate_batch([SRC1], beam_size=1, callback=callback)
+    assert tokens[:6] == ["a", "t", "z", "m", "o", "n"]
