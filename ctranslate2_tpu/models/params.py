@@ -140,13 +140,44 @@ class ParamsBuilder:
 
     # ---- composite builders ----
 
+    def _split_linear(self, lin: dict, sizes) -> list:
+        """Split a (fused) linear param dict along the output axis.
+
+        The artifact fuses QKV into one matrix (reference:
+        src/layers/attention.cc:479-519); TPU tensor parallelism wants
+        head-aligned shards, so projections are stored unfused — the
+        mesh-native equivalent of the reference's interleaved TP split
+        (reference: src/models/model.cc:662-744).
+        """
+        outs = []
+        offset = 0
+        w_key = "wq" if "wq" in lin else "w"
+        for size in sizes:
+            part = {w_key: lin[w_key][:, offset:offset + size]}
+            if "scale" in lin:
+                s = lin["scale"]
+                part["scale"] = s[offset:offset + size] if s.ndim else s
+            if "b" in lin:
+                part["b"] = lin["b"][offset:offset + size]
+            outs.append(part)
+            offset += size
+        return outs
+
     def attention(self, scope: str, spec: AttentionSpec) -> dict:
-        out: dict = {"linear": []}
-        for i in range(8):
-            lin = self.linear(f"{scope}/linear_{i}")
-            if lin is None:
-                break
-            out["linear"].append(lin)
+        H, Hkv, D = spec.num_heads, spec.num_heads_kv, spec.head_dim
+        out: dict = {}
+        if spec.self_attention:
+            fused = self.linear(f"{scope}/linear_0")
+            out["q"], out["k"], out["v"] = self._split_linear(
+                fused, [H * D, Hkv * D, Hkv * D])
+            out["o"] = self.linear(f"{scope}/linear_1")
+        else:
+            out["q"] = self.linear(f"{scope}/linear_0")
+            fused_kv = self.linear(f"{scope}/linear_1")
+            if fused_kv is not None:
+                out["k"], out["v"] = self._split_linear(
+                    fused_kv, [Hkv * D, Hkv * D])
+            out["o"] = self.linear(f"{scope}/linear_2")
         for name in ("layer_norm", "q_norm", "k_norm", "v_norm"):
             n = self.norm(f"{scope}/{name}")
             if n is not None:

@@ -170,18 +170,19 @@ def _norm(arch: ArchSpec, p: Optional[dict], x):
 
 
 def _project_qkv(ap: dict, spec: AttentionSpec, x, quantize_acts: bool):
-    """Fused QKV projection + head split for self-attention.
+    """QKV projections + head split for self-attention.
 
-    Fused layout: [Hq*D | Hkv*D | Hkv*D] when Hkv < Hq, else 3 equal thirds
-    (reference: src/layers/attention.cc:479-519).
+    Projections are stored unfused (artifact layout [Hq*D | Hkv*D | Hkv*D],
+    reference: src/layers/attention.cc:479-519) so the output axes shard
+    head-aligned under tensor parallelism with no resharding.
     """
-    fused = linear(ap["linear"][0], x, quantize_activations=quantize_acts)
-    H, Hkv, D = spec.num_heads, spec.num_heads_kv, spec.head_dim
-    q, k, v = jnp.split(fused, [H * D, H * D + Hkv * D], axis=-1)
+    q = linear(ap["q"], x, quantize_activations=quantize_acts)
+    k = linear(ap["k"], x, quantize_activations=quantize_acts)
+    v = linear(ap["v"], x, quantize_activations=quantize_acts)
     return (
-        attn_ops.split_heads(q, H),
-        attn_ops.split_heads(k, Hkv),
-        attn_ops.split_heads(v, Hkv),
+        attn_ops.split_heads(q, spec.num_heads),
+        attn_ops.split_heads(k, spec.num_heads_kv),
+        attn_ops.split_heads(v, spec.num_heads_kv),
     )
 
 
@@ -261,7 +262,7 @@ def self_attention_block(
     out = attn_ops.combine_heads(ctx)
 
     res = residual if (wrap_norm and spec.has_layer_norm) else None
-    out = linear(ap["linear"][-1], out, residual=res, quantize_activations=quantize_acts)
+    out = linear(ap["o"], out, residual=res, quantize_activations=quantize_acts)
     if wrap_norm and not pre_norm and spec.has_layer_norm:
         out = _norm(arch, ap.get("layer_norm"), out)
     return out, new_cache
@@ -271,9 +272,9 @@ def precompute_cross_kv(arch: ArchSpec, spec: AttentionSpec, ap: dict, memory,
                         quantize_acts: bool = True):
     """Project encoder output to cross-attention K/V once
     (reference caches these on step 0: src/layers/attention.cc:371-440)."""
-    fused = linear(ap["linear"][1], memory, quantize_activations=quantize_acts)
-    Hkv, D = spec.num_heads_kv, spec.head_dim
-    k, v = jnp.split(fused, 2, axis=-1)
+    Hkv = spec.num_heads_kv
+    k = linear(ap["k"], memory, quantize_activations=quantize_acts)
+    v = linear(ap["v"], memory, quantize_activations=quantize_acts)
     k = attn_ops.split_heads(k, Hkv)
     v = attn_ops.split_heads(v, Hkv)
     if spec.has_k_norm:
@@ -311,7 +312,7 @@ def cross_attention_block(
     B = mem_kv["k"].shape[0]
     K = BK // B
 
-    q = linear(ap["linear"][0], h, quantize_activations=quantize_acts)
+    q = linear(ap["q"], h, quantize_activations=quantize_acts)
     if spec.has_q_norm:
         q = _norm(arch, ap.get("q_norm"), q)
     q = attn_ops.split_heads(q.reshape(B, K * T, -1), spec.num_heads)
@@ -339,7 +340,7 @@ def cross_attention_block(
 
     ctx = attn_ops.combine_heads(ctx).reshape(BK, T, -1)
     res = residual if (wrap_norm and spec.has_layer_norm) else None
-    y = linear(ap["linear"][-1], ctx, residual=res, quantize_activations=quantize_acts)
+    y = linear(ap["o"], ctx, residual=res, quantize_activations=quantize_acts)
     if wrap_norm and not pre_norm and spec.has_layer_norm:
         y = _norm(arch, ap.get("layer_norm"), y)
     return y, weights

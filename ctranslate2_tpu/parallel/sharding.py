@@ -1,0 +1,210 @@
+"""Mesh construction and parameter/activation sharding rules.
+
+Replaces the reference's rank-indexed weight splitting + synchronous NCCL
+collectives (reference: src/models/model.cc:639-744,
+src/ops/nccl_ops_gpu.cu:52-92) with a ``jax.sharding.Mesh`` and
+PartitionSpecs: GSPMD inserts and overlaps the collectives over ICI.
+
+Sharding layout (Megatron-style, matching reference §2.6 semantics):
+  - attention q/k/v projections: output axis on 'model' (head-aligned —
+    projections are stored unfused, see models/params.py)
+  - attention output proj: input axis on 'model' (row-parallel -> psum)
+  - FFN linear_0 (+GLU gate): output axis on 'model'
+  - FFN linear_1: input axis on 'model' (row-parallel -> psum)
+  - embeddings + logits projection: vocab axis on 'model'
+  - int8 scales follow their weight's output axis
+  - KV cache: head axis on 'model' (replicated when heads don't divide)
+  - activations / cache batch axis: 'data'
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.spec import ArchSpec
+
+
+def make_mesh(num_data: int = 1, num_model: Optional[int] = None,
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if num_model is None:
+        num_model = len(devices) // num_data
+    devs = np.asarray(devices[: num_data * num_model]).reshape(
+        num_data, num_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def _linear_spec(lin: dict, out_axis: Optional[str], in_axis: Optional[str]):
+    """PartitionSpecs for one linear param dict {w|wq, scale?, b?}."""
+    spec = {}
+    w_key = "wq" if "wq" in lin else "w"
+    spec[w_key] = P(in_axis, out_axis)
+    if "scale" in lin:
+        spec["scale"] = P(out_axis) if lin["scale"].ndim else P()
+    if "b" in lin:
+        spec["b"] = P(out_axis)
+    return spec
+
+
+def _norm_spec(p: dict):
+    return {k: P() for k in p}
+
+
+def _emb_spec(p: dict):
+    # Shard the vocab axis; scales are per-row (vocab).
+    spec = {}
+    if "wq" in p:
+        spec["wq"] = P("model", None)
+        spec["scale"] = P("model")
+    else:
+        spec["w"] = P("model", None)
+    return spec
+
+
+def _attention_specs(spec_attn, ap: dict) -> dict:
+    out = {}
+    divisible = spec_attn.num_heads_kv % 1 == 0  # always true; kept for clarity
+    for name in ("q", "k", "v"):
+        if name in ap:
+            out[name] = _linear_spec(ap[name], "model", None)
+    if "o" in ap:
+        out["o"] = _linear_spec(ap["o"], None, "model")
+    if "memory_kv" in ap:
+        out["memory_kv"] = _linear_spec(ap["memory_kv"], "model", None)
+    for name in ("layer_norm", "q_norm", "k_norm", "v_norm"):
+        if name in ap:
+            out[name] = _norm_spec(ap[name])
+    for name in ("relative_attention_bias", "relative_position_keys",
+                 "relative_asymmetric_position_keys", "relative_position_values",
+                 "rotary_long_factor", "rotary_short_factor"):
+        if name in ap:
+            out[name] = P()
+    return out
+
+
+def _ffn_specs(fp: dict) -> dict:
+    out = {
+        "linear_0": _linear_spec(fp["linear_0"], "model", None),
+        "linear_1": _linear_spec(fp["linear_1"], None, "model"),
+    }
+    if "linear_0_noact" in fp:
+        out["linear_0_noact"] = _linear_spec(fp["linear_0_noact"], "model", None)
+    if "layer_norm" in fp:
+        out["layer_norm"] = _norm_spec(fp["layer_norm"])
+    return out
+
+
+def param_specs(arch: ArchSpec, params: dict) -> dict:
+    """Build a PartitionSpec pytree mirroring the params pytree."""
+    specs: dict = {}
+    for side_name, side_spec in (("encoder", arch.encoder),
+                                 ("decoder", arch.decoder)):
+        if side_spec is None or side_name not in params:
+            continue
+        sp = params[side_name]
+        side: dict = {"embeddings": [_emb_spec(e) for e in sp["embeddings"]],
+                      "layers": []}
+        if "position_encodings" in sp:
+            side["position_encodings"] = P()
+        for name in ("layernorm_embedding", "layer_norm"):
+            if name in sp:
+                side[name] = _norm_spec(sp[name])
+        for name in ("project_in", "project_out"):
+            if name in sp:
+                side[name] = _linear_spec(sp[name], None, None)
+        if "projection" in sp:
+            side["projection"] = _linear_spec(sp["projection"], "model", None)
+        if "scale_outputs" in sp:
+            side["scale_outputs"] = P()
+        for i, layer_spec in enumerate(side_spec.layers):
+            lp = sp["layers"][i]
+            layer: dict = {
+                "self_attention": _attention_specs(
+                    layer_spec.self_attention, lp["self_attention"]),
+                "ffn": _ffn_specs(lp["ffn"]),
+            }
+            if "attention" in lp:
+                layer["attention"] = _attention_specs(
+                    layer_spec.cross_attention, lp["attention"])
+            for name in (
+                "shared_layer_norm", "input_layer_norm",
+                "post_attention_layer_norm", "pre_feedforward_layer_norm",
+                "post_feedforward_layer_norm",
+                "external_pre_encoder_attention_layer_norm",
+                "external_post_encoder_attention_layer_norm",
+            ):
+                if name in lp:
+                    layer[name] = _norm_spec(lp[name])
+            side["layers"].append(layer)
+        specs[side_name] = side
+    return specs
+
+
+def cache_specs(arch: ArchSpec, mesh: Mesh) -> list:
+    """PartitionSpecs for the self-attention KV cache
+    ([N, Hkv, C, D]: batch on 'data', heads on 'model' when divisible)."""
+    num_model = mesh.shape["model"]
+    out = []
+    for layer in arch.decoder.layers:
+        hkv = layer.self_attention.num_heads_kv
+        head_axis = "model" if hkv % num_model == 0 else None
+        s = P("data", head_axis, None, None)
+        out.append({"k": s, "v": s})
+    return out
+
+
+def fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop sharded axes that do not divide evenly (e.g. tiny test vocab)."""
+    fixed = []
+    for d, axis in enumerate(spec):
+        if axis is not None and d < len(shape) and shape[d] % mesh.shape[axis] == 0:
+            fixed.append(axis)
+        else:
+            fixed.append(None)
+    return P(*fixed) if fixed else P()
+
+
+def lookup_spec(specs, path) -> P:
+    """Navigate a spec tree (dicts/lists with PartitionSpec leaves) by a
+    jax tree path."""
+    node = specs
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is None:
+            key = getattr(p, "idx", None)
+        if isinstance(node, dict):
+            if key not in node:
+                return P()
+            node = node[key]
+        elif isinstance(node, list):
+            node = node[key]
+        else:
+            break
+    return node if isinstance(node, P) else P()
+
+
+def shard_params(params: dict, arch: ArchSpec, mesh: Mesh) -> dict:
+    """Place the parameter pytree on the mesh with TP shardings."""
+    specs = param_specs(arch, params)
+
+    def place(path, leaf):
+        spec = fit_spec(lookup_spec(specs, path), leaf.shape, mesh)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_consts(consts: dict, mesh: Mesh) -> dict:
+    """Replicate precomputed tables across the mesh."""
+
+    def place(leaf):
+        if hasattr(leaf, "shape"):
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return leaf
+
+    return jax.tree.map(place, consts)

@@ -1,0 +1,97 @@
+"""Tensor-parallel sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ctranslate2_tpu.models.loader import load_model
+from ctranslate2_tpu.models import transformer as T
+from ctranslate2_tpu.converters.builder import build_decoder_only_model
+from ctranslate2_tpu.parallel.sharding import (
+    make_mesh,
+    shard_consts,
+    shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def llama_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("llama"))
+    build_decoder_only_model(
+        d, vocab_size=64, num_layers=2, num_heads=8, num_heads_kv=4,
+        d_model=64, d_ff=128, rotary_dim=0, glu=True, rms_norm=True,
+        activation="swish")
+    return d
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(num_data=2, num_model=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+
+
+def test_sharded_forward_matches_single_device(llama_dir):
+    model = load_model(llama_dir, compute_type="float32")
+    mesh = make_mesh(num_data=2, num_model=4)
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(3, 64, (4, 8)),
+                      dtype=jnp.int32)
+    lengths = jnp.asarray([8, 8, 8, 8], dtype=jnp.int32)
+
+    # Single-device reference.
+    ref_logits, _, _ = T.decoder_forward_jit(
+        model.arch, model.params, model.consts, ids, jnp.int32(0),
+        None, None, None, lengths=lengths, quantize_acts=False)
+
+    # Sharded run.
+    sharded_params = shard_params(model.params, model.arch, mesh)
+    sharded_consts = shard_consts(model.consts, mesh)
+    with jax.set_mesh(mesh):
+        tp_logits, _, _ = T.decoder_forward_jit(
+            model.arch, sharded_params, sharded_consts, ids, jnp.int32(0),
+            None, None, None, lengths=lengths, quantize_acts=False)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(tp_logits), atol=2e-4, rtol=2e-3)
+
+
+def test_sharded_cached_decode(llama_dir):
+    model = load_model(llama_dir, compute_type="float32")
+    mesh = make_mesh(num_data=1, num_model=8)
+    sharded_params = shard_params(model.params, model.arch, mesh)
+    sharded_consts = shard_consts(model.consts, mesh)
+
+    ids = jnp.asarray([[5, 9, 11]], dtype=jnp.int32)
+
+    ref_cache = T.init_self_cache(model.arch, 1, 16)
+    ref_logits, ref_cache, _ = T.decoder_forward_jit(
+        model.arch, model.params, model.consts, ids, jnp.int32(0),
+        ref_cache, None, None, quantize_acts=False)
+
+    with jax.set_mesh(mesh):
+        cache = T.init_self_cache(model.arch, 1, 16)
+        tp_logits, cache, _ = T.decoder_forward_jit(
+            model.arch, sharded_params, sharded_consts, ids, jnp.int32(0),
+            cache, None, None, quantize_acts=False)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_logits[:, -1]), np.asarray(tp_logits[:, -1]),
+        atol=2e-4, rtol=2e-3)
+
+
+def test_sharded_generation(llama_dir):
+    """End-to-end Generator on a sharded model must match unsharded."""
+    from ctranslate2_tpu import Generator
+
+    g = Generator(llama_dir)
+    ref = g.generate_batch([["tok1", "tok2"]], max_length=8)
+
+    g2 = Generator(llama_dir)
+    mesh = make_mesh(num_data=1, num_model=4)
+    g2.model.params = shard_params(g2.model.params, g2.model.arch, mesh)
+    g2.model.consts = shard_consts(g2.model.consts, mesh)
+    with jax.set_mesh(mesh):
+        tp = g2.generate_batch([["tok1", "tok2"]], max_length=8)
+
+    assert ref[0].sequences == tp[0].sequences
