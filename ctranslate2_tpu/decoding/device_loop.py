@@ -1,0 +1,321 @@
+"""Fully on-device decoding loops (lax.while_loop).
+
+The reference decodes with one host round-trip per token (sampled ids come
+back to the CPU for control flow: reference src/decoding.cc:860-869,
+923-974). On TPU that sync is the bottleneck — especially for greedy
+generation — so the entire generate loop (step forward, logits processors,
+sampling, prefix forcing, EOS tracking) runs inside ONE jitted
+``lax.while_loop``: a single device dispatch per request batch.
+
+Used automatically by the engine when no per-step callback or attention
+output is requested; the host loop remains the general path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import transformer as T
+from . import processors as proc
+from .sampling import sample_tokens
+
+
+def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
+                    max_steps: int, *, beam_size: int, num_hyp: int,
+                    max_candidates: int, length_penalty: float,
+                    return_prefix: bool, include_eos: bool,
+                    max_length: int, allow_early_exit: bool,
+                    has_prefix: bool, has_memory: bool):
+    """Build a jitted whole-generation beam-search loop.
+
+    Replicates the reference candidate bookkeeping (2*beam candidates, EOS
+    harvesting with secondary promotion, patience, hard-prefix override —
+    reference: src/decoding.cc:411-720) entirely on device: hypotheses land
+    in a fixed [B, num_hyp] best-score store; the host only reads the final
+    buffers.
+
+    Returns fn(params, consts, start_tokens [B*K], start_pos, cache, mem_kv,
+    mem_bias, prefix [B, P], prefix_len [B], min_steps [B], key)
+    -> (store_seqs [B, M, L], store_lens [B, M], store_scores [B, M],
+        store_count [B]).
+    """
+    K = beam_size
+    K2 = 2 * K
+    M = num_hyp
+    NEG = -1e10
+    end_ids = jnp.asarray(sig.end_ids or (0,), jnp.int32)
+    has_end = bool(sig.end_ids)
+
+    def is_end(tok):
+        if not has_end:
+            return jnp.zeros(tok.shape, jnp.bool_)
+        return jnp.any(tok[..., None] == end_ids, axis=-1)
+
+    def loop(params, consts, start_tokens, start_pos, cache, mem_kv,
+             mem_bias, prefix, prefix_len, min_steps, key):
+        N = start_tokens.shape[0]
+        B = N // K
+        L = max_steps
+
+        alive = jnp.zeros((B, K, L), jnp.int32)
+        scores = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
+        store_seqs = jnp.zeros((B, M, L), jnp.int32)
+        store_lens = jnp.zeros((B, M), jnp.int32)
+        store_scores = jnp.full((B, M), -jnp.inf, jnp.float32)
+        store_count = jnp.zeros(B, jnp.int32)
+        top_beam_finished = jnp.zeros(B, jnp.bool_)
+        batch_active = jnp.ones(B, jnp.bool_)
+
+        plen_off = prefix_len if (has_prefix and not return_prefix) else jnp.zeros(B, jnp.int32)
+        last_step_of = max_length + plen_off  # step index that forces finish
+
+        def cond(state):
+            step = state[0]
+            batch_active = state[-1]
+            return (step < max_steps) & jnp.any(batch_active)
+
+        def body(state):
+            (step, tokens, cache, alive, scores, store_seqs, store_lens,
+             store_scores, store_count, top_beam_finished, batch_active) = state
+
+            logits, cache, _ = T.decoder_forward(
+                arch, params, consts, tokens[:, None], start_pos + step,
+                cache, mem_kv, mem_bias,
+                beam_size=K if has_memory else 1,
+                quantize_acts=quantize_acts,
+                out_dtype=out_dtype,
+            )
+            l = logits[:, -1].astype(jnp.float32)  # [N, V]
+            V = l.shape[-1]
+
+            l = proc.disable_tokens(l, sig.suppress_ids)
+            if sig.begin_suppress_ids:
+                l = jnp.where(jnp.equal(step, 0),
+                              proc.disable_tokens(l, sig.begin_suppress_ids), l)
+            if sig.end_ids:
+                row_min = jnp.repeat(min_steps, K)
+                l = proc.disable_tokens_if(l, sig.end_ids, step < row_min)
+            if sig.use_alive_seq:
+                flat_alive = alive.reshape(N, L)
+                if sig.repetition_penalty != 1.0:
+                    l = proc.repetition_penalty(
+                        l, flat_alive, step, sig.repetition_penalty)
+                if sig.no_repeat_ngram_size > 0:
+                    l = proc.no_repeat_ngram(
+                        l, flat_alive, step, sig.no_repeat_ngram_size)
+                if sig.suppress_sequences:
+                    l = proc.suppress_sequences_mask(
+                        l, flat_alive, step, sig.suppress_sequences)
+
+            log_probs = jax.nn.log_softmax(l, axis=-1)
+            total = log_probs + scores.reshape(N)[:, None]
+            flat = total.reshape(B, K * V)
+            ts, ti = jax.lax.top_k(flat, K2)  # [B, 2K]
+            words = (ti % V).astype(jnp.int32)
+            origins = (ti // V).astype(jnp.int32)
+
+            cand_idx = jnp.arange(K2, dtype=jnp.int32)[None, :]
+
+            if has_prefix:
+                P = prefix.shape[1]
+                forced = (step < prefix_len)[:, None]  # [B, 1]
+                ptok = jax.lax.dynamic_slice_in_dim(
+                    prefix, jnp.minimum(step, P - 1), 1, axis=1)  # [B,1]
+                words = jnp.where(forced, ptok, words)
+                ts = jnp.where(forced, jnp.where(cand_idx == 0, 0.0, NEG), ts)
+                origins = jnp.where(forced, 0, origins)
+                # Penalize EOS in secondary candidates at the first free step
+                # (reference: src/decoding.cc:50-57).
+                boundary = (step == prefix_len)[:, None]
+                eos_k = is_end(words) & (cand_idx > 0) & boundary
+                words = jnp.where(eos_k, 0, words)
+                ts = jnp.where(eos_k, NEG, ts)
+
+            is_eos_cand = is_end(words)  # [B, 2K]
+            past_prefix = (step >= prefix_len)[:, None] if has_prefix else True
+            last_step_b = (step + 1) == last_step_of  # [B]
+
+            # ---- harvest finished hypotheses among the first K candidates ----
+            finish_k = batch_active[:, None] & (
+                (is_eos_cand[:, :K] & past_prefix) | last_step_b[:, None]
+            )  # [B, K]
+            top_beam_finished = top_beam_finished | finish_k[:, 0]
+
+            start_off = plen_off if not return_prefix else jnp.zeros(B, jnp.int32)
+
+            def insert_one(k, carry):
+                store_seqs, store_lens, store_scores, store_count = carry
+                w_k = words[:, k]
+                o_k = origins[:, k]
+                seq = jnp.take_along_axis(
+                    alive, o_k[:, None, None], axis=1)[:, 0]  # [B, L]
+                seq = jax.lax.dynamic_update_slice(
+                    seq, w_k[:, None], (0, step))
+                drop_last = is_eos_cand[:, k] & (not include_eos)
+                hyp_len = jnp.where(drop_last, step, step + 1)
+                norm_len = jnp.maximum(hyp_len - start_off, 1).astype(jnp.float32)
+                norm_score = ts[:, k] / jnp.power(norm_len, length_penalty)
+
+                slot = jnp.argmin(store_scores, axis=1)  # [B]
+                cur_min = jnp.take_along_axis(
+                    store_scores, slot[:, None], axis=1)[:, 0]
+                do = finish_k[:, k] & (norm_score > cur_min)
+                new_scores_col = jnp.where(do, norm_score, cur_min)
+                store_scores = jnp.where(
+                    (jnp.arange(M)[None, :] == slot[:, None]) & do[:, None],
+                    new_scores_col[:, None], store_scores)
+                store_lens = jnp.where(
+                    (jnp.arange(M)[None, :] == slot[:, None]) & do[:, None],
+                    hyp_len[:, None], store_lens)
+                sel = ((jnp.arange(M)[None, :, None] == slot[:, None, None])
+                       & do[:, None, None])
+                store_seqs = jnp.where(sel, seq[:, None, :], store_seqs)
+                store_count = store_count + finish_k[:, k].astype(jnp.int32)
+                return store_seqs, store_lens, store_scores, store_count
+
+            store_seqs, store_lens, store_scores, store_count = jax.lax.fori_loop(
+                0, K, insert_one,
+                (store_seqs, store_lens, store_scores, store_count))
+
+            # ---- batch finish conditions ----
+            if allow_early_exit:
+                finished_b = top_beam_finished & (store_count >= num_hyp)
+            else:
+                finished_b = store_count >= max_candidates
+            batch_active = batch_active & jnp.logical_not(
+                finished_b | last_step_b)
+
+            # ---- select the next K active beams (non-EOS first, stable) ----
+            order = jnp.argsort(is_eos_cand.astype(jnp.int32), axis=1,
+                                stable=True)[:, :K]  # [B, K]
+            new_words = jnp.take_along_axis(words, order, axis=1)
+            new_scores = jnp.take_along_axis(ts, order, axis=1)
+            new_origins = jnp.take_along_axis(origins, order, axis=1)
+
+            rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
+                    + new_origins).reshape(N)
+            cache = jax.tree.map(lambda a: a[rows], cache)
+            alive = jnp.take_along_axis(
+                alive, new_origins[:, :, None], axis=1)
+            alive = jax.lax.dynamic_update_slice(
+                alive, new_words[:, :, None], (0, 0, step))
+
+            return (step + 1, new_words.reshape(N), cache, alive, new_scores,
+                    store_seqs, store_lens, store_scores, store_count,
+                    top_beam_finished, batch_active)
+
+        state = (jnp.int32(0), start_tokens, cache, alive, scores,
+                 store_seqs, store_lens, store_scores, store_count,
+                 top_beam_finished, batch_active)
+        state = jax.lax.while_loop(cond, body, state)
+        (_, _, _, _, _, store_seqs, store_lens, store_scores, store_count,
+         _, _) = state
+        return store_seqs, store_lens, store_scores, store_count
+
+    return jax.jit(loop)
+
+
+def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
+                      max_steps: int):
+    """Build a jitted whole-generation greedy/sampling loop.
+
+    Returns fn(params, consts, start_tokens [N], start_pos, cache, mem_kv,
+    mem_bias, prefix [N, P], prefix_len [N], min_steps [N], key)
+    -> (tokens [N, max_steps], num_steps [N], scores [N], final_cache).
+    """
+    end_ids = jnp.asarray(sig.end_ids or (0,), jnp.int32)
+    has_end = bool(sig.end_ids)
+
+    def is_end(tok):
+        if not has_end:
+            return jnp.zeros(tok.shape, jnp.bool_)
+        return jnp.any(tok[:, None] == end_ids[None, :], axis=-1)
+
+    def loop(params, consts, start_tokens, start_pos, cache, mem_kv,
+             mem_bias, prefix, prefix_len, min_steps, key):
+        N = start_tokens.shape[0]
+        P = prefix.shape[1] if prefix is not None else 0
+
+        out_buf = jnp.zeros((N, max_steps), jnp.int32)
+        scores = jnp.zeros(N, jnp.float32)
+        finished = jnp.zeros(N, jnp.bool_)
+        num_steps = jnp.zeros(N, jnp.int32)
+
+        def cond(state):
+            step, tokens, cache, out_buf, scores, finished, num_steps = state
+            return (step < max_steps) & jnp.logical_not(jnp.all(finished))
+
+        def body(state):
+            step, tokens, cache, out_buf, scores, finished, num_steps = state
+
+            logits, cache, _ = T.decoder_forward(
+                arch, params, consts, tokens[:, None], start_pos + step,
+                cache, mem_kv, mem_bias,
+                beam_size=1,
+                quantize_acts=quantize_acts,
+                out_dtype=out_dtype,
+            )
+            l = logits[:, -1].astype(jnp.float32)
+
+            l = proc.disable_tokens(l, sig.suppress_ids)
+            if sig.begin_suppress_ids:
+                l = jnp.where(jnp.equal(step, 0),
+                              proc.disable_tokens(l, sig.begin_suppress_ids), l)
+            if sig.end_ids:
+                l = proc.disable_tokens_if(l, sig.end_ids, step < min_steps)
+            if sig.use_alive_seq:
+                if sig.repetition_penalty != 1.0:
+                    l = proc.repetition_penalty(
+                        l, out_buf, step, sig.repetition_penalty)
+                if sig.no_repeat_ngram_size > 0:
+                    l = proc.no_repeat_ngram(
+                        l, out_buf, step, sig.no_repeat_ngram_size)
+                if sig.suppress_sequences:
+                    l = proc.suppress_sequences_mask(
+                        l, out_buf, step, sig.suppress_sequences)
+
+            log_probs = jax.nn.log_softmax(l, axis=-1)
+            step_key = jax.random.fold_in(key, step)
+            sampled, sampled_scores = sample_tokens(
+                log_probs, step_key,
+                topk=sig.sampling_topk,
+                topp=sig.sampling_topp,
+                temperature=sig.sampling_temperature,
+                greedy=sig.greedy_sampler,
+            )
+
+            if P > 0:
+                forced = step < prefix_len
+                prefix_tok = jax.lax.dynamic_slice_in_dim(
+                    prefix, jnp.minimum(step, P - 1), 1, axis=1)[:, 0]
+                new_tok = jnp.where(forced, prefix_tok, sampled)
+                step_score = jnp.where(forced, 0.0, sampled_scores)
+            else:
+                forced = jnp.zeros(N, jnp.bool_)
+                new_tok = sampled
+                step_score = sampled_scores
+
+            scores = scores + jnp.where(finished, 0.0, step_score)
+            out_buf = jnp.where(
+                finished[:, None],
+                out_buf,
+                jax.lax.dynamic_update_slice(
+                    out_buf, new_tok[:, None], (0, step)),
+            )
+            newly_finished = jnp.logical_not(finished) & (
+                is_end(new_tok) & jnp.logical_not(forced))
+            num_steps = jnp.where(finished, num_steps, step + 1)
+            finished = finished | newly_finished
+            return (step + 1, new_tok, cache, out_buf, scores, finished,
+                    num_steps)
+
+        state = (jnp.int32(0), start_tokens, cache, out_buf, scores,
+                 finished, num_steps)
+        state = jax.lax.while_loop(cond, body, state)
+        _, _, cache, out_buf, scores, finished, num_steps = state
+        return out_buf, num_steps, scores, cache
+
+    return jax.jit(loop)

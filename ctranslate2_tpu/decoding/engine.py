@@ -70,6 +70,7 @@ class DecodingEngine:
     def __init__(self, model: LoadedModel):
         self.model = model
         self._step_fns = {}
+        self._loop_fns = {}
         self._reorder_fn = jax.jit(self._reorder)
         self._append_fn = jax.jit(self._append)
 
@@ -311,6 +312,15 @@ class DecodingEngine:
                                start_step, prefix_ids, end_ids, capacity))
 
         sig = self._make_sig(options, K, K2, end_ids, has_memory, True)
+
+        # Fast path: whole-generation on-device beam loop.
+        if (not sig.return_attention and options.coverage_penalty == 0
+                and not options.return_logits_vocab):
+            return self._beam_device_loop(
+                start_ids, options, sig, end_ids, mem_kv, mem_bias, cache,
+                start_step, prefix_ids if use_hard_prefix else None,
+                max_step, num_hyp, max_candidates)
+
         step_fn = self._get_step(sig)
 
         V = None
@@ -468,6 +478,167 @@ class DecodingEngine:
         return results
 
     # ------------------------------------------------------------------
+    # On-device whole-generation loops (fast paths).
+    # ------------------------------------------------------------------
+
+    def _beam_device_loop(self, start_ids, options, sig, end_ids,
+                          mem_kv, mem_bias, cache, start_step, prefix_ids,
+                          max_step, num_hyp, max_candidates):
+        from .device_loop import build_beam_loop
+
+        model = self.model
+        B = len(start_ids)
+        K = options.beam_size
+        has_prefix = prefix_ids is not None
+
+        prefix_lengths = [0] * B
+        P = 1
+        prefix_arr = np.zeros((B, 1), np.int32)
+        if has_prefix:
+            prefix_lengths = [len(p) if p else 0 for p in prefix_ids]
+            P = _round_up(max(max(prefix_lengths), 1), 8)
+            prefix_arr = np.zeros((B, P), np.int32)
+            for i, p in enumerate(prefix_ids):
+                if p:
+                    prefix_arr[i, : len(p)] = p
+
+        min_steps = np.asarray(
+            [(prefix_lengths[i] if not options.return_prefix else 0)
+             + options.min_length for i in range(B)], np.int32)
+
+        allow_early_exit = (options.length_penalty == 0
+                            and options.coverage_penalty == 0)
+
+        key = (sig, max_step, P, num_hyp, max_candidates,
+               options.length_penalty, options.return_prefix,
+               options.return_end_token, options.max_length,
+               allow_early_exit)
+        loop_fn = self._loop_fns.get(key)
+        if loop_fn is None:
+            loop_fn = build_beam_loop(
+                model.arch, sig, model.policy.quantize_activations,
+                model.out_dtype, max_step,
+                beam_size=K, num_hyp=num_hyp, max_candidates=max_candidates,
+                length_penalty=options.length_penalty,
+                return_prefix=options.return_prefix,
+                include_eos=options.return_end_token,
+                max_length=options.max_length,
+                allow_early_exit=allow_early_exit,
+                has_prefix=has_prefix,
+                has_memory=sig.has_memory)
+            self._loop_fns[key] = loop_fn
+
+        tokens = np.repeat(np.asarray(start_ids, np.int32), K)
+        seqs, lens, scores, counts = loop_fn(
+            model.params, model.consts, jnp.asarray(tokens),
+            jnp.int32(start_step), cache, mem_kv, mem_bias,
+            jnp.asarray(prefix_arr),
+            jnp.asarray(prefix_lengths, dtype=jnp.int32),
+            jnp.asarray(min_steps),
+            jax.random.PRNGKey(options.seed))
+
+        seqs = np.asarray(seqs)
+        lens = np.asarray(lens)
+        scores = np.asarray(scores, np.float32)
+
+        results = []
+        for i in range(B):
+            r = DecodingResult()
+            order = np.argsort(-scores[i])
+            start = 0 if options.return_prefix else prefix_lengths[i]
+            for j in order:
+                if not np.isfinite(scores[i, j]):
+                    continue
+                r.hypotheses.append(
+                    [int(t) for t in seqs[i, j, start:lens[i, j]]])
+                r.scores.append(float(scores[i, j]))
+            r.hypotheses = r.hypotheses[:num_hyp]
+            r.scores = r.scores[:num_hyp] if options.return_scores else []
+            results.append(r)
+        return results
+
+    def _greedy_device_loop(self, start_ids, options, sig, end_ids,
+                            mem_kv, mem_bias, cache, start_step, prefix_ids,
+                            max_step, B0, replicas):
+        from .device_loop import build_greedy_loop
+
+        model = self.model
+        B = len(start_ids)
+        end_set = set(end_ids)
+
+        prefix_lengths = [0] * B
+        P = 0
+        if prefix_ids is not None:
+            prefix_lengths = [len(p) if p else 0 for p in prefix_ids]
+            P = _round_up(max(max(prefix_lengths), 1), 8)
+        prefix_arr = np.zeros((B, max(P, 1)), np.int32)
+        if prefix_ids is not None:
+            for i, p in enumerate(prefix_ids):
+                if p:
+                    prefix_arr[i, : len(p)] = p
+
+        min_steps = np.asarray(
+            [(prefix_lengths[i] if not options.return_prefix else 0)
+             + options.min_length for i in range(B)], np.int32)
+        # Per-row max length: prefix + max_length when the prefix is not
+        # included in the output budget.
+        # (The loop bound is the global max_step; per-row overshoot is
+        # trimmed on the host below.)
+
+        key = (sig, max_step, P > 0)
+        loop_fn = self._loop_fns.get(key)
+        if loop_fn is None:
+            loop_fn = build_greedy_loop(
+                model.arch, sig, model.policy.quantize_activations,
+                model.out_dtype, max_step)
+            self._loop_fns[key] = loop_fn
+
+        buf, num_steps, scores, _ = loop_fn(
+            model.params, model.consts,
+            jnp.asarray(start_ids, dtype=jnp.int32), jnp.int32(start_step),
+            cache, mem_kv, mem_bias,
+            jnp.asarray(prefix_arr) if P > 0 else jnp.zeros((B, 1), jnp.int32),
+            jnp.asarray(prefix_lengths, dtype=jnp.int32),
+            jnp.asarray(min_steps),
+            jax.random.PRNGKey(options.seed))
+
+        buf = np.asarray(buf)
+        num_steps = np.asarray(num_steps)
+        scores_np = np.asarray(scores, np.float32)
+
+        results = [DecodingResult() for _ in range(B)]
+        for i in range(B):
+            plen = prefix_lengths[i]
+            limit = options.max_length + (0 if options.return_prefix else plen)
+            n = min(int(num_steps[i]), limit)
+            tokens = list(buf[i, :n])
+            if tokens and tokens[-1] in end_set and not options.return_end_token:
+                tokens = tokens[:-1]
+            if not options.return_prefix:
+                tokens = tokens[plen:]
+            r = results[i]
+            r.hypotheses.append([int(t) for t in tokens])
+            r.scores.append(float(scores_np[i]))
+            self._finalize(r, 1, options.length_penalty, 0.0, True, False)
+
+        if replicas > 1:
+            merged = [DecodingResult() for _ in range(B0)]
+            for i, r in enumerate(results):
+                m = merged[i // replicas]
+                m.hypotheses.append(r.hypotheses[0])
+                m.scores.append(r.scores[0])
+            for m in merged:
+                order = sorted(range(len(m.scores)), key=lambda i: -m.scores[i])
+                m.hypotheses = [m.hypotheses[i] for i in order]
+                m.scores = [m.scores[i] for i in order] if options.return_scores else []
+            return merged
+
+        if not options.return_scores:
+            for r in results:
+                r.scores = []
+        return results
+
+    # ------------------------------------------------------------------
     # Greedy / sampling search.
     # ------------------------------------------------------------------
 
@@ -499,6 +670,15 @@ class DecodingEngine:
 
         sig = self._make_sig(options, 1, 1, end_ids, has_memory,
                              greedy_sampler=not is_random)
+
+        # Fast path: whole-generation on-device loop (one dispatch) when no
+        # per-step host interaction is needed.
+        if (step_callback is None and not sig.return_attention
+                and options.coverage_penalty == 0):
+            return self._greedy_device_loop(
+                start_ids, options, sig, end_ids, mem_kv, mem_bias, cache,
+                start_step, prefix_ids, max_step, B0, replicas)
+
         step_fn = self._get_step(sig)
 
         alive_seq = (

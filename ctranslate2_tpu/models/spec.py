@@ -256,7 +256,9 @@ def _extract_embeddings(mf: ModelFile, scope: str, d_model_hint: int) -> Embeddi
         num_features = max(num_features, 1)
 
     # Embedding scale: flag or value (reference: src/layers/transformer.cc:381-402).
-    base = scope + "/embeddings" if num_features == 1 else scope + "/embeddings_0"
+    base = scope + "/embeddings"
+    if (base + "/weight") not in mf:
+        base = scope + "/embeddings_0"
     emb_dim = mf.get(base + "/weight").shape[1]
     scale_var = mf.get(scope + "/scale_embeddings")
     if scale_var is None:
