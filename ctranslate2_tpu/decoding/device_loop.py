@@ -28,7 +28,8 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
                     max_candidates: int, length_penalty: float,
                     return_prefix: bool, include_eos: bool,
                     max_length: int, allow_early_exit: bool,
-                    has_prefix: bool, has_memory: bool):
+                    has_prefix: bool, has_memory: bool,
+                    has_token_map: bool = False):
     """Build a jitted whole-generation beam-search loop.
 
     Replicates the reference candidate bookkeeping (2*beam candidates, EOS
@@ -55,7 +56,7 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
         return jnp.any(tok[..., None] == end_ids, axis=-1)
 
     def loop(params, consts, start_tokens, start_pos, cache, mem_kv,
-             mem_bias, prefix, prefix_len, min_steps, key):
+             mem_bias, prefix, prefix_len, min_steps, key, token_map=None):
         N = start_tokens.shape[0]
         B = N // K
         L = max_steps
@@ -81,8 +82,9 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
             (step, tokens, cache, alive, scores, store_seqs, store_lens,
              store_scores, store_count, top_beam_finished, batch_active) = state
 
+            fed = token_map[tokens] if has_token_map else tokens
             logits, cache, _ = T.decoder_forward(
-                arch, params, consts, tokens[:, None], start_pos + step,
+                arch, params, consts, fed[:, None], start_pos + step,
                 cache, mem_kv, mem_bias,
                 beam_size=K if has_memory else 1,
                 quantize_acts=quantize_acts,
@@ -219,7 +221,7 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
 
 
 def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
-                      max_steps: int):
+                      max_steps: int, has_token_map: bool = False):
     """Build a jitted whole-generation greedy/sampling loop.
 
     Returns fn(params, consts, start_tokens [N], start_pos, cache, mem_kv,
@@ -235,7 +237,7 @@ def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
         return jnp.any(tok[:, None] == end_ids[None, :], axis=-1)
 
     def loop(params, consts, start_tokens, start_pos, cache, mem_kv,
-             mem_bias, prefix, prefix_len, min_steps, key):
+             mem_bias, prefix, prefix_len, min_steps, key, token_map=None):
         N = start_tokens.shape[0]
         P = prefix.shape[1] if prefix is not None else 0
 
@@ -251,8 +253,9 @@ def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
         def body(state):
             step, tokens, cache, out_buf, scores, finished, num_steps = state
 
+            fed = token_map[tokens] if has_token_map else tokens
             logits, cache, _ = T.decoder_forward(
-                arch, params, consts, tokens[:, None], start_pos + step,
+                arch, params, consts, fed[:, None], start_pos + step,
                 cache, mem_kv, mem_bias,
                 beam_size=1,
                 quantize_acts=quantize_acts,

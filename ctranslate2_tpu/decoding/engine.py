@@ -190,16 +190,22 @@ class DecodingEngine:
         end_ids: Sequence[int] = (),
         capacity: Optional[int] = None,
         step_callback=None,
+        params=None,
+        token_map=None,
     ) -> List[DecodingResult]:
+        if params is None:
+            params = self.model.params
         if options.beam_size > 1:
             return self._beam_search(
                 start_ids, options, memory=memory, memory_lengths=memory_lengths,
                 cache=cache, start_step=start_step, prefix_ids=prefix_ids,
-                end_ids=end_ids, capacity=capacity)
+                end_ids=end_ids, capacity=capacity, params=params,
+                token_map=token_map)
         return self._greedy_search(
             start_ids, options, memory=memory, memory_lengths=memory_lengths,
             cache=cache, start_step=start_step, prefix_ids=prefix_ids,
-            end_ids=end_ids, capacity=capacity, step_callback=step_callback)
+            end_ids=end_ids, capacity=capacity, step_callback=step_callback,
+            params=params, token_map=token_map)
 
     # ------------------------------------------------------------------
 
@@ -298,7 +304,10 @@ class DecodingEngine:
     # ------------------------------------------------------------------
 
     def _beam_search(self, start_ids, options, *, memory, memory_lengths,
-                     cache, start_step, prefix_ids, end_ids, capacity):
+                     cache, start_step, prefix_ids, end_ids, capacity,
+                     params=None, token_map=None):
+        if params is None:
+            params = self.model.params
         model = self.model
         B = len(start_ids)
         K = options.beam_size
@@ -319,7 +328,7 @@ class DecodingEngine:
             return self._beam_device_loop(
                 start_ids, options, sig, end_ids, mem_kv, mem_bias, cache,
                 start_step, prefix_ids if use_hard_prefix else None,
-                max_step, num_hyp, max_candidates)
+                max_step, num_hyp, max_candidates, params, token_map)
 
         step_fn = self._get_step(sig)
 
@@ -358,8 +367,9 @@ class DecodingEngine:
                     disable_end_np[i * K:(i + 1) * K] = True
 
             gen_len = jnp.int32(step)
+            fed = tokens if token_map is None else np.asarray(token_map)[tokens]
             topk_ids_d, topk_scores_d, cache, attn_d, _ = step_fn(
-                model.params, model.consts, jnp.asarray(tokens),
+                params, model.consts, jnp.asarray(fed),
                 jnp.int32(start_step + step), cache, mem_kv, mem_bias,
                 jnp.asarray(scores), jnp.asarray(disable_end_np),
                 alive_seq, gen_len, None, key)
@@ -367,8 +377,8 @@ class DecodingEngine:
             topk_flat = np.array(topk_ids_d)      # [B, 2K] flat beam*V ids
             topk_scores = np.array(topk_scores_d, np.float32)  # [B, 2K]
             if V is None:
-                V = (model.params["decoder"]["projection"].get(
-                        "w", model.params["decoder"]["projection"].get("wq"))
+                V = (params["decoder"]["projection"].get(
+                        "w", params["decoder"]["projection"].get("wq"))
                      ).shape[-1]
             words = topk_flat % V
             origins = topk_flat // V  # beam index within batch
@@ -478,12 +488,162 @@ class DecodingEngine:
         return results
 
     # ------------------------------------------------------------------
+    # Alternatives at the first unconstrained position
+    # (reference: src/decoding.cc:1122-1293).
+    # ------------------------------------------------------------------
+
+    def decode_alternatives(
+        self,
+        start_tokens: Sequence[int],  # [start] + prefix for ONE example
+        options: DecodingOptions,
+        *,
+        memory=None,
+        memory_lengths=None,
+        start_step: int = 0,
+        end_ids: Sequence[int] = (),
+        cache=None,  # optional pre-filled 1-row cache
+        params=None,
+        token_map=None,
+    ) -> DecodingResult:
+        model = self.model
+        if params is None:
+            params = model.params
+
+        def to_orig(ids_list):
+            if token_map is None:
+                return ids_list
+            tm = np.asarray(token_map)
+            return [int(tm[t]) for t in ids_list]
+        num_hyp = options.num_hypotheses
+        result = DecodingResult()
+
+        start_tokens = list(start_tokens)
+        if not start_tokens:
+            raise ValueError("One input has no decoder start token")
+        if len(start_tokens) > options.max_length + 1:
+            start_tokens = start_tokens[: options.max_length + 1]
+        prefix_length = len(start_tokens) - 1
+
+        capacity = _round_up(start_step + options.max_length + 8, 64)
+        model.ensure_consts(capacity)
+
+        mem_kv = None
+        mem_bias = None
+        if memory is not None:
+            mem_kv = T.precompute_memory_jit(
+                model.arch, model.params, memory,
+                quantize_acts=model.policy.quantize_activations)
+            mem_bias = attn_ops.length_mask_bias(
+                memory_lengths, memory.shape[1])
+
+        if cache is None:
+            cache = T.init_self_cache(model.arch, 1, capacity,
+                                      dtype=model.out_dtype)
+        else:
+            def grow(a):
+                if a.shape[2] < capacity:
+                    pad = [(0, 0)] * a.ndim
+                    pad[2] = (0, capacity - a.shape[2])
+                    a = jnp.pad(a, pad)
+                return a
+            cache = jax.tree.map(grow, cache)
+
+        pos = start_step
+        if prefix_length > 0:
+            ids = jnp.asarray([to_orig(start_tokens[:-1])], dtype=jnp.int32)
+            _, cache, _ = T.decoder_forward_jit(
+                model.arch, params, model.consts, ids, jnp.int32(pos),
+                cache, mem_kv, mem_bias,
+                quantize_acts=model.policy.quantize_activations,
+                out_dtype=model.out_dtype, return_logits=False)
+            pos += prefix_length
+            for _ in range(num_hyp):
+                result.hypotheses.append(list(start_tokens[1:]))
+                if options.return_scores:
+                    result.scores.append(0.0)
+            if prefix_length == options.max_length:
+                return result
+        else:
+            for _ in range(num_hyp):
+                result.hypotheses.append([])
+                if options.return_scores:
+                    result.scores.append(0.0)
+        if not result.scores:
+            result.scores = [0.0] * num_hyp
+
+        # One-step expansion: top num_hyp next tokens.
+        sig = self._make_sig(options, 1, 1, end_ids, memory is not None, True)
+        step_fn = self._get_step(
+            dataclasses.replace(sig, beam_size=1, greedy_sampler=True))
+        tok = jnp.asarray(to_orig([start_tokens[-1]]), dtype=jnp.int32)
+        disable_end = np.asarray(
+            [pos - start_step < options.min_length])
+        _, _, cache, _, log_probs = step_fn(
+            params, model.consts, tok, jnp.int32(pos), cache,
+            mem_kv, mem_bias, jnp.zeros(1, jnp.float32),
+            jnp.asarray(disable_end), None, jnp.int32(0), None,
+            jax.random.PRNGKey(options.seed))
+        lp = np.asarray(log_probs[0], np.float32)
+        top = np.argsort(-lp)[:num_hyp]
+
+        expanded = []
+        for j, w in enumerate(top):
+            prob = float(np.exp(lp[w]))
+            if prob < options.min_alternative_expansion_prob:
+                break
+            result.hypotheses[j].append(int(w))
+            if options.return_scores:
+                result.scores[j] = float(lp[w])
+            expanded.append(int(w))
+
+        num_alt = len(expanded)
+        result.hypotheses = result.hypotheses[:num_alt]
+        result.scores = result.scores[:num_alt]
+        pos += 1
+        if pos - start_step >= options.max_length or num_alt == 0:
+            return result
+
+        # Continue each alternative independently.
+        cache = jax.tree.map(lambda a: jnp.repeat(a, num_alt, axis=0), cache)
+        mem_rep = jnp.repeat(memory, num_alt, axis=0) if memory is not None else None
+        lens_rep = (jnp.repeat(memory_lengths, num_alt, axis=0)
+                    if memory_lengths is not None else None)
+
+        cont_options = dataclasses.replace(
+            options,
+            num_hypotheses=1,
+            max_length=max(options.max_length - (pos - start_step), 1),
+            min_length=max(options.min_length - (pos - start_step), 0),
+            return_scores=True,
+            return_prefix=True,
+        )
+        suffix_results = self.decode(
+            expanded, cont_options,
+            memory=mem_rep, memory_lengths=lens_rep,
+            cache=cache, start_step=pos, end_ids=end_ids,
+            capacity=capacity, params=params, token_map=token_map)
+
+        for j, suffix in enumerate(suffix_results):
+            if options.return_scores and suffix.scores:
+                # The reference adds the (normalized) suffix score directly
+                # (reference: src/decoding.cc:1270-1273).
+                result.scores[j] += suffix.scores[0]
+            result.hypotheses[j].extend(suffix.hypotheses[0])
+
+        if not options.return_scores:
+            result.scores = []
+        return result
+
+    # ------------------------------------------------------------------
     # On-device whole-generation loops (fast paths).
     # ------------------------------------------------------------------
 
     def _beam_device_loop(self, start_ids, options, sig, end_ids,
                           mem_kv, mem_bias, cache, start_step, prefix_ids,
-                          max_step, num_hyp, max_candidates):
+                          max_step, num_hyp, max_candidates, params=None,
+                          token_map=None):
+        if params is None:
+            params = self.model.params
         from .device_loop import build_beam_loop
 
         model = self.model
@@ -512,7 +672,7 @@ class DecodingEngine:
         key = (sig, max_step, P, num_hyp, max_candidates,
                options.length_penalty, options.return_prefix,
                options.return_end_token, options.max_length,
-               allow_early_exit)
+               allow_early_exit, token_map is not None)
         loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
             loop_fn = build_beam_loop(
@@ -525,17 +685,19 @@ class DecodingEngine:
                 max_length=options.max_length,
                 allow_early_exit=allow_early_exit,
                 has_prefix=has_prefix,
-                has_memory=sig.has_memory)
+                has_memory=sig.has_memory,
+                has_token_map=token_map is not None)
             self._loop_fns[key] = loop_fn
 
         tokens = np.repeat(np.asarray(start_ids, np.int32), K)
         seqs, lens, scores, counts = loop_fn(
-            model.params, model.consts, jnp.asarray(tokens),
+            params, model.consts, jnp.asarray(tokens),
             jnp.int32(start_step), cache, mem_kv, mem_bias,
             jnp.asarray(prefix_arr),
             jnp.asarray(prefix_lengths, dtype=jnp.int32),
             jnp.asarray(min_steps),
-            jax.random.PRNGKey(options.seed))
+            jax.random.PRNGKey(options.seed),
+            token_map=token_map)
 
         seqs = np.asarray(seqs)
         lens = np.asarray(lens)
@@ -559,7 +721,10 @@ class DecodingEngine:
 
     def _greedy_device_loop(self, start_ids, options, sig, end_ids,
                             mem_kv, mem_bias, cache, start_step, prefix_ids,
-                            max_step, B0, replicas):
+                            max_step, B0, replicas, params=None,
+                            token_map=None):
+        if params is None:
+            params = self.model.params
         from .device_loop import build_greedy_loop
 
         model = self.model
@@ -585,22 +750,24 @@ class DecodingEngine:
         # (The loop bound is the global max_step; per-row overshoot is
         # trimmed on the host below.)
 
-        key = (sig, max_step, P > 0)
+        key = (sig, max_step, P > 0, token_map is not None)
         loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
             loop_fn = build_greedy_loop(
                 model.arch, sig, model.policy.quantize_activations,
-                model.out_dtype, max_step)
+                model.out_dtype, max_step,
+                has_token_map=token_map is not None)
             self._loop_fns[key] = loop_fn
 
         buf, num_steps, scores, _ = loop_fn(
-            model.params, model.consts,
+            params, model.consts,
             jnp.asarray(start_ids, dtype=jnp.int32), jnp.int32(start_step),
             cache, mem_kv, mem_bias,
             jnp.asarray(prefix_arr) if P > 0 else jnp.zeros((B, 1), jnp.int32),
             jnp.asarray(prefix_lengths, dtype=jnp.int32),
             jnp.asarray(min_steps),
-            jax.random.PRNGKey(options.seed))
+            jax.random.PRNGKey(options.seed),
+            token_map=token_map)
 
         buf = np.asarray(buf)
         num_steps = np.asarray(num_steps)
@@ -644,7 +811,9 @@ class DecodingEngine:
 
     def _greedy_search(self, start_ids, options, *, memory, memory_lengths,
                        cache, start_step, prefix_ids, end_ids, capacity,
-                       step_callback=None):
+                       step_callback=None, params=None, token_map=None):
+        if params is None:
+            params = self.model.params
         model = self.model
         num_hyp = options.num_hypotheses
         is_random = not (options.sampling_topk == 1 and options.sampling_topp >= 1.0)
@@ -677,7 +846,8 @@ class DecodingEngine:
                 and options.coverage_penalty == 0):
             return self._greedy_device_loop(
                 start_ids, options, sig, end_ids, mem_kv, mem_bias, cache,
-                start_step, prefix_ids, max_step, B0, replicas)
+                start_step, prefix_ids, max_step, B0, replicas, params,
+                token_map)
 
         step_fn = self._get_step(sig)
 
@@ -709,8 +879,9 @@ class DecodingEngine:
                  + options.min_length for i in range(B)])
 
             key, subkey = jax.random.split(key)
+            fed = tokens if token_map is None else np.asarray(token_map)[tokens]
             ids_d, scores_d, cache, attn_d, _ = step_fn(
-                model.params, model.consts, jnp.asarray(tokens),
+                params, model.consts, jnp.asarray(fed),
                 jnp.int32(start_step + step), cache, mem_kv, mem_bias,
                 jnp.zeros(N, jnp.float32), jnp.asarray(disable_end_np),
                 alive_seq, jnp.int32(step), None, subkey)

@@ -84,8 +84,6 @@ class Generator:
             return []
         if any(len(s) == 0 for s in start_tokens):
             raise ValueError("Generator expects at least one start token per example")
-        if return_alternatives:
-            raise NotImplementedError("return_alternatives is not implemented yet")
 
         v = self._vocab
         end_ids = self._resolve_end_token(end_token)
@@ -109,6 +107,8 @@ class Generator:
             num_hypotheses=num_hypotheses,
             return_scores=return_scores,
             return_prefix=True,
+            return_alternatives=return_alternatives,
+            min_alternative_expansion_prob=min_alternative_expansion_prob,
             seed=seed,
         )
 
@@ -230,15 +230,25 @@ class Generator:
                     token=v.to_token(sr.token_id),
                     score=sr.score, is_last=sr.is_last))
 
-        dec_results = self.engine.decode(
-            first_ids, options,
-            cache=cache,
-            start_step=start_step,
-            prefix_ids=prefix_ids,
-            end_ids=end_ids,
-            capacity=capacity,
-            step_callback=step_callback,
-        )
+        if options.return_alternatives:
+            import jax as _jax
+
+            dec_results = []
+            for i in range(B):
+                cache_i = _jax.tree.map(lambda a: a[i:i + 1], cache)
+                dec_results.append(self.engine.decode_alternatives(
+                    start_ids[i], options, start_step=start_step,
+                    end_ids=end_ids, cache=cache_i))
+        else:
+            dec_results = self.engine.decode(
+                first_ids, options,
+                cache=cache,
+                start_step=start_step,
+                prefix_ids=prefix_ids,
+                end_ids=end_ids,
+                capacity=capacity,
+                step_callback=step_callback,
+            )
 
         out = []
         for i, dr in enumerate(dec_results):

@@ -117,9 +117,6 @@ class Translator:
         if prefix_bias_beta > 0:
             raise NotImplementedError(
                 "prefix_bias_beta (biased decoding) is not implemented yet")
-        if return_alternatives:
-            raise NotImplementedError(
-                "return_alternatives is not implemented yet")
 
         tv = self._target_vocab
         end_ids = self._resolve_end_token(end_token)
@@ -146,6 +143,8 @@ class Translator:
             return_scores=return_scores,
             return_attention=return_attention or replace_unknowns,
             return_prefix=True,
+            return_alternatives=return_alternatives,
+            min_alternative_expansion_prob=min_alternative_expansion_prob,
             prefix_bias_beta=prefix_bias_beta,
         )
 
@@ -173,7 +172,8 @@ class Translator:
             )
             batch_results = self._translate_padded(
                 batch_source, batch_prefix, options, max_input_length,
-                replace_unknowns, return_attention, callback, end_ids)
+                replace_unknowns, return_attention, callback, end_ids,
+                use_vmap=use_vmap)
             for i, r in zip(idx, batch_results):
                 results[i] = r
 
@@ -218,9 +218,53 @@ class Translator:
             out_dtype=model.out_dtype)
         return memory, lengths_arr
 
+    def _restricted_output_params(self, candidates, size_multiple: int = 256):
+        """Build a params tree whose logits projection only contains the
+        candidate columns (reference update_output_layer semantics:
+        src/layers/decoder.cc:72-139 + Dense::select_weights
+        src/layers/common.cc:313-337). Returns (params, to_output map,
+        to_original list)."""
+        import jax
+
+        ids = list(candidates)
+        new_size = len(ids)
+        if new_size % size_multiple:
+            pad = size_multiple - new_size % size_multiple
+            ids = ids + [0] * pad
+            new_size += pad
+        else:
+            pad = 0
+
+        proj = self.model.params["decoder"]["projection"]
+        idx = jnp.asarray(ids, dtype=jnp.int32)
+        new_proj = {}
+        if "w" in proj:
+            new_proj["w"] = jnp.take(proj["w"], idx, axis=1)
+        else:
+            new_proj["wq"] = jnp.take(proj["wq"], idx, axis=1)
+            s = proj["scale"]
+            new_proj["scale"] = jnp.take(s, idx, axis=0) if s.ndim else s
+        bias = jnp.take(proj["b"], idx, axis=0) if "b" in proj else jnp.zeros(
+            new_size, jnp.float32)
+        if pad:
+            mask = jnp.arange(new_size) >= (new_size - pad)
+            bias = jnp.where(mask, -1e10, bias)
+        new_proj["b"] = bias
+
+        params = dict(self.model.params)
+        params["decoder"] = dict(params["decoder"])
+        params["decoder"]["projection"] = new_proj
+
+        to_original = ids
+        to_output = {}
+        for i, orig in enumerate(ids):
+            to_output.setdefault(orig, i)
+        return params, to_output, to_original
+
     def _translate_padded(self, source, target_prefix, options,
                           max_input_length, replace_unknowns,
-                          return_attention, callback, end_ids):
+                          return_attention, callback, end_ids,
+                          use_vmap: bool = False):
         tv = self._target_vocab
         source_ids = self._make_source_ids(source, max_input_length)
         memory, memory_lengths = self._encode_batch(source_ids)
@@ -251,13 +295,63 @@ class Translator:
                     token=tv.to_token(sr.token_id),
                     score=sr.score, is_last=sr.is_last))
 
-        dec_results = self.engine.decode(
-            start_ids, options,
-            memory=memory, memory_lengths=memory_lengths,
-            prefix_ids=prefix_ids,
-            end_ids=end_ids,
-            step_callback=step_callback,
-        )
+        # Vocabulary-map restriction of the output layer.
+        run_params = None
+        to_original = None
+        token_map = None
+        if use_vmap and self._vmap is not None:
+            import dataclasses as _dc
+
+            candidates = self._vmap.get_candidates(
+                [list(s) for s in source], prefix_ids or [])
+            run_params, to_output, to_original = (
+                self._restricted_output_params(candidates))
+            token_map = jnp.asarray(to_original, dtype=jnp.int32)
+            start_ids = [to_output[i] for i in start_ids]
+            if prefix_ids is not None:
+                prefix_ids = [
+                    [to_output[t] for t in p if t in to_output]
+                    for p in prefix_ids
+                ]
+            end_ids = tuple(to_output[e] for e in end_ids if e in to_output)
+            options = _dc.replace(
+                options,
+                suppress_tokens=tuple(
+                    to_output[t] for t in options.suppress_tokens
+                    if t in to_output),
+                suppress_sequences=tuple(
+                    tuple(to_output[t] for t in seq if t in to_output)
+                    for seq in options.suppress_sequences),
+            )
+
+        if options.return_alternatives:
+            dec_results = []
+            for i in range(len(source)):
+                start_tokens = [start_ids[i]] + (
+                    list(prefix_ids[i]) if prefix_ids else [])
+                dec_results.append(self.engine.decode_alternatives(
+                    start_tokens, options,
+                    memory=memory[i:i + 1],
+                    memory_lengths=memory_lengths[i:i + 1],
+                    end_ids=end_ids,
+                    params=run_params,
+                    token_map=token_map))
+        else:
+            dec_results = self.engine.decode(
+                start_ids, options,
+                memory=memory, memory_lengths=memory_lengths,
+                prefix_ids=prefix_ids,
+                end_ids=end_ids,
+                step_callback=step_callback,
+                params=run_params,
+                token_map=token_map,
+            )
+
+        if to_original is not None:
+            for dr in dec_results:
+                dr.hypotheses = [
+                    [to_original[t] for t in h] for h in dr.hypotheses
+                ]
 
         out = []
         for i, dr in enumerate(dec_results):
