@@ -6,6 +6,11 @@ __version__ = "0.1.0"
 from .runtime.translator import Translator
 from .runtime.generator import Generator
 from .runtime.encoder import Encoder
+from .runtime.whisper import (
+    Whisper,
+    WhisperAlignmentResult,
+    WhisperGenerationResult,
+)
 from .runtime.results import (
     AsyncResult,
     ExecutionStats,

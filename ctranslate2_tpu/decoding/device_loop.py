@@ -111,6 +111,10 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
                 if sig.suppress_sequences:
                     l = proc.suppress_sequences_mask(
                         l, flat_alive, step, sig.suppress_sequences)
+                if sig.whisper_ts is not None:
+                    l = proc.whisper_timestamp_rules(
+                        l, flat_alive, step, jnp.repeat(prefix_len, K),
+                        *sig.whisper_ts)
 
             log_probs = jax.nn.log_softmax(l, axis=-1)
             total = log_probs + scores.reshape(N)[:, None]
@@ -279,6 +283,9 @@ def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
                 if sig.suppress_sequences:
                     l = proc.suppress_sequences_mask(
                         l, out_buf, step, sig.suppress_sequences)
+                if sig.whisper_ts is not None:
+                    l = proc.whisper_timestamp_rules(
+                        l, out_buf, step, prefix_len, *sig.whisper_ts)
 
             log_probs = jax.nn.log_softmax(l, axis=-1)
             step_key = jax.random.fold_in(key, step)

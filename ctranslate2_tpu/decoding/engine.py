@@ -58,6 +58,8 @@ class StepSig:
     sampling_temperature: float
     use_bias_token: bool = False  # prefix-biased decoding
     prefix_bias_beta: float = 0.0
+    # Whisper timestamp rules: (eot, no_ts, ts_begin, ts_end, max_initial).
+    whisper_ts: tuple = None
 
 
 def _round_up(x: int, multiple: int) -> int:
@@ -99,7 +101,8 @@ class DecodingEngine:
         out_dtype = model.out_dtype
 
         def step(params, consts, tokens, pos, cache, mem_kv, mem_bias,
-                 scores, disable_end, alive_seq, gen_len, bias_tokens, key):
+                 scores, disable_end, alive_seq, gen_len, bias_tokens, key,
+                 sample_begin=None):
             logits, cache, attn = T.decoder_forward(
                 arch, params, consts, tokens[:, None], pos, cache,
                 mem_kv, mem_bias,
@@ -130,6 +133,11 @@ class DecodingEngine:
                 if sig.suppress_sequences:
                     l = proc.suppress_sequences_mask(
                         l, alive_seq, gen_len, sig.suppress_sequences)
+                if sig.whisper_ts is not None:
+                    sb = (sample_begin if sample_begin is not None
+                          else jnp.zeros(l.shape[0], jnp.int32))
+                    l = proc.whisper_timestamp_rules(
+                        l, alive_seq, gen_len, sb, *sig.whisper_ts)
 
             log_probs = jax.nn.log_softmax(l, axis=-1)
 
@@ -250,10 +258,12 @@ class DecodingEngine:
 
     def _make_sig(self, options: DecodingOptions, beam, num_candidates,
                   end_ids, has_memory, greedy_sampler) -> StepSig:
+        whisper_ts = getattr(options, "whisper_ts", None)
         use_alive = (
             options.repetition_penalty != 1.0
             or options.no_repeat_ngram_size > 0
             or bool(options.suppress_sequences)
+            or whisper_ts is not None
         )
         return StepSig(
             beam_size=beam,
@@ -273,6 +283,7 @@ class DecodingEngine:
             sampling_topp=options.sampling_topp,
             sampling_temperature=options.sampling_temperature,
             use_bias_token=False,
+            whisper_ts=whisper_ts,
         )
 
     @staticmethod

@@ -38,6 +38,8 @@ class DecodingOptions:
     start_step: int = 0
     seed: int = 0
     callback: Optional[Callable] = None
+    # Whisper timestamp rules (eot, no_ts, ts_begin, ts_end, max_initial).
+    whisper_ts: Optional[Tuple[int, int, int, int, int]] = None
 
 
 @dataclass

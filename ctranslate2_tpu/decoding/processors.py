@@ -87,6 +87,78 @@ def no_repeat_ngram(logits, alive_seq, seq_len, ngram_size: int):
     return jnp.where(ban_mask, DISABLE, logits)
 
 
+def whisper_timestamp_rules(logits, alive_seq, gen_len, sample_begin,
+                            eot_id: int, no_timestamps_id: int,
+                            timestamp_begin_id: int, timestamp_end_id: int,
+                            max_initial_timestamp_id: int):
+    """Whisper timestamp sampling rules, fully vectorized on device
+    (reference: src/models/whisper.cc:742-865 ApplyTimestampRules):
+
+    - <|notimestamps|> always disabled;
+    - at the very first sample (no forced text): only timestamps up to
+      max_initial allowed;
+    - timestamps appear in pairs (except before EOT);
+    - timestamps never decrease;
+    - if total timestamp probability beats every text token, force a
+      timestamp.
+
+    ``sample_begin``: [N] number of forced (prefix) steps per row.
+    """
+    N, V = logits.shape
+    L = alive_seq.shape[1]
+    l = logits
+    tok = jnp.arange(V, dtype=jnp.int32)[None, :]  # [1, V]
+    is_ts_vocab = tok >= timestamp_begin_id
+
+    # Always disable <|notimestamps|>.
+    l = jnp.where(tok == no_timestamps_id, DISABLE, l)
+
+    # Initial step: only timestamps, capped at max_initial.
+    at_init = jnp.equal(gen_len, 0) & (sample_begin == 0)  # [N]
+    init_mask = (tok < timestamp_begin_id) | (tok > max_initial_timestamp_id)
+    l = jnp.where(at_init[:, None] & init_mask, DISABLE, l)
+
+    applies = gen_len > sample_begin  # [N]
+    last_idx = jnp.clip(gen_len - 1, 0, L - 1)
+    penult_idx = jnp.clip(gen_len - 2, 0, L - 1)
+    last = alive_seq[:, last_idx]
+    penult_raw = alive_seq[:, penult_idx]
+    penult = jnp.where(gen_len - 1 > sample_begin, penult_raw, last)
+    last_is_ts = last >= timestamp_begin_id
+    pen_is_ts = penult >= timestamp_begin_id
+
+    # Pairs rule.
+    rule_a = applies & last_is_ts & pen_is_ts
+    l = jnp.where(rule_a[:, None] & is_ts_vocab, DISABLE, l)
+    rule_b = applies & last_is_ts & jnp.logical_not(pen_is_ts)
+    mask_b = (tok < eot_id) | (is_ts_vocab & (tok < last[:, None]))
+    l = jnp.where(rule_b[:, None] & mask_b, DISABLE, l)
+
+    # Non-decreasing timestamps.
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_window = (pos < gen_len) & (pos >= sample_begin[:, None])
+    is_ts_hist = (alive_seq >= timestamp_begin_id) & in_window
+    latest_pos = jnp.max(jnp.where(is_ts_hist, pos, -1), axis=1)  # [N]
+    has_ts = latest_pos >= 0
+    latest_tok = jnp.take_along_axis(
+        alive_seq, jnp.clip(latest_pos, 0, L - 1)[:, None], axis=1)[:, 0]
+    rule_c = applies & jnp.logical_not(last_is_ts) & has_ts
+    mask_c = is_ts_vocab & (tok <= latest_tok[:, None])
+    l = jnp.where(rule_c[:, None] & mask_c, DISABLE, l)
+
+    # Probability rule: if sum of timestamp probs beats the best text token,
+    # only timestamps may be sampled.
+    check = applies & (rule_b | jnp.logical_not(last_is_ts))
+    lp = jax.nn.log_softmax(l, axis=-1)
+    max_text = jnp.max(
+        jnp.where(tok < timestamp_begin_id, lp, -jnp.inf), axis=1)
+    ts_lse = jax.nn.logsumexp(
+        jnp.where(is_ts_vocab, lp, -jnp.inf), axis=1)
+    force_ts = check & (ts_lse > max_text)
+    l = jnp.where(force_ts[:, None] & (tok < timestamp_begin_id), DISABLE, l)
+    return l
+
+
 def suppress_sequences_mask(
     logits, alive_seq, seq_len, sequences: Tuple[Tuple[int, ...], ...]
 ):

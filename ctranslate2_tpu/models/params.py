@@ -220,11 +220,31 @@ class ParamsBuilder:
             return [emb]
         return [self.embeddings(f"{scope}/embeddings_{i}") for i in range(num_features)]
 
+    def conv(self, scope: str) -> Optional[dict]:
+        var = self.mf.get(scope + "/weight")
+        if var is None:
+            return None
+        scale = self.mf.get(scope + "/weight_scale")
+        w = _dequantize(var, scale) if var.dtype_name in ("int8", "int16") \
+            else _to_np_float(var)
+        out = {"w": jnp.asarray(w, dtype=jnp.float32)}
+        bias = self.mf.get(scope + "/bias")
+        if bias is not None:
+            out["b"] = jnp.asarray(bias.as_float32(), dtype=jnp.float32)
+        return out
+
     def encoder(self, spec: EncoderSpec, scope: str = "encoder") -> dict:
         out: dict = {
-            "embeddings": self.parallel_embeddings(scope, spec.embeddings.num_features),
             "layers": [],
         }
+        if spec.num_conv_layers:
+            out["convs"] = [
+                self.conv(f"{scope}/conv{i + 1}")
+                for i in range(spec.num_conv_layers)
+            ]
+        else:
+            out["embeddings"] = self.parallel_embeddings(
+                scope, spec.embeddings.num_features)
         if spec.has_position_embedding:
             out["position_encodings"] = self.array(
                 f"{scope}/position_encodings/encodings"

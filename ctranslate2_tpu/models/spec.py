@@ -104,6 +104,9 @@ class EncoderSpec:
     sinusoidal_positions: bool = False
     has_layernorm_embedding: bool = False
     has_output_norm: bool = False
+    # Speech frontends: number of conv layers before the transformer stack
+    # (Whisper: 2 — reference: src/layers/whisper.cc:8-23).
+    num_conv_layers: int = 0
 
 
 @dataclass(frozen=True)
@@ -285,6 +288,15 @@ def extract_encoder(mf: ModelFile, scope: str = "encoder") -> Optional[EncoderSp
     num_heads = int(mf.attribute(scope + "/num_heads", 8))
     pre_norm = mf.flag(scope + "/pre_norm", True)
     activation = int(mf.attribute(scope + "/activation", 0))
+    num_conv = 0
+    while f"{scope}/conv{num_conv + 1}/weight" in mf:
+        num_conv += 1
+    is_speech = num_conv > 0
+    if is_speech:
+        # Whisper encoders run GELU activations and pre-norm
+        # (reference: src/layers/whisper.cc:6-22).
+        pre_norm = True
+        activation = 3
 
     layers = []
     for i in range(num_layers):
@@ -314,13 +326,16 @@ def extract_encoder(mf: ModelFile, scope: str = "encoder") -> Optional[EncoderSp
     return EncoderSpec(
         num_layers=num_layers,
         num_heads=num_heads,
-        embeddings=_extract_embeddings(mf, scope, 0),
+        embeddings=_extract_embeddings(mf, scope, 0) if not is_speech
+        else EmbeddingsSpec(),
         layers=tuple(layers),
         pre_norm=pre_norm,
         has_position_embedding=has_pe_table,
-        sinusoidal_positions=not has_pe_table and not has_positional,
+        sinusoidal_positions=not has_pe_table and not has_positional
+        and not is_speech,
         has_layernorm_embedding=(scope + "/layernorm_embedding/gamma") in mf,
         has_output_norm=(scope + "/layer_norm/gamma") in mf,
+        num_conv_layers=num_conv,
     )
 
 

@@ -295,7 +295,7 @@ def cross_attention_block(
     beam_size: int = 1,
     pre_norm: bool = True,
     quantize_acts: bool = True,
-    return_weights: bool = False,
+    return_weights=False,  # False | True (softmax) | "logits"
     wrap_norm: bool = True,
 ):
     """Cross-attention with beam-shared memory.
@@ -431,6 +431,51 @@ def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
     return x
 
 
+def speech_encoder_forward(arch: ArchSpec, params: dict, consts: dict, features,
+                           quantize_acts: bool = True, out_dtype=jnp.float32):
+    """Whisper-style conv-frontend encoder
+    (reference: src/layers/whisper.cc:25-62).
+
+    ``features``: [B, n_mels, T] -> [B, T//2, D].
+    """
+    from ..ops.activations import gelu
+    from ..ops.conv import conv1d
+
+    spec = arch.encoder
+    ep = params["encoder"]
+
+    x = features
+    for i, conv in enumerate(ep["convs"]):
+        stride = 2 if i == len(ep["convs"]) - 1 else 1
+        x = conv1d(x, conv["w"], conv.get("b"), stride=stride, padding=1,
+                   activation=gelu)
+    x = jnp.transpose(x, (0, 2, 1)).astype(out_dtype)  # [B, T', D]
+
+    T_out = x.shape[1]
+    pe = ep["position_encodings"][:T_out]
+    x = x + pe.astype(x.dtype)[None]
+
+    position_bias = None
+    ec = consts.get("encoder", {})
+    for i, layer in enumerate(spec.layers):
+        lp = ep["layers"][i]
+        x, _ = self_attention_block(
+            arch, layer.self_attention, lp["self_attention"], x,
+            bias=None, rot_consts=None, offset=0,
+            pre_norm=spec.pre_norm, quantize_acts=quantize_acts)
+        x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm,
+                      quantize_acts)
+
+    if spec.has_output_norm:
+        x = _norm(arch, ep.get("layer_norm"), x)
+    return x
+
+
+speech_encoder_forward_jit = jax.jit(
+    speech_encoder_forward, static_argnames=("arch", "quantize_acts", "out_dtype")
+)
+
+
 # ---------------------------------------------------------------------------
 # Decoder.
 # ---------------------------------------------------------------------------
@@ -475,6 +520,8 @@ def decoder_forward(
     beam_size: int = 1,
     lengths=None,  # [B*beam] optional per-row valid lengths for seq mode
     return_attention: bool = False,
+    alignment_pairs=None,  # tuple of (layer, head): collect these
+    raw_attention: bool = False,  # return pre-softmax cross-attn scores
     quantize_acts: bool = True,
     out_dtype=jnp.float32,
     return_logits: bool = True,
@@ -519,6 +566,11 @@ def decoder_forward(
 
     position_bias = None
     attn_out = None
+    collected_pairs = []  # [B, 1, T, S] slices for alignment_pairs
+    pair_layers = {}
+    if alignment_pairs is not None:
+        for (li, hi) in alignment_pairs:
+            pair_layers.setdefault(li, []).append(hi)
     new_cache = [] if self_cache is not None else None
 
     for i, layer in enumerate(spec.layers):
@@ -578,11 +630,16 @@ def decoder_forward(
             if layer.cross_attention is not None:
                 h = _norm(arch, lp["external_pre_encoder_attention_layer_norm"], x) \
                     if layer.external_pre_cross_norm else x
+                want_w = (
+                    ("logits" if raw_attention else True)
+                    if (alignment_pairs is not None and i in pair_layers)
+                    else (return_attention and alignment_pairs is None
+                          and i == spec.alignment_layer))
                 ctx, layer_attention = cross_attention_block(
                     arch, layer.cross_attention, lp["attention"], h,
                     mem_kv[i], memory_bias=memory_bias, beam_size=beam_size,
                     pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
-                    return_weights=return_attention and i == spec.alignment_layer,
+                    return_weights=want_w,
                     wrap_norm=False)
                 if layer.external_post_cross_norm:
                     ctx = _norm(
@@ -618,21 +675,33 @@ def decoder_forward(
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias)
             if layer.cross_attention is not None:
+                want_w = (
+                    ("logits" if raw_attention else True)
+                    if (alignment_pairs is not None and i in pair_layers)
+                    else (return_attention and alignment_pairs is None
+                          and i == spec.alignment_layer))
                 x, layer_attention = cross_attention_block(
                     arch, layer.cross_attention, lp["attention"], x,
                     mem_kv[i], memory_bias=memory_bias, beam_size=beam_size,
                     pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
-                    return_weights=return_attention and i == spec.alignment_layer)
+                    return_weights=want_w)
             x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm, quantize_acts)
 
         if new_cache is not None:
             new_cache.append(nc)
         if layer_attention is not None:
-            # Average the alignment heads
-            # (reference: src/layers/transformer.cc:565-603, 821-836).
-            attn_out = jnp.mean(
-                layer_attention[:, : spec.alignment_heads], axis=1
-            )
+            if alignment_pairs is not None:
+                for hi in pair_layers.get(i, ()):
+                    collected_pairs.append(layer_attention[:, hi:hi + 1])
+            else:
+                # Average the alignment heads
+                # (reference: src/layers/transformer.cc:565-603, 821-836).
+                attn_out = jnp.mean(
+                    layer_attention[:, : spec.alignment_heads], axis=1
+                )
+
+    if alignment_pairs is not None and collected_pairs:
+        attn_out = jnp.concatenate(collected_pairs, axis=1)  # [B, P, T, S]
 
     if spec.has_output_norm:
         x = _norm(arch, dp.get("layer_norm"), x)
@@ -662,6 +731,8 @@ decoder_forward_jit = jax.jit(
         "arch",
         "beam_size",
         "return_attention",
+        "alignment_pairs",
+        "raw_attention",
         "quantize_acts",
         "out_dtype",
         "return_logits",

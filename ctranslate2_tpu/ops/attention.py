@@ -178,6 +178,10 @@ def dot_product_attention(
         )
 
     out = out.reshape(B, Hq, Tq, D).astype(q.dtype)
+    if return_weights == "logits":
+        # Pre-softmax scores, for consumers that re-normalize after
+        # removing padding (reference: src/models/whisper.cc:520-556).
+        return out, logits.reshape(B, Hq, Tq, -1)
     if return_weights:
         return out, weights.reshape(B, Hq, Tq, -1)
     return out

@@ -1,0 +1,155 @@
+"""Streaming / iterable API sugar
+(parity with reference: python/ctranslate2/extensions.py).
+
+``translate_iterable`` / ``generate_iterable`` / ``score_iterable`` stream
+batches through the model; ``generate_tokens`` / ``translate_tokens`` bridge
+the step callback into a generator running on a worker thread;
+``async_generate_tokens`` exposes the same as an asyncio iterator.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import queue
+import threading
+from typing import AsyncIterable, Iterable, Iterator, List, Optional
+
+from .results import GenerationStepResult
+
+
+def _batch_iterator(iterables, max_batch_size: int):
+    iterators = [iter(it) for it in iterables]
+    while True:
+        batch = list(itertools.islice(zip(*iterators), max_batch_size))
+        if not batch:
+            return
+        yield [list(streams) for streams in zip(*batch)]
+
+
+def translate_iterable(translator, source: Iterable[List[str]],
+                       target_prefix: Optional[Iterable[List[str]]] = None,
+                       max_batch_size: int = 32, batch_type: str = "examples",
+                       **kwargs) -> Iterator:
+    """Translate an iterable of tokenized examples
+    (reference: extensions.py:20-83)."""
+    streams = [source] if target_prefix is None else [source, target_prefix]
+    for batch in _batch_iterator(streams, max_batch_size):
+        src = batch[0]
+        prefix = batch[1] if len(batch) > 1 else None
+        yield from translator.translate_batch(
+            src, prefix, max_batch_size=0, batch_type=batch_type, **kwargs)
+
+
+def generate_iterable(generator, start_tokens: Iterable[List[str]],
+                      max_batch_size: int = 32, batch_type: str = "examples",
+                      **kwargs) -> Iterator:
+    """Generate from an iterable of prompts (reference: extensions.py:86-137)."""
+    for batch in _batch_iterator([start_tokens], max_batch_size):
+        yield from generator.generate_batch(
+            batch[0], max_batch_size=0, batch_type=batch_type, **kwargs)
+
+
+def score_iterable(scorer, source: Iterable[List[str]],
+                   target: Optional[Iterable[List[str]]] = None,
+                   max_batch_size: int = 64, **kwargs) -> Iterator:
+    """Score an iterable of examples (reference: extensions.py:140-196)."""
+    if target is not None:
+        for batch in _batch_iterator([source, target], max_batch_size):
+            yield from scorer.score_batch(batch[0], batch[1], **kwargs)
+    else:
+        for batch in _batch_iterator([source], max_batch_size):
+            yield from scorer.score_batch(batch[0], **kwargs)
+
+
+class _StepResultIterator:
+    """Runs a callback-driven generation on a worker thread and exposes the
+    step results as an iterator (reference: extensions.py:473-525)."""
+
+    _END = object()
+
+    def __init__(self, run_fn):
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._error = None
+
+        def callback(step_result: GenerationStepResult) -> bool:
+            self._queue.put(step_result)
+            if self._stop.is_set():
+                return True
+            if step_result.is_last:
+                return False
+            return False
+
+        def worker():
+            try:
+                run_fn(callback)
+            except BaseException as e:  # noqa: BLE001
+                self._error = e
+            finally:
+                self._queue.put(self._END)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._END:
+            self._thread.join()
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # Drain so the worker can finish.
+        while True:
+            item = self._queue.get()
+            if item is self._END:
+                break
+        self._thread.join()
+
+
+def generate_tokens(generator, prompt: List[str], **kwargs) -> Iterator[GenerationStepResult]:
+    """Stream generated tokens one by one (reference: extensions.py:280-348).
+
+    The underlying generation uses the host-loop greedy path (the callback
+    forces per-step host interaction)."""
+    kwargs.pop("beam_size", None)
+
+    def run(callback):
+        generator.generate_batch(
+            [prompt], beam_size=1, callback=callback, **kwargs)
+
+    return iter(_StepResultIterator(run))
+
+
+def translate_tokens(translator, source: List[str],
+                     target_prefix: Optional[List[str]] = None,
+                     **kwargs) -> Iterator[GenerationStepResult]:
+    """Stream translated tokens one by one (reference: extensions.py:199-277)."""
+    kwargs.pop("beam_size", None)
+
+    def run(callback):
+        translator.translate_batch(
+            [source], [target_prefix] if target_prefix else None,
+            beam_size=1, callback=callback, **kwargs)
+
+    return iter(_StepResultIterator(run))
+
+
+async def async_generate_tokens(generator, prompt: List[str],
+                                **kwargs) -> AsyncIterable[GenerationStepResult]:
+    """Async variant of generate_tokens (reference: extensions.py:351-470)."""
+    loop = asyncio.get_running_loop()
+    it = generate_tokens(generator, prompt, **kwargs)
+
+    while True:
+        step = await loop.run_in_executor(None, next, it, None)
+        if step is None:
+            return
+        yield step

@@ -265,6 +265,32 @@ class Generator:
         return out
 
     # ------------------------------------------------------------------
+    # Streaming sugar (reference: python/ctranslate2/extensions.py).
+    # ------------------------------------------------------------------
+
+    def generate_iterable(self, start_tokens, max_batch_size=32,
+                          batch_type="examples", **kwargs):
+        from .extensions import generate_iterable
+
+        return generate_iterable(self, start_tokens, max_batch_size,
+                                 batch_type, **kwargs)
+
+    def generate_tokens(self, prompt, **kwargs):
+        from .extensions import generate_tokens
+
+        return generate_tokens(self, prompt, **kwargs)
+
+    def async_generate_tokens(self, prompt, **kwargs):
+        from .extensions import async_generate_tokens
+
+        return async_generate_tokens(self, prompt, **kwargs)
+
+    def score_iterable(self, tokens, max_batch_size=64, **kwargs):
+        from .extensions import score_iterable
+
+        return score_iterable(self, tokens, None, max_batch_size, **kwargs)
+
+    # ------------------------------------------------------------------
 
     def score_batch(
         self,

@@ -387,6 +387,27 @@ class Translator:
         return out
 
     # ------------------------------------------------------------------
+    # Streaming sugar (reference: python/ctranslate2/extensions.py).
+    # ------------------------------------------------------------------
+
+    def translate_iterable(self, source, target_prefix=None,
+                           max_batch_size=32, batch_type="examples", **kwargs):
+        from .extensions import translate_iterable
+
+        return translate_iterable(self, source, target_prefix,
+                                  max_batch_size, batch_type, **kwargs)
+
+    def translate_tokens(self, source, target_prefix=None, **kwargs):
+        from .extensions import translate_tokens
+
+        return translate_tokens(self, source, target_prefix, **kwargs)
+
+    def score_iterable(self, source, target, max_batch_size=64, **kwargs):
+        from .extensions import score_iterable
+
+        return score_iterable(self, source, target, max_batch_size, **kwargs)
+
+    # ------------------------------------------------------------------
     # Scoring (reference: src/scoring.cc:5-68).
     # ------------------------------------------------------------------
 
