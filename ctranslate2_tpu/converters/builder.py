@@ -31,6 +31,22 @@ class SpecBuilder:
             binary_version=6,
         )
 
+    @property
+    def spec_name(self):
+        return self.mf.spec_name
+
+    @spec_name.setter
+    def spec_name(self, value):
+        self.mf.spec_name = value
+
+    @property
+    def revision(self):
+        return self.mf.spec_revision
+
+    @revision.setter
+    def revision(self, value):
+        self.mf.spec_revision = value
+
     def add(self, name: str, value, dtype: Optional[str] = None):
         self.mf.variables[name] = make_variable(name, value, dtype)
 

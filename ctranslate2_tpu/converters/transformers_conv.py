@@ -1,0 +1,803 @@
+"""Hugging Face Transformers -> CTranslate2-format model directory.
+
+Functional parity with the reference converter registry
+(reference: python/ctranslate2/converters/transformers.py:289-4069),
+re-implemented against this package's SpecBuilder. Loaders are registered
+by HF config class name; each maps module weights onto the CT2 variable
+scopes consumed by :mod:`..models.spec`.
+
+Weights come from a local checkpoint directory (or an in-memory
+``PreTrainedModel`` for tests) — no network access is required.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from .builder import ACTIVATION_IDS, SpecBuilder
+
+LOADERS: Dict[str, Callable] = {}
+
+_HF_ACTIVATIONS = {
+    "gelu": "gelu_tanh",  # HF "gelu" for GPT-2 family is the tanh approx
+    "gelu_new": "gelu_tanh",
+    "gelu_fast": "gelu_tanh",
+    "gelu_pytorch_tanh": "gelu_tanh",
+    "gelu_python": "gelu",
+    "gelu_accurate": "gelu_tanh",
+    "relu": "relu",
+    "silu": "swish",
+    "swish": "swish",
+    "quick_gelu": "gelu_sigmoid",
+    "tanh": "tanh",
+}
+
+
+def register(*names):
+    def deco(fn):
+        for n in names:
+            LOADERS[n] = fn
+        return fn
+
+    return deco
+
+
+def _np(tensor) -> np.ndarray:
+    return tensor.detach().to("cpu").float().numpy()
+
+
+class ConvBuilder(SpecBuilder):
+    """SpecBuilder with torch-module-aware setters."""
+
+    def set_linear(self, scope: str, module, transpose: bool = False):
+        w = _np(module.weight)
+        if transpose or type(module).__name__ == "Conv1D":
+            w = w.T  # HF GPT-2 Conv1D stores [in, out]
+        self.add(f"{scope}/weight", np.ascontiguousarray(w))
+        if getattr(module, "bias", None) is not None:
+            self.add(f"{scope}/bias", _np(module.bias))
+
+    def set_qkv(self, scope: str, q, k, v, transpose: bool = False):
+        """Store a fused QKV projection in artifact layout [q|k|v]."""
+        ws = []
+        bs = []
+        for m in (q, k, v):
+            w = _np(m.weight)
+            if transpose or type(m).__name__ == "Conv1D":
+                w = w.T
+            ws.append(w)
+            if getattr(m, "bias", None) is not None:
+                bs.append(_np(m.bias))
+        self.add(f"{scope}/linear_0/weight", np.concatenate(ws, axis=0))
+        if len(bs) == len(ws):
+            self.add(f"{scope}/linear_0/bias", np.concatenate(bs, axis=0))
+
+    def set_layer_norm(self, scope: str, module, rms: bool = False,
+                       plus_one: bool = False):
+        gamma = _np(module.weight)
+        if plus_one:
+            # Gemma RMSNorm computes x * rms * (1 + gamma); bake in the +1.
+            gamma = gamma + 1.0
+        self.add(f"{scope}/gamma", gamma)
+        if not rms and getattr(module, "bias", None) is not None:
+            self.add(f"{scope}/beta", _np(module.bias))
+
+    def set_embeddings(self, scope: str, module):
+        self.add(f"{scope}/weight", _np(module.weight))
+
+    def set_position_embeddings(self, scope: str, module, offset: int = 0):
+        w = _np(module.weight)
+        if offset:
+            w = w[offset:]
+        self.add(f"{scope}/encodings", w)
+
+
+def get_vocabulary(model, tokenizer):
+    """Token list ordered by id, padded to the model vocab size
+    (reference: transformers.py ModelLoader.get_vocabulary)."""
+    vocab = tokenizer.get_vocab()
+    tokens = [None] * len(vocab)
+    for tok, idx in vocab.items():
+        if idx < len(tokens):
+            tokens[idx] = tok
+    tokens = [t if t is not None else f"<pad_{i}>" for i, t in enumerate(tokens)]
+    vocab_size = getattr(model.config, "vocab_size", len(tokens))
+    for i in range(vocab_size - len(tokens)):
+        tokens.append(f"<extra_id_{i}>")
+    if vocab_size and vocab_size < len(tokens):
+        tokens = tokens[:vocab_size]
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Decoder-only loaders.
+# ---------------------------------------------------------------------------
+
+
+@register("GPT2Config")
+def load_gpt2(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    b.add_attr(f"{sc}/num_heads", config.n_head, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(
+        f"{sc}/activation",
+        ACTIVATION_IDS[_HF_ACTIVATIONS[config.activation_function]], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    module = model.transformer
+    b.set_embeddings(f"{sc}/embeddings", module.wte)
+    b.set_position_embeddings(f"{sc}/position_encodings", module.wpe)
+    b.set_layer_norm(f"{sc}/layer_norm", module.ln_f)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    for i, layer in enumerate(module.h):
+        ls = f"{sc}/layer_{i}"
+        b.set_layer_norm(f"{ls}/self_attention/layer_norm", layer.ln_1)
+        b.set_linear(f"{ls}/self_attention/linear_0", layer.attn.c_attn)
+        b.set_linear(f"{ls}/self_attention/linear_1", layer.attn.c_proj)
+        b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.ln_2)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.c_fc)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.c_proj)
+    return {}
+
+
+def _rotary_scaling(b, sc_layers, config):
+    """Attach rotary scaling attributes per layer scope."""
+    rope_scaling = getattr(config, "rope_scaling", None)
+    out = {}
+    if not rope_scaling:
+        return out
+    rtype = rope_scaling.get("rope_type", rope_scaling.get("type"))
+    if rtype in ("linear",):
+        out["rotary_scaling_type"] = 0
+        out["rotary_scaling_factor"] = float(rope_scaling["factor"])
+    elif rtype in ("su", "longrope"):
+        out["rotary_scaling_type"] = 1
+    elif rtype == "llama3":
+        out["rotary_scaling_type"] = 2
+        out["rotary_scaling_factor"] = float(rope_scaling["factor"])
+        out["rotary_low_freq_factor"] = float(rope_scaling["low_freq_factor"])
+        out["rotary_high_freq_factor"] = float(rope_scaling["high_freq_factor"])
+        out["original_max_position_embeddings"] = int(
+            rope_scaling["original_max_position_embeddings"])
+    return out
+
+
+@register("LlamaConfig", "MistralConfig", "Qwen2Config", "Qwen3Config")
+def load_llama(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    num_heads = config.num_attention_heads
+    num_heads_kv = getattr(config, "num_key_value_heads", num_heads)
+    head_dim = getattr(config, "head_dim", None) or (
+        config.hidden_size // num_heads)
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation", ACTIVATION_IDS["swish"], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    sliding_window = getattr(config, "sliding_window", None) or 0
+    if sliding_window:
+        b.add_attr(f"{sc}/sliding_window", int(sliding_window), "int32")
+
+    module = model.model
+    b.set_embeddings(f"{sc}/embeddings", module.embed_tokens)
+    b.set_layer_norm(f"{sc}/layer_norm", module.norm, rms=True)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    rope_attrs = _rotary_scaling(b, None, config)
+
+    for i, layer in enumerate(module.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{asc}/layer_norm", layer.input_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/ffn/layer_norm",
+                         layer.post_attention_layernorm, rms=True)
+        b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                  layer.self_attn.v_proj)
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.o_proj)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.gate_proj)
+        b.set_linear(f"{ls}/ffn/linear_0_noact", layer.mlp.up_proj)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.down_proj)
+
+        if num_heads_kv != num_heads:
+            b.add_attr(f"{asc}/num_heads_kv", num_heads_kv, "int32")
+        if head_dim != config.hidden_size // num_heads:
+            b.add_attr(f"{asc}/head_dim", head_dim, "int32")
+        if sliding_window:
+            b.add_attr(f"{asc}/sliding_window", int(sliding_window), "int32")
+        b.add_attr(f"{asc}/rotary_dim", 0, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        b.add_attr(f"{asc}/rotary_base",
+                   float(getattr(config, "rope_theta", 10000.0)), "float32")
+        for name, value in rope_attrs.items():
+            dtype = "int8" if name == "rotary_scaling_type" else (
+                "int32" if "position" in name else "float32")
+            b.add_attr(f"{asc}/{name}", value, dtype)
+
+        # Qwen3 QK norms.
+        if hasattr(layer.self_attn, "q_norm"):
+            b.set_layer_norm(f"{asc}/q_norm", layer.self_attn.q_norm, rms=True)
+        if hasattr(layer.self_attn, "k_norm"):
+            b.set_layer_norm(f"{asc}/k_norm", layer.self_attn.k_norm, rms=True)
+
+    return {"layer_norm_epsilon": float(config.rms_norm_eps)}
+
+
+@register("OPTConfig")
+def load_opt(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    b.add_attr(f"{sc}/num_heads", config.num_attention_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1 if config.do_layer_norm_before else 0, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS[config.activation_function]],
+               "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    module = model.model.decoder
+    b.set_embeddings(f"{sc}/embeddings", module.embed_tokens)
+    # OPT position embeddings have a +2 offset.
+    b.set_position_embeddings(f"{sc}/position_encodings",
+                              module.embed_positions, offset=2)
+    if module.final_layer_norm is not None:
+        b.set_layer_norm(f"{sc}/layer_norm", module.final_layer_norm)
+    if getattr(module, "project_in", None) is not None:
+        b.set_linear(f"{sc}/project_in", module.project_in)
+    if getattr(module, "project_out", None) is not None:
+        b.set_linear(f"{sc}/project_out", module.project_out)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    for i, layer in enumerate(module.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{asc}/layer_norm", layer.self_attn_layer_norm)
+        b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                  layer.self_attn.v_proj)
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.out_proj)
+        b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.final_layer_norm)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.fc1)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.fc2)
+    return {}
+
+
+@register("GPTNeoXConfig")
+def load_gpt_neox(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    num_heads = config.num_attention_heads
+    head_dim = config.hidden_size // num_heads
+    rotary_dim = int(head_dim * config.rotary_pct)
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS[config.hidden_act]], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    module = model.gpt_neox
+    b.set_embeddings(f"{sc}/embeddings", module.embed_in)
+    b.set_layer_norm(f"{sc}/layer_norm", module.final_layer_norm)
+    b.set_linear(f"{sc}/projection", model.embed_out)
+
+    parallel = getattr(config, "use_parallel_residual", True)
+
+    for i, layer in enumerate(module.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        if parallel:
+            b.set_layer_norm(f"{ls}/input_layer_norm", layer.input_layernorm)
+            b.set_layer_norm(f"{ls}/post_attention_layer_norm",
+                             layer.post_attention_layernorm)
+        else:
+            b.set_layer_norm(f"{asc}/layer_norm", layer.input_layernorm)
+            b.set_layer_norm(f"{ls}/ffn/layer_norm",
+                             layer.post_attention_layernorm)
+
+        # HF NeoX QKV is interleaved per head: [h0q h0k h0v h1q ...].
+        import torch
+
+        qkv_w = layer.attention.query_key_value.weight
+        qkv_b = layer.attention.query_key_value.bias
+        w = _np(qkv_w).reshape(num_heads, 3, head_dim, -1)
+        q, k, v = w[:, 0], w[:, 1], w[:, 2]
+        fused = np.concatenate(
+            [q.reshape(num_heads * head_dim, -1),
+             k.reshape(num_heads * head_dim, -1),
+             v.reshape(num_heads * head_dim, -1)], axis=0)
+        b.add(f"{asc}/linear_0/weight", fused)
+        if qkv_b is not None:
+            bb = _np(qkv_b).reshape(num_heads, 3, head_dim)
+            b.add(f"{asc}/linear_0/bias", np.concatenate(
+                [bb[:, 0].reshape(-1), bb[:, 1].reshape(-1),
+                 bb[:, 2].reshape(-1)]))
+        b.set_linear(f"{asc}/linear_1", layer.attention.dense)
+        b.add_attr(f"{asc}/rotary_dim", rotary_dim, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        b.add_attr(f"{asc}/rotary_base",
+                   float(getattr(config, "rotary_emb_base",
+                                 getattr(config, "rope_theta", 10000.0))),
+                   "float32")
+
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.dense_h_to_4h)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.dense_4h_to_h)
+    return {"layer_norm_epsilon": float(config.layer_norm_eps)}
+
+
+@register("BloomConfig")
+def load_bloom(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    num_heads = config.n_head
+    head_dim = config.hidden_size // num_heads
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation", ACTIVATION_IDS["gelu_tanh"], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+    b.add_attr(f"{sc}/alibi", 1, "int8")
+    b.add_attr(f"{sc}/alibi_use_positive_positions", 0, "int8")
+
+    module = model.transformer
+    b.set_embeddings(f"{sc}/embeddings", module.word_embeddings)
+    b.add(f"{sc}/layernorm_embedding/gamma", _np(module.word_embeddings_layernorm.weight))
+    b.add(f"{sc}/layernorm_embedding/beta", _np(module.word_embeddings_layernorm.bias))
+    b.set_layer_norm(f"{sc}/layer_norm", module.ln_f)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    for i, layer in enumerate(module.h):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{asc}/layer_norm", layer.input_layernorm)
+        # Bloom QKV interleaved per head [h, 3, d].
+        w = _np(layer.self_attention.query_key_value.weight)
+        w = w.reshape(num_heads, 3, head_dim, -1)
+        fused = np.concatenate([w[:, j].reshape(num_heads * head_dim, -1)
+                                for j in range(3)], axis=0)
+        b.add(f"{asc}/linear_0/weight", fused)
+        bias = layer.self_attention.query_key_value.bias
+        if bias is not None:
+            bb = _np(bias).reshape(num_heads, 3, head_dim)
+            b.add(f"{asc}/linear_0/bias", np.concatenate(
+                [bb[:, j].reshape(-1) for j in range(3)]))
+        b.set_linear(f"{asc}/linear_1", layer.self_attention.dense)
+        b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.post_attention_layernorm)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.dense_h_to_4h)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.dense_4h_to_h)
+    return {"layer_norm_epsilon": float(config.layer_norm_epsilon)}
+
+
+@register("GemmaConfig", "Gemma2Config")
+def load_gemma(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    num_heads = config.num_attention_heads
+    num_heads_kv = getattr(config, "num_key_value_heads", num_heads)
+    head_dim = config.head_dim
+    is_gemma2 = config.__class__.__name__ == "Gemma2Config"
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation", ACTIVATION_IDS["gelu_tanh"], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 1, "int8")
+    b.add("decoder/scale_embeddings",
+          np.float32(config.hidden_size ** 0.5))
+    if is_gemma2 and getattr(config, "final_logit_softcapping", None):
+        b.add_attr(f"{sc}/final_logit_softcapping",
+                   float(config.final_logit_softcapping), "float32")
+
+    module = model.model
+    b.set_embeddings(f"{sc}/embeddings", module.embed_tokens)
+    b.set_layer_norm(f"{sc}/layer_norm", module.norm, rms=True, plus_one=True)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    for i, layer in enumerate(module.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        if is_gemma2:
+            b.set_layer_norm(f"{ls}/input_layer_norm",
+                             layer.input_layernorm, rms=True, plus_one=True)
+            b.set_layer_norm(f"{ls}/post_attention_layer_norm",
+                             layer.post_attention_layernorm, rms=True,
+                             plus_one=True)
+            b.set_layer_norm(f"{ls}/pre_feedforward_layer_norm",
+                             layer.pre_feedforward_layernorm, rms=True,
+                             plus_one=True)
+            b.set_layer_norm(f"{ls}/post_feedforward_layer_norm",
+                             layer.post_feedforward_layernorm, rms=True,
+                             plus_one=True)
+            if i % 2 == 0 and getattr(config, "sliding_window", None):
+                b.add_attr(f"{asc}/sliding_window",
+                           int(config.sliding_window), "int32")
+        else:
+            b.set_layer_norm(f"{asc}/layer_norm",
+                             layer.input_layernorm, rms=True, plus_one=True)
+            b.set_layer_norm(f"{ls}/ffn/layer_norm",
+                             layer.post_attention_layernorm, rms=True,
+                             plus_one=True)
+        b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                  layer.self_attn.v_proj)
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.o_proj)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.gate_proj)
+        b.set_linear(f"{ls}/ffn/linear_0_noact", layer.mlp.up_proj)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.down_proj)
+        if num_heads_kv != num_heads:
+            b.add_attr(f"{asc}/num_heads_kv", num_heads_kv, "int32")
+        if head_dim != config.hidden_size // num_heads:
+            b.add_attr(f"{asc}/head_dim", head_dim, "int32")
+        b.add_attr(f"{asc}/rotary_dim", 0, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        b.add_attr(f"{asc}/rotary_base",
+                   float(getattr(config, "rope_theta", 10000.0)), "float32")
+        if is_gemma2 and getattr(config, "attn_logit_softcapping", None):
+            pass  # attention softcapping: not in the reference either
+        if is_gemma2:
+            b.add_attr(f"{asc}/queries_scale",
+                       float(config.query_pre_attn_scalar ** -0.5), "float32")
+
+    return {"layer_norm_epsilon": float(config.rms_norm_eps)}
+
+
+# ---------------------------------------------------------------------------
+# Encoder-decoder loaders.
+# ---------------------------------------------------------------------------
+
+
+def _load_bart_like(b: ConvBuilder, model, config, tokenizer, *,
+                    spec_name="TransformerSpec", activation=None,
+                    scale_embeddings=None, pos_offset=2,
+                    layernorm_embedding=True, final_norm=False):
+    b.spec_name, b.revision = spec_name, 7
+    act = activation or _HF_ACTIVATIONS[config.activation_function]
+    scale = (config.scale_embedding if scale_embeddings is None
+             else scale_embeddings)
+
+    for side in ("encoder", "decoder"):
+        b.add_attr(f"{side}/num_heads", config.encoder_attention_heads
+                   if side == "encoder" else config.decoder_attention_heads,
+                   "int16")
+        b.add_attr(f"{side}/pre_norm",
+                   1 if getattr(config, "normalize_before", False) else 0,
+                   "int8")
+        b.add_attr(f"{side}/activation", ACTIVATION_IDS[act], "int8")
+        b.add_attr(f"{side}/scale_embeddings", 1 if scale else 0, "int8")
+    b.add_attr("encoder/embeddings_merge", 0, "int8")
+
+    enc = model.model.encoder
+    dec = model.model.decoder
+
+    b.set_embeddings("encoder/embeddings_0", enc.embed_tokens)
+    b.set_embeddings("decoder/embeddings", dec.embed_tokens)
+    b.set_position_embeddings("encoder/position_encodings",
+                              enc.embed_positions, offset=pos_offset)
+    b.set_position_embeddings("decoder/position_encodings",
+                              dec.embed_positions, offset=pos_offset)
+    if layernorm_embedding:
+        b.set_layer_norm("encoder/layernorm_embedding", enc.layernorm_embedding)
+        b.set_layer_norm("decoder/layernorm_embedding", dec.layernorm_embedding)
+    if final_norm:
+        b.set_layer_norm("encoder/layer_norm", enc.layer_norm)
+        b.set_layer_norm("decoder/layer_norm", dec.layer_norm)
+    b.set_linear("decoder/projection", model.lm_head)
+
+    for side, module in (("encoder", enc), ("decoder", dec)):
+        for i, layer in enumerate(module.layers):
+            ls = f"{side}/layer_{i}"
+            asc = f"{ls}/self_attention"
+            b.set_layer_norm(f"{asc}/layer_norm", layer.self_attn_layer_norm)
+            b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                      layer.self_attn.v_proj)
+            b.set_linear(f"{asc}/linear_1", layer.self_attn.out_proj)
+            if side == "decoder":
+                csc = f"{ls}/attention"
+                b.set_layer_norm(f"{csc}/layer_norm",
+                                 layer.encoder_attn_layer_norm)
+                b.set_linear(f"{csc}/linear_0", layer.encoder_attn.q_proj)
+                kw = _np(layer.encoder_attn.k_proj.weight)
+                vw = _np(layer.encoder_attn.v_proj.weight)
+                b.add(f"{csc}/linear_1/weight", np.concatenate([kw, vw], axis=0))
+                kb = layer.encoder_attn.k_proj.bias
+                vb = layer.encoder_attn.v_proj.bias
+                if kb is not None:
+                    b.add(f"{csc}/linear_1/bias",
+                          np.concatenate([_np(kb), _np(vb)]))
+                b.set_linear(f"{csc}/linear_2", layer.encoder_attn.out_proj)
+            b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.final_layer_norm)
+            b.set_linear(f"{ls}/ffn/linear_0", layer.fc1)
+            b.set_linear(f"{ls}/ffn/linear_1", layer.fc2)
+
+    return {
+        "bos_token": tokenizer.bos_token or "<s>",
+        "eos_token": tokenizer.eos_token or "</s>",
+        "unk_token": tokenizer.unk_token or "<unk>",
+        "decoder_start_token": tokenizer.convert_ids_to_tokens(
+            config.decoder_start_token_id)
+        if getattr(config, "decoder_start_token_id", None) is not None
+        else "<s>",
+    }
+
+
+@register("BartConfig")
+def load_bart(b, model, config, tokenizer):
+    return _load_bart_like(b, model, config, tokenizer)
+
+
+@register("MBartConfig")
+def load_mbart(b, model, config, tokenizer):
+    return _load_bart_like(b, model, config, tokenizer, final_norm=True)
+
+
+@register("M2M100Config")
+def load_m2m100(b, model, config, tokenizer):
+    # M2M100 / NLLB: sinusoidal positions with offset 2, final layer norm.
+    cfg = _load_bart_like(b, model, config, tokenizer,
+                          layernorm_embedding=False, final_norm=True,
+                          pos_offset=2)
+    return cfg
+
+
+@register("MarianConfig")
+def load_marian(b, model, config, tokenizer):
+    # OPUS-MT: sinusoidal positions (no stored table), no embedding norm.
+    cfg = _load_bart_like(b, model, config, tokenizer,
+                          layernorm_embedding=False, pos_offset=0)
+    return cfg
+
+
+@register("T5Config", "MT5Config")
+def load_t5(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "TransformerSpec", 7
+    act = ("gelu_tanh" if "gelu" in (config.feed_forward_proj or "relu")
+           else "relu")
+    glu = "gated" in (config.feed_forward_proj or "")
+
+    for side in ("encoder", "decoder"):
+        b.add_attr(f"{side}/num_heads", config.num_heads, "int16")
+        b.add_attr(f"{side}/pre_norm", 1, "int8")
+        b.add_attr(f"{side}/activation", ACTIVATION_IDS[act], "int8")
+        b.add_attr(f"{side}/scale_embeddings", 0, "int8")
+    b.add_attr("encoder/embeddings_merge", 0, "int8")
+
+    b.set_embeddings("encoder/embeddings_0", model.shared)
+    b.set_embeddings("decoder/embeddings", model.shared)
+    b.set_linear("decoder/projection", model.lm_head)
+    if config.tie_word_embeddings:
+        b.add("decoder/scale_outputs",
+              np.float32(config.d_model ** -0.5))
+
+    for side, module in (("encoder", model.encoder), ("decoder", model.decoder)):
+        b.set_layer_norm(f"{side}/layer_norm", module.final_layer_norm, rms=True)
+        for i, block in enumerate(module.block):
+            ls = f"{side}/layer_{i}"
+            asc = f"{ls}/self_attention"
+            attn = block.layer[0].SelfAttention
+            b.set_layer_norm(f"{asc}/layer_norm",
+                             block.layer[0].layer_norm, rms=True)
+            b.set_qkv(asc, attn.q, attn.k, attn.v)
+            b.set_linear(f"{asc}/linear_1", attn.o)
+            b.add_attr(f"{asc}/queries_scale", 1.0, "float32")
+            if i == 0:
+                first_attn = attn
+            b.add(f"{asc}/relative_attention_bias",
+                  _np(first_attn.relative_attention_bias.weight))
+            b.add_attr(f"{asc}/relative_attention_max_distance",
+                       config.relative_attention_max_distance, "int32")
+            ffn_idx = 1
+            if side == "decoder":
+                csc = f"{ls}/attention"
+                cross = block.layer[1].EncDecAttention
+                b.set_layer_norm(f"{csc}/layer_norm",
+                                 block.layer[1].layer_norm, rms=True)
+                b.set_linear(f"{csc}/linear_0", cross.q)
+                kw = _np(cross.k.weight)
+                vw = _np(cross.v.weight)
+                b.add(f"{csc}/linear_1/weight", np.concatenate([kw, vw], axis=0))
+                b.set_linear(f"{csc}/linear_2", cross.o)
+                b.add_attr(f"{csc}/queries_scale", 1.0, "float32")
+                ffn_idx = 2
+            ff = block.layer[ffn_idx]
+            b.set_layer_norm(f"{ls}/ffn/layer_norm", ff.layer_norm, rms=True)
+            mlp = ff.DenseReluDense
+            if glu:
+                b.set_linear(f"{ls}/ffn/linear_0", mlp.wi_0)
+                b.set_linear(f"{ls}/ffn/linear_0_noact", mlp.wi_1)
+            else:
+                b.set_linear(f"{ls}/ffn/linear_0", mlp.wi)
+            b.set_linear(f"{ls}/ffn/linear_1", mlp.wo)
+
+    # T5 relative bias exists on layer 0 only; alias it to other layers like
+    # the reference does via position_bias reuse (our runtime reuses the
+    # first computed bias per stack).
+    return {
+        "bos_token": tokenizer.pad_token or "<pad>",
+        "eos_token": tokenizer.eos_token or "</s>",
+        "unk_token": tokenizer.unk_token or "<unk>",
+        "decoder_start_token": tokenizer.pad_token or "<pad>",
+        "layer_norm_epsilon": float(config.layer_norm_epsilon),
+    }
+
+
+@register("WhisperConfig")
+def load_whisper(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "WhisperSpec", 3
+    enc = model.model.encoder
+    dec = model.model.decoder
+
+    for side, heads in (("encoder", config.encoder_attention_heads),
+                        ("decoder", config.decoder_attention_heads)):
+        b.add_attr(f"{side}/num_heads", heads, "int16")
+    b.add_attr("decoder/pre_norm", 1, "int8")
+    b.add_attr("decoder/activation", ACTIVATION_IDS["gelu"], "int8")
+
+    b.add("encoder/conv1/weight", _np(enc.conv1.weight))
+    b.add("encoder/conv1/bias", _np(enc.conv1.bias))
+    b.add("encoder/conv2/weight", _np(enc.conv2.weight))
+    b.add("encoder/conv2/bias", _np(enc.conv2.bias))
+    b.set_position_embeddings("encoder/position_encodings", enc.embed_positions)
+    b.set_layer_norm("encoder/layer_norm", enc.layer_norm)
+
+    b.set_embeddings("decoder/embeddings", dec.embed_tokens)
+    b.set_position_embeddings("decoder/position_encodings", dec.embed_positions)
+    b.set_layer_norm("decoder/layer_norm", dec.layer_norm)
+    b.add("decoder/projection/weight", _np(dec.embed_tokens.weight))
+
+    for side, module in (("encoder", enc), ("decoder", dec)):
+        for i, layer in enumerate(module.layers):
+            ls = f"{side}/layer_{i}"
+            asc = f"{ls}/self_attention"
+            b.set_layer_norm(f"{asc}/layer_norm", layer.self_attn_layer_norm)
+            b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                      layer.self_attn.v_proj)
+            b.set_linear(f"{asc}/linear_1", layer.self_attn.out_proj)
+            if side == "decoder":
+                csc = f"{ls}/attention"
+                b.set_layer_norm(f"{csc}/layer_norm",
+                                 layer.encoder_attn_layer_norm)
+                b.set_linear(f"{csc}/linear_0", layer.encoder_attn.q_proj)
+                kw = _np(layer.encoder_attn.k_proj.weight)
+                vw = _np(layer.encoder_attn.v_proj.weight)
+                b.add(f"{csc}/linear_1/weight", np.concatenate([kw, vw], axis=0))
+                kb = layer.encoder_attn.k_proj.bias
+                vb = layer.encoder_attn.v_proj.bias
+                if kb is not None and vb is not None:
+                    b.add(f"{csc}/linear_1/bias",
+                          np.concatenate([_np(kb), _np(vb)]))
+                else:
+                    # Whisper K has no bias but V does: zero-fill K's half.
+                    kb_np = np.zeros(kw.shape[0], np.float32) if kb is None else _np(kb)
+                    vb_np = np.zeros(vw.shape[0], np.float32) if vb is None else _np(vb)
+                    b.add(f"{csc}/linear_1/bias", np.concatenate([kb_np, vb_np]))
+                b.set_linear(f"{csc}/linear_2", layer.encoder_attn.out_proj)
+            b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.final_layer_norm)
+            b.set_linear(f"{ls}/ffn/linear_0", layer.fc1)
+            b.set_linear(f"{ls}/ffn/linear_1", layer.fc2)
+
+    # Whisper self-attn K has no bias either: fix the fused bias zero-fill.
+    cfg = {
+        "suppress_ids": list(getattr(config, "suppress_tokens", None) or []),
+        "suppress_ids_begin": list(getattr(config, "begin_suppress_tokens", None) or []),
+        "lang_ids": sorted(
+            v for k, v in tokenizer.get_vocab().items()
+            if k.startswith("<|") and k.endswith("|>") and len(k) in (6, 7)
+            and k[2:-2].isalpha()
+        ),
+    }
+    if getattr(config, "alignment_heads", None):
+        cfg["alignment_heads"] = [list(p) for p in config.alignment_heads]
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Encoder-only loaders.
+# ---------------------------------------------------------------------------
+
+
+@register("BertConfig", "RobertaConfig", "XLMRobertaConfig", "CamembertConfig")
+def load_bert(b: ConvBuilder, model, config, tokenizer):
+    b.spec_name, b.revision = "TransformerEncoderSpec", 1
+    sc = "encoder"
+    b.add_attr(f"{sc}/num_heads", config.num_attention_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 0, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS[config.hidden_act]], "int8")
+    b.add_attr(f"{sc}/embeddings_merge", 1, "int8")  # add
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    base = getattr(model, "bert", None) or getattr(model, "roberta", None) \
+        or model.base_model
+    emb = base.embeddings
+    b.set_embeddings(f"{sc}/embeddings_0", emb.word_embeddings)
+    b.set_embeddings(f"{sc}/embeddings_1", emb.token_type_embeddings)
+    b.set_position_embeddings(f"{sc}/position_encodings",
+                              emb.position_embeddings,
+                              offset=getattr(emb, "padding_idx", 0) or 0)
+    b.set_layer_norm(f"{sc}/layernorm_embedding", emb.LayerNorm)
+
+    for i, layer in enumerate(base.encoder.layer):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        att = layer.attention
+        b.set_qkv(asc, att.self.query, att.self.key, att.self.value)
+        b.set_linear(f"{asc}/linear_1", att.output.dense)
+        b.set_layer_norm(f"{asc}/layer_norm", att.output.LayerNorm)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.intermediate.dense)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.output.dense)
+        b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.output.LayerNorm)
+
+    if getattr(base, "pooler", None) is not None:
+        b.set_linear("pooler", base.pooler.dense)
+        b.add_attr("pooler_activation", ACTIVATION_IDS["tanh"], "int8")
+    return {"layer_norm_epsilon": float(config.layer_norm_eps)}
+
+
+# ---------------------------------------------------------------------------
+# Converter entry.
+# ---------------------------------------------------------------------------
+
+
+class TransformersConverter:
+    """Convert a local HF Transformers checkpoint (or in-memory model)."""
+
+    def __init__(self, model_name_or_path=None, model=None, tokenizer=None,
+                 load_as_float16: bool = False, low_cpu_mem_usage: bool = False,
+                 trust_remote_code: bool = False):
+        self._path = model_name_or_path
+        self._model = model
+        self._tokenizer = tokenizer
+
+    def convert(self, output_dir: str, quantization: Optional[str] = None,
+                force: bool = False) -> str:
+        if os.path.exists(os.path.join(output_dir, "model.bin")) and not force:
+            raise RuntimeError(
+                f"The output directory {output_dir} already exists "
+                "(use force=True to override)")
+
+        model = self._model
+        tokenizer = self._tokenizer
+        if model is None:
+            import transformers
+
+            config = transformers.AutoConfig.from_pretrained(self._path)
+            model = transformers.AutoModelForCausalLM.from_pretrained(self._path) \
+                if config.is_decoder or config.__class__.__name__ in (
+                    "GPT2Config",) else \
+                transformers.AutoModel.from_pretrained(self._path)
+            if tokenizer is None:
+                tokenizer = transformers.AutoTokenizer.from_pretrained(self._path)
+
+        config = model.config
+        loader = LOADERS.get(config.__class__.__name__)
+        if loader is None:
+            raise ValueError(
+                f"No converter is registered for the model {config.__class__.__name__} "
+                f"(supported: {', '.join(sorted(LOADERS))})")
+
+        b = ConvBuilder("", 1)
+        extra_config = loader(b, model, config, tokenizer) or {}
+        gemma_residual = extra_config.pop("gemma_residual_norm", False)
+
+        tokens = get_vocabulary(model, tokenizer)
+
+        model_config = {
+            "bos_token": extra_config.pop(
+                "bos_token", getattr(tokenizer, "bos_token", None) or "<s>"),
+            "eos_token": extra_config.pop(
+                "eos_token", getattr(tokenizer, "eos_token", None) or "</s>"),
+            "unk_token": extra_config.pop(
+                "unk_token", getattr(tokenizer, "unk_token", None) or "<unk>"),
+        }
+        model_config.update(extra_config)
+
+        b.quantize(quantization)
+        os.makedirs(output_dir, exist_ok=True)
+        b.save(output_dir, config=model_config)
+        with open(os.path.join(output_dir, "vocabulary.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(tokens, f, ensure_ascii=False)
+        return output_dir

@@ -385,7 +385,8 @@ def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
     if spec.has_layernorm_embedding:
         x = _norm(arch, ep.get("layernorm_embedding"), x)
 
-    S = ids.shape[-1]
+    main_ids = ids[0] if isinstance(ids, (tuple, list)) else ids
+    S = main_ids.shape[-1]
     bias = attn_ops.length_mask_bias(lengths, S)
 
     position_bias = None

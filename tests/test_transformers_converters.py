@@ -1,0 +1,273 @@
+"""Converter parity tests: tiny randomly-initialized HF models are converted
+and our forward logits are compared against the HF (torch CPU) forward.
+
+This is a stronger offline analog of the reference's converter round-trip
+tests (reference: python/tests/test_transformers.py)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from ctranslate2_tpu.converters.transformers_conv import TransformersConverter
+from ctranslate2_tpu.models.loader import load_model
+from ctranslate2_tpu.models import transformer as T
+
+
+class DummyTokenizer:
+    bos_token = "<s>"
+    eos_token = "</s>"
+    unk_token = "<unk>"
+    pad_token = "<pad>"
+
+    def __init__(self, vocab_size):
+        self._vocab = {f"tk{i}": i for i in range(vocab_size)}
+        self._vocab["<s>"] = 0
+        self._vocab["</s>"] = 1
+        self._vocab["<unk>"] = 2
+        self._vocab["<pad>"] = 3
+
+    def get_vocab(self):
+        return self._vocab
+
+    def convert_ids_to_tokens(self, idx):
+        for k, v in self._vocab.items():
+            if v == idx:
+                return k
+        return "<unk>"
+
+
+def _convert(model, tmp_path, vocab_size=64, quantization=None):
+    tok = DummyTokenizer(vocab_size)
+    conv = TransformersConverter(model=model, tokenizer=tok)
+    out = str(tmp_path / "converted")
+    conv.convert(out, quantization=quantization, force=True)
+    return out
+
+
+def _our_logits(model_dir, ids, compute_type="float32"):
+    m = load_model(model_dir, compute_type=compute_type)
+    ids_arr = jnp.asarray(ids, dtype=jnp.int32)
+    lengths = jnp.full((ids_arr.shape[0],), ids_arr.shape[1], jnp.int32)
+    logits, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, ids_arr, jnp.int32(0), None, None, None,
+        lengths=lengths, quantize_acts=m.policy.quantize_activations,
+        out_dtype=m.out_dtype)
+    return np.asarray(logits.astype(jnp.float32)), m
+
+
+def _hf_logits(model, ids):
+    with torch.no_grad():
+        out = model(torch.tensor(ids, dtype=torch.long))
+    return out.logits.float().numpy()
+
+
+IDS = [[4, 9, 17, 23, 5, 11, 30, 8]]
+
+
+def _check(model, tmp_path, atol=2e-3, vocab_size=64):
+    model = model.eval()
+    out_dir = _convert(model, tmp_path, vocab_size)
+    ours, _ = _our_logits(out_dir, IDS)
+    theirs = _hf_logits(model, IDS)
+    np.testing.assert_allclose(ours, theirs[..., : ours.shape[-1]],
+                               atol=atol, rtol=1e-3)
+
+
+def test_gpt2(tmp_path):
+    cfg = transformers.GPT2Config(
+        vocab_size=64, n_positions=64, n_embd=32, n_layer=2, n_head=4)
+    _check(transformers.GPT2LMHeadModel(cfg), tmp_path)
+
+
+def test_llama_gqa(tmp_path):
+    cfg = transformers.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64)
+    _check(transformers.LlamaForCausalLM(cfg), tmp_path)
+
+
+def test_llama_rope_llama3(tmp_path):
+    cfg = transformers.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64})
+    _check(transformers.LlamaForCausalLM(cfg), tmp_path)
+
+
+def test_mistral_sliding_window(tmp_path):
+    cfg = transformers.MistralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=4, max_position_embeddings=64, pad_token_id=3)
+    _check(transformers.MistralForCausalLM(cfg), tmp_path)
+
+
+def test_qwen2(tmp_path):
+    cfg = transformers.Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64)
+    _check(transformers.Qwen2ForCausalLM(cfg), tmp_path)
+
+
+def test_opt(tmp_path):
+    cfg = transformers.OPTConfig(
+        vocab_size=64, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32)
+    _check(transformers.OPTForCausalLM(cfg), tmp_path)
+
+
+def test_gpt_neox(tmp_path):
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.5,
+        max_position_embeddings=64)
+    _check(transformers.GPTNeoXForCausalLM(cfg), tmp_path)
+
+
+def test_bloom(tmp_path):
+    cfg = transformers.BloomConfig(
+        vocab_size=64, hidden_size=32, n_layer=2, n_head=4)
+    _check(transformers.BloomForCausalLM(cfg), tmp_path)
+
+
+def test_gemma(tmp_path):
+    cfg = transformers.GemmaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64)
+    _check(transformers.GemmaForCausalLM(cfg), tmp_path, atol=5e-3)
+
+
+def test_t5(tmp_path):
+    cfg = transformers.T5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, feed_forward_proj="relu",
+        decoder_start_token_id=3, tie_word_embeddings=True)
+    model = transformers.T5ForConditionalGeneration(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+
+    src = [[5, 9, 12, 7]]
+    tgt = [[3, 8, 15, 21]]
+    m = load_model(out_dir, compute_type="float32")
+    src_arr = jnp.asarray(src, jnp.int32)
+    src_len = jnp.asarray([4], jnp.int32)
+    memory = T.encoder_forward_jit(
+        m.arch, m.params, m.consts, src_arr, src_len, quantize_acts=False)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    from ctranslate2_tpu.ops import attention as A
+
+    mem_bias = A.length_mask_bias(src_len, memory.shape[1])
+    logits, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray(tgt, jnp.int32),
+        jnp.int32(0), None, mem_kv, mem_bias, quantize_acts=False)
+    ours = np.asarray(logits)
+
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(src), decoder_input_ids=torch.tensor(tgt)
+        ).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_bart(tmp_path):
+    cfg = transformers.BartConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_position_embeddings=64,
+        scale_embedding=False, decoder_start_token_id=2)
+    model = transformers.BartForConditionalGeneration(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+
+    src = [[5, 9, 12, 7]]
+    tgt = [[2, 8, 15, 21]]
+    m = load_model(out_dir, compute_type="float32")
+    src_arr = jnp.asarray(src, jnp.int32)
+    src_len = jnp.asarray([4], jnp.int32)
+    memory = T.encoder_forward_jit(
+        m.arch, m.params, m.consts, src_arr, src_len, quantize_acts=False)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    from ctranslate2_tpu.ops import attention as A
+
+    mem_bias = A.length_mask_bias(src_len, memory.shape[1])
+    logits, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray(tgt, jnp.int32),
+        jnp.int32(0), None, mem_kv, mem_bias, quantize_acts=False)
+    ours = np.asarray(logits)
+
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(src), decoder_input_ids=torch.tensor(tgt)
+        ).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_bert(tmp_path):
+    cfg = transformers.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64)
+    model = transformers.BertModel(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+
+    m = load_model(out_dir, compute_type="float32")
+    ids = [[4, 9, 17, 23]]
+    ids_arr = jnp.asarray(ids, jnp.int32)
+    lengths = jnp.asarray([4], jnp.int32)
+    ours = np.asarray(T.encoder_forward_jit(
+        m.arch, m.params, m.consts,
+        (ids_arr, jnp.zeros_like(ids_arr)), lengths, quantize_acts=False))
+
+    with torch.no_grad():
+        theirs = model(torch.tensor(ids)).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_whisper(tmp_path):
+    cfg = transformers.WhisperConfig(
+        vocab_size=64, num_mel_bins=16, d_model=32,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=32, max_target_positions=32,
+        pad_token_id=3, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1)
+    model = transformers.WhisperForConditionalGeneration(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+
+    m = load_model(out_dir, compute_type="float32")
+    feats = np.random.default_rng(0).standard_normal(
+        (1, 16, 64)).astype(np.float32)
+    enc_ours = np.asarray(T.speech_encoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray(feats), quantize_acts=False))
+    with torch.no_grad():
+        enc_theirs = model.model.encoder(
+            torch.tensor(feats)).last_hidden_state.numpy()
+    np.testing.assert_allclose(enc_ours, enc_theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_gpt2_int8_quantized_conversion(tmp_path):
+    cfg = transformers.GPT2Config(
+        vocab_size=64, n_positions=64, n_embd=32, n_layer=2, n_head=4)
+    model = transformers.GPT2LMHeadModel(cfg).eval()
+    tok = DummyTokenizer(64)
+    conv = TransformersConverter(model=model, tokenizer=tok)
+    out = str(tmp_path / "converted_i8")
+    conv.convert(out, quantization="int8", force=True)
+    ours, m = _our_logits(out, IDS, compute_type="int8_float32")
+    assert m.policy.weight_dtype == "int8"
+    theirs = _hf_logits(model, IDS)
+    # INT8: loose comparison — argmax parity per position.
+    assert (ours.argmax(-1) == theirs.argmax(-1)).mean() > 0.7
