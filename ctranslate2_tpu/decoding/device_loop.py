@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from ..models import transformer as T
+from ..ops import attention as attn_ops
 from . import processors as proc
-from .sampling import sample_tokens
+from .sampling import sample_tokens, small_top_k
 
 
 def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
@@ -56,10 +57,21 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
         return jnp.any(tok[..., None] == end_ids, axis=-1)
 
     def loop(params, consts, start_tokens, start_pos, cache, mem_kv,
-             mem_bias, prefix, prefix_len, min_steps, key, token_map=None):
+             mem_bias, prefix, prefix_len, min_steps, key, token_map=None,
+             encoder_ids=None, encoder_lengths=None):
         N = start_tokens.shape[0]
         B = N // K
         L = max_steps
+
+        if encoder_ids is not None:
+            # Fused encode + cross-KV projection: one dispatch per request.
+            memory = T.encoder_forward(
+                arch, params, consts, encoder_ids, encoder_lengths,
+                quantize_acts=quantize_acts, out_dtype=out_dtype)
+            mem_kv = T.precompute_memory(
+                arch, params, memory, quantize_acts=quantize_acts)
+            mem_bias = attn_ops.length_mask_bias(
+                encoder_lengths, memory.shape[1])
 
         alive = jnp.zeros((B, K, L), jnp.int32)
         scores = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
@@ -119,7 +131,7 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
             log_probs = jax.nn.log_softmax(l, axis=-1)
             total = log_probs + scores.reshape(N)[:, None]
             flat = total.reshape(B, K * V)
-            ts, ti = jax.lax.top_k(flat, K2)  # [B, 2K]
+            ts, ti = small_top_k(flat, K2)  # [B, 2K]
             words = (ti % V).astype(jnp.int32)
             origins = (ti // V).astype(jnp.int32)
 
@@ -219,7 +231,15 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
         state = jax.lax.while_loop(cond, body, state)
         (_, _, _, _, _, store_seqs, store_lens, store_scores, store_count,
          _, _) = state
-        return store_seqs, store_lens, store_scores, store_count
+        # Pack everything into ONE int32 buffer so the host needs a single
+        # device->host fetch: [B, M, L + 3] = seqs | len | score bits | count.
+        packed = jnp.concatenate([
+            store_seqs,
+            store_lens[:, :, None],
+            jax.lax.bitcast_convert_type(store_scores, jnp.int32)[:, :, None],
+            jnp.broadcast_to(store_count[:, None, None], (store_seqs.shape[0], M, 1)),
+        ], axis=-1)
+        return packed
 
     return jax.jit(loop)
 
@@ -241,9 +261,19 @@ def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
         return jnp.any(tok[:, None] == end_ids[None, :], axis=-1)
 
     def loop(params, consts, start_tokens, start_pos, cache, mem_kv,
-             mem_bias, prefix, prefix_len, min_steps, key, token_map=None):
+             mem_bias, prefix, prefix_len, min_steps, key, token_map=None,
+             encoder_ids=None, encoder_lengths=None):
         N = start_tokens.shape[0]
         P = prefix.shape[1] if prefix is not None else 0
+
+        if encoder_ids is not None:
+            memory = T.encoder_forward(
+                arch, params, consts, encoder_ids, encoder_lengths,
+                quantize_acts=quantize_acts, out_dtype=out_dtype)
+            mem_kv = T.precompute_memory(
+                arch, params, memory, quantize_acts=quantize_acts)
+            mem_bias = attn_ops.length_mask_bias(
+                encoder_lengths, memory.shape[1])
 
         out_buf = jnp.zeros((N, max_steps), jnp.int32)
         scores = jnp.zeros(N, jnp.float32)
@@ -326,6 +356,12 @@ def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
                  finished, num_steps)
         state = jax.lax.while_loop(cond, body, state)
         _, _, cache, out_buf, scores, finished, num_steps = state
-        return out_buf, num_steps, scores, cache
+        # Pack [N, max_steps + 2]: tokens | num_steps | score bits.
+        packed = jnp.concatenate([
+            out_buf,
+            num_steps[:, None],
+            jax.lax.bitcast_convert_type(scores, jnp.int32)[:, None],
+        ], axis=-1)
+        return packed
 
     return jax.jit(loop)

@@ -32,7 +32,7 @@ from ..models.loader import LoadedModel
 from ..ops import attention as attn_ops
 from . import processors as proc
 from .options import DecodingOptions, DecodingResult, DecodingStepResult
-from .sampling import sample_tokens
+from .sampling import sample_tokens, small_top_k
 
 NEG = -1e10
 
@@ -160,7 +160,7 @@ class DecodingEngine:
                 N, V = total.shape
                 B = N // sig.beam_size
                 flat = total.reshape(B, sig.beam_size * V)
-                topk_scores, topk_ids = jax.lax.top_k(flat, sig.num_candidates)
+                topk_scores, topk_ids = small_top_k(flat, sig.num_candidates)
                 return topk_ids, topk_scores, cache, attn, log_probs
             else:
                 ids, s = sample_tokens(
@@ -200,6 +200,7 @@ class DecodingEngine:
         step_callback=None,
         params=None,
         token_map=None,
+        encoder_inputs=None,  # (src_ids [B,S], src_lengths [B]) — fused encode
     ) -> List[DecodingResult]:
         if params is None:
             params = self.model.params
@@ -208,12 +209,12 @@ class DecodingEngine:
                 start_ids, options, memory=memory, memory_lengths=memory_lengths,
                 cache=cache, start_step=start_step, prefix_ids=prefix_ids,
                 end_ids=end_ids, capacity=capacity, params=params,
-                token_map=token_map)
+                token_map=token_map, encoder_inputs=encoder_inputs)
         return self._greedy_search(
             start_ids, options, memory=memory, memory_lengths=memory_lengths,
             cache=cache, start_step=start_step, prefix_ids=prefix_ids,
             end_ids=end_ids, capacity=capacity, step_callback=step_callback,
-            params=params, token_map=token_map)
+            params=params, token_map=token_map, encoder_inputs=encoder_inputs)
 
     # ------------------------------------------------------------------
 
@@ -316,7 +317,7 @@ class DecodingEngine:
 
     def _beam_search(self, start_ids, options, *, memory, memory_lengths,
                      cache, start_step, prefix_ids, end_ids, capacity,
-                     params=None, token_map=None):
+                     params=None, token_map=None, encoder_inputs=None):
         if params is None:
             params = self.model.params
         model = self.model
@@ -325,7 +326,7 @@ class DecodingEngine:
         K2 = K * 2
         num_hyp = options.num_hypotheses
         max_candidates = max(1, round(K * options.patience))
-        has_memory = memory is not None
+        has_memory = memory is not None or encoder_inputs is not None
 
         N, max_step, capacity, mem_kv, mem_bias, cache, use_hard_prefix = (
             self._common_setup(B, K, options, memory, memory_lengths, cache,
@@ -339,7 +340,20 @@ class DecodingEngine:
             return self._beam_device_loop(
                 start_ids, options, sig, end_ids, mem_kv, mem_bias, cache,
                 start_step, prefix_ids if use_hard_prefix else None,
-                max_step, num_hyp, max_candidates, params, token_map)
+                max_step, num_hyp, max_candidates, params, token_map,
+                encoder_inputs)
+
+        if encoder_inputs is not None and mem_kv is None:
+            memory = T.encoder_forward_jit(
+                self.model.arch, params, self.model.consts,
+                encoder_inputs[0], encoder_inputs[1],
+                quantize_acts=self.model.policy.quantize_activations,
+                out_dtype=self.model.out_dtype)
+            mem_kv = T.precompute_memory_jit(
+                self.model.arch, params, memory,
+                quantize_acts=self.model.policy.quantize_activations)
+            mem_bias = attn_ops.length_mask_bias(
+                encoder_inputs[1], memory.shape[1])
 
         step_fn = self._get_step(sig)
 
@@ -652,7 +666,7 @@ class DecodingEngine:
     def _beam_device_loop(self, start_ids, options, sig, end_ids,
                           mem_kv, mem_bias, cache, start_step, prefix_ids,
                           max_step, num_hyp, max_candidates, params=None,
-                          token_map=None):
+                          token_map=None, encoder_inputs=None):
         if params is None:
             params = self.model.params
         from .device_loop import build_beam_loop
@@ -683,7 +697,8 @@ class DecodingEngine:
         key = (sig, max_step, P, num_hyp, max_candidates,
                options.length_penalty, options.return_prefix,
                options.return_end_token, options.max_length,
-               allow_early_exit, token_map is not None)
+               allow_early_exit, token_map is not None,
+               encoder_inputs is not None)
         loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
             loop_fn = build_beam_loop(
@@ -701,18 +716,22 @@ class DecodingEngine:
             self._loop_fns[key] = loop_fn
 
         tokens = np.repeat(np.asarray(start_ids, np.int32), K)
-        seqs, lens, scores, counts = loop_fn(
+        packed = loop_fn(
             params, model.consts, jnp.asarray(tokens),
             jnp.int32(start_step), cache, mem_kv, mem_bias,
             jnp.asarray(prefix_arr),
             jnp.asarray(prefix_lengths, dtype=jnp.int32),
             jnp.asarray(min_steps),
             jax.random.PRNGKey(options.seed),
-            token_map=token_map)
+            token_map=token_map,
+            encoder_ids=encoder_inputs[0] if encoder_inputs else None,
+            encoder_lengths=encoder_inputs[1] if encoder_inputs else None)
 
-        seqs = np.asarray(seqs)
-        lens = np.asarray(lens)
-        scores = np.asarray(scores, np.float32)
+        packed = np.asarray(packed)  # single device->host fetch
+        seqs = packed[:, :, :-3]
+        lens = packed[:, :, -3]
+        scores = packed[:, :, -2].view(np.float32)
+        counts = packed[:, 0, -1]
 
         results = []
         for i in range(B):
@@ -733,7 +752,7 @@ class DecodingEngine:
     def _greedy_device_loop(self, start_ids, options, sig, end_ids,
                             mem_kv, mem_bias, cache, start_step, prefix_ids,
                             max_step, B0, replicas, params=None,
-                            token_map=None):
+                            token_map=None, encoder_inputs=None):
         if params is None:
             params = self.model.params
         from .device_loop import build_greedy_loop
@@ -761,7 +780,8 @@ class DecodingEngine:
         # (The loop bound is the global max_step; per-row overshoot is
         # trimmed on the host below.)
 
-        key = (sig, max_step, P > 0, token_map is not None)
+        key = (sig, max_step, P > 0, token_map is not None,
+               encoder_inputs is not None)
         loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
             loop_fn = build_greedy_loop(
@@ -770,7 +790,7 @@ class DecodingEngine:
                 has_token_map=token_map is not None)
             self._loop_fns[key] = loop_fn
 
-        buf, num_steps, scores, _ = loop_fn(
+        packed = loop_fn(
             params, model.consts,
             jnp.asarray(start_ids, dtype=jnp.int32), jnp.int32(start_step),
             cache, mem_kv, mem_bias,
@@ -778,11 +798,14 @@ class DecodingEngine:
             jnp.asarray(prefix_lengths, dtype=jnp.int32),
             jnp.asarray(min_steps),
             jax.random.PRNGKey(options.seed),
-            token_map=token_map)
+            token_map=token_map,
+            encoder_ids=encoder_inputs[0] if encoder_inputs else None,
+            encoder_lengths=encoder_inputs[1] if encoder_inputs else None)
 
-        buf = np.asarray(buf)
-        num_steps = np.asarray(num_steps)
-        scores_np = np.asarray(scores, np.float32)
+        packed = np.asarray(packed)  # single device->host fetch
+        buf = packed[:, :-2]
+        num_steps = packed[:, -2]
+        scores_np = packed[:, -1].view(np.float32)
 
         results = [DecodingResult() for _ in range(B)]
         for i in range(B):
@@ -822,7 +845,8 @@ class DecodingEngine:
 
     def _greedy_search(self, start_ids, options, *, memory, memory_lengths,
                        cache, start_step, prefix_ids, end_ids, capacity,
-                       step_callback=None, params=None, token_map=None):
+                       step_callback=None, params=None, token_map=None,
+                       encoder_inputs=None):
         if params is None:
             params = self.model.params
         model = self.model
@@ -842,7 +866,7 @@ class DecodingEngine:
                 memory_lengths = jnp.repeat(memory_lengths, replicas, axis=0)
 
         B = len(start_ids)
-        has_memory = memory is not None
+        has_memory = memory is not None or encoder_inputs is not None
 
         N, max_step, capacity, mem_kv, mem_bias, cache, use_hard_prefix = (
             self._common_setup(B, 1, options, memory, memory_lengths, cache,
@@ -858,7 +882,19 @@ class DecodingEngine:
             return self._greedy_device_loop(
                 start_ids, options, sig, end_ids, mem_kv, mem_bias, cache,
                 start_step, prefix_ids, max_step, B0, replicas, params,
-                token_map)
+                token_map, encoder_inputs)
+
+        if encoder_inputs is not None and mem_kv is None:
+            memory = T.encoder_forward_jit(
+                self.model.arch, params, self.model.consts,
+                encoder_inputs[0], encoder_inputs[1],
+                quantize_acts=self.model.policy.quantize_activations,
+                out_dtype=self.model.out_dtype)
+            mem_kv = T.precompute_memory_jit(
+                self.model.arch, params, memory,
+                quantize_acts=self.model.policy.quantize_activations)
+            mem_bias = attn_ops.length_mask_bias(
+                encoder_inputs[1], memory.shape[1])
 
         step_fn = self._get_step(sig)
 

@@ -1,0 +1,207 @@
+"""Pallas flash attention (prefill / full-sequence).
+
+TPU-native replacement for the reference's vendored FA2 CUDA kernels
+(reference: src/ops/flash_attention_gpu.cu, src/ops/flash-attention/*):
+blockwise online-softmax attention that never materializes the [Tq, Tk]
+score matrix. Grid = (batch*heads, q_blocks, k_blocks); the TPU grid is
+executed sequentially over the last dimension, so the running max / sum /
+accumulator live in VMEM scratch across k-block iterations.
+
+Supports GQA/MQA (kv-head indexing by query-head group), causal masking
+with a query position offset, per-batch KV valid lengths, and sliding
+windows. Falls back to the XLA path for relative-position/ALiBi biases.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(
+    # scalar prefetch
+    lengths_ref,  # [B] int32 (or None semantics via has_lengths)
+    # inputs
+    q_ref,  # [BQ, D]
+    k_ref,  # [BK, D]
+    v_ref,  # [BK, D]
+    # outputs
+    o_ref,  # [BQ, D]
+    # scratch
+    m_ref,  # [BQ, 1] f32 running max
+    l_ref,  # [BQ, 1] f32 running sum
+    acc_ref,  # [BQ, D] f32 accumulator
+    *,
+    scale: float,
+    causal: bool,
+    q_offset: int,
+    block_q: int,
+    block_k: int,
+    num_heads: int,
+    window: int,
+    has_lengths: bool,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = qi * block_q + q_offset
+    k_start = kj * block_k
+
+    # Block-level skip for causal / sliding-window locality.
+    run = jnp.bool_(True)
+    if causal:
+        run = run & (k_start <= q_start + block_q - 1)
+    if window > 0:
+        run = run & (k_start + block_k - 1 > q_start - window)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[:].astype(jnp.float32) * scale
+        k = k_ref[:].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [BQ, BK]
+
+        q_pos = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = jnp.ones((block_q, block_k), jnp.bool_)
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        if window > 0:
+            mask = mask & (k_pos > q_pos - window)
+        if has_lengths:
+            b = bh // num_heads
+            mask = mask & (k_pos < lengths_ref[b])
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+
+        p = jnp.exp(s - m_new)  # [BQ, BK]
+        correction = jnp.exp(m_prev - m_new)  # [BQ, 1]
+
+        l_ref[:] = l_ref[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        denom = jnp.maximum(l_ref[:], 1e-20)
+        o_ref[:] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q,  # [B, Hq, Tq, D]
+    k,  # [B, Hkv, Tk, D]
+    v,  # [B, Hkv, Tk, D]
+    *,
+    scale: float = 1.0,
+    causal: bool = False,
+    q_offset: int = 0,
+    lengths=None,  # [B] int32 valid KV lengths
+    window: int = 0,
+    block_q: int = 256,
+    block_k: int = 256,
+):
+    """Blockwise attention; returns [B, Hq, Tq, D]."""
+    B, Hq, Tq, D = q.shape
+    Hkv, Tk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+
+    block_q = min(block_q, max(Tq, 16))
+    block_k = min(block_k, max(Tk, 16))
+    nq = pl.cdiv(Tq, block_q)
+    nk = pl.cdiv(Tk, block_k)
+
+    # Pad to block multiples.
+    pq = nq * block_q - Tq
+    pk = nk * block_k - Tk
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+    if pk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        if lengths is None:
+            lengths = jnp.full((B,), Tk, jnp.int32)
+
+    has_lengths = lengths is not None
+    if lengths is None:
+        lengths = jnp.zeros((B,), jnp.int32)  # placeholder
+
+    qr = q.reshape(B * Hq, nq * block_q, D)
+    kr = k.reshape(B * Hkv, nk * block_k, D)
+    vr = v.reshape(B * Hkv, nk * block_k, D)
+
+    kernel = functools.partial(
+        _attn_kernel,
+        scale=scale,
+        causal=causal,
+        q_offset=q_offset,
+        block_q=block_q,
+        block_k=block_k,
+        num_heads=Hq,
+        window=window,
+        has_lengths=has_lengths,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * Hq, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D),
+                         lambda bh, qi, kj, lens: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda bh, qi, kj, lens, g=group: (bh // g, kj, 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda bh, qi, kj, lens, g=group: (bh // g, kj, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D),
+                               lambda bh, qi, kj, lens: (bh, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )
+
+    def kernel3d(lengths_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+        return _attn_kernel(
+            lengths_ref,
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
+            m_ref, l_ref, acc_ref,
+            scale=scale, causal=causal, q_offset=q_offset,
+            block_q=block_q, block_k=block_k, num_heads=Hq,
+            window=window, has_lengths=has_lengths)
+
+    out = pl.pallas_call(
+        kernel3d,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * Hq, nq * block_q, D), q.dtype),
+    )(lengths, qr, kr, vr)
+
+    out = out.reshape(B, Hq, nq * block_q, D)
+    if pq:
+        out = out[:, :, :Tq]
+    return out

@@ -267,7 +267,18 @@ class Translator:
                           use_vmap: bool = False):
         tv = self._target_vocab
         source_ids = self._make_source_ids(source, max_input_length)
-        memory, memory_lengths = self._encode_batch(source_ids)
+
+        # Pad source ids once; encoding is fused into the decode dispatch
+        # unless a path needs the encoder output on the host.
+        padded, src_lengths = pad_batch(source_ids, length_multiple=1)
+        S = bucket_length(len(padded[0]), 8)
+        padded = [row + [0] * (S - len(row)) for row in padded]
+        enc_ids = jnp.asarray(padded, dtype=jnp.int32)
+        enc_lengths = jnp.asarray(src_lengths, dtype=jnp.int32)
+        memory = None
+        memory_lengths = None
+        if options.return_alternatives:
+            memory, memory_lengths = self._encode_batch(source_ids)
 
         start_id = self._decoder_start_id()
         prefix_ids = None
@@ -340,6 +351,7 @@ class Translator:
             dec_results = self.engine.decode(
                 start_ids, options,
                 memory=memory, memory_lengths=memory_lengths,
+                encoder_inputs=(enc_ids, enc_lengths),
                 prefix_ids=prefix_ids,
                 end_ids=end_ids,
                 step_callback=step_callback,
