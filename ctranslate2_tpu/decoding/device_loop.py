@@ -30,7 +30,8 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
                     return_prefix: bool, include_eos: bool,
                     max_length: int, allow_early_exit: bool,
                     has_prefix: bool, has_memory: bool,
-                    has_token_map: bool = False):
+                    has_token_map: bool = False,
+                    init_cache: Optional[tuple] = None):
     """Build a jitted whole-generation beam-search loop.
 
     Replicates the reference candidate bookkeeping (2*beam candidates, EOS
@@ -56,12 +57,22 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
             return jnp.zeros(tok.shape, jnp.bool_)
         return jnp.any(tok[..., None] == end_ids, axis=-1)
 
-    def loop(params, consts, start_tokens, start_pos, cache, mem_kv,
-             mem_bias, prefix, prefix_len, min_steps, key, token_map=None,
+    def loop(params, consts, control, start_pos, cache, mem_kv,
+             mem_bias, key, token_map=None,
              encoder_ids=None, encoder_lengths=None):
-        N = start_tokens.shape[0]
-        B = N // K
+        # control [B, 3 + K + P]: prefix_len | min_steps | pad | start_tokens
+        # (per beam) | prefix rows. One host->device upload per request.
+        prefix_len = control[:, 0]
+        min_steps = control[:, 1]
+        start_tokens = control[:, 3:3 + K].reshape(-1)
+        prefix = control[:, 3 + K:]
+        B = control.shape[0]
+        N = B * K
         L = max_steps
+        if init_cache is not None:
+            from ..models.transformer import init_self_cache
+            arch_, capacity_, dtype_ = init_cache
+            cache = init_self_cache(arch_, N, capacity_, dtype=dtype_)
 
         if encoder_ids is not None:
             # Fused encode + cross-KV projection: one dispatch per request.
@@ -245,7 +256,9 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
 
 
 def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
-                      max_steps: int, has_token_map: bool = False):
+                      max_steps: int, has_token_map: bool = False,
+                      init_cache: Optional[tuple] = None,
+                      has_prefix: bool = True):
     """Build a jitted whole-generation greedy/sampling loop.
 
     Returns fn(params, consts, start_tokens [N], start_pos, cache, mem_kv,
@@ -260,11 +273,20 @@ def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
             return jnp.zeros(tok.shape, jnp.bool_)
         return jnp.any(tok[:, None] == end_ids[None, :], axis=-1)
 
-    def loop(params, consts, start_tokens, start_pos, cache, mem_kv,
-             mem_bias, prefix, prefix_len, min_steps, key, token_map=None,
+    def loop(params, consts, control, start_pos, cache, mem_kv,
+             mem_bias, key, token_map=None,
              encoder_ids=None, encoder_lengths=None):
-        N = start_tokens.shape[0]
-        P = prefix.shape[1] if prefix is not None else 0
+        # control [N, 3 + P]: prefix_len | min_steps | start_token | prefix.
+        prefix_len = control[:, 0]
+        min_steps = control[:, 1]
+        start_tokens = control[:, 2]
+        prefix = control[:, 3:]
+        N = control.shape[0]
+        P = prefix.shape[1] if has_prefix else 0
+        if init_cache is not None:
+            from ..models.transformer import init_self_cache
+            arch_, capacity_, dtype_ = init_cache
+            cache = init_self_cache(arch_, N, capacity_, dtype=dtype_)
 
         if encoder_ids is not None:
             memory = T.encoder_forward(

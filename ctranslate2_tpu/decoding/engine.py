@@ -242,7 +242,7 @@ class DecodingEngine:
             mem_bias = attn_ops.length_mask_bias(memory_lengths, memory.shape[1])
 
         if cache is None:
-            cache = T.init_self_cache(model.arch, N, capacity, dtype=model.out_dtype)
+            pass  # fast paths initialize the cache inside the jit
         else:
             # Grow/replicate an existing cache to N rows and `capacity` cols.
             def grow(a):
@@ -354,6 +354,9 @@ class DecodingEngine:
                 quantize_acts=self.model.policy.quantize_activations)
             mem_bias = attn_ops.length_mask_bias(
                 encoder_inputs[1], memory.shape[1])
+        if cache is None:
+            cache = T.init_self_cache(
+                self.model.arch, N, capacity, dtype=self.model.out_dtype)
 
         step_fn = self._get_step(sig)
 
@@ -694,11 +697,17 @@ class DecodingEngine:
         allow_early_exit = (options.length_penalty == 0
                             and options.coverage_penalty == 0)
 
+        # Capacity of a fresh in-jit cache (None when a prefilled cache is
+        # passed in, e.g. generator prompt prefill).
+        capacity = None
+        if cache is None:
+            capacity = _round_up(max(start_step + max_step, 16), 64)
+
         key = (sig, max_step, P, num_hyp, max_candidates,
                options.length_penalty, options.return_prefix,
                options.return_end_token, options.max_length,
                allow_early_exit, token_map is not None,
-               encoder_inputs is not None)
+               encoder_inputs is not None, capacity)
         loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
             loop_fn = build_beam_loop(
@@ -712,16 +721,22 @@ class DecodingEngine:
                 allow_early_exit=allow_early_exit,
                 has_prefix=has_prefix,
                 has_memory=sig.has_memory,
-                has_token_map=token_map is not None)
+                has_token_map=token_map is not None,
+                init_cache=(model.arch, capacity, model.out_dtype)
+                if capacity is not None else None)
             self._loop_fns[key] = loop_fn
 
-        tokens = np.repeat(np.asarray(start_ids, np.int32), K)
+        # Single packed control upload: prefix_len | min_steps | pad |
+        # start tokens (K) | prefix rows.
+        control = np.zeros((B, 3 + K + prefix_arr.shape[1]), np.int32)
+        control[:, 0] = prefix_lengths
+        control[:, 1] = min_steps
+        control[:, 3:3 + K] = np.repeat(
+            np.asarray(start_ids, np.int32)[:, None], K, axis=1)
+        control[:, 3 + K:] = prefix_arr
         packed = loop_fn(
-            params, model.consts, jnp.asarray(tokens),
+            params, model.consts, jnp.asarray(control),
             jnp.int32(start_step), cache, mem_kv, mem_bias,
-            jnp.asarray(prefix_arr),
-            jnp.asarray(prefix_lengths, dtype=jnp.int32),
-            jnp.asarray(min_steps),
             jax.random.PRNGKey(options.seed),
             token_map=token_map,
             encoder_ids=encoder_inputs[0] if encoder_inputs else None,
@@ -780,23 +795,32 @@ class DecodingEngine:
         # (The loop bound is the global max_step; per-row overshoot is
         # trimmed on the host below.)
 
+        capacity = None
+        if cache is None:
+            capacity = _round_up(max(start_step + max_step, 16), 64)
+
         key = (sig, max_step, P > 0, token_map is not None,
-               encoder_inputs is not None)
+               encoder_inputs is not None, capacity)
         loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
             loop_fn = build_greedy_loop(
                 model.arch, sig, model.policy.quantize_activations,
                 model.out_dtype, max_step,
-                has_token_map=token_map is not None)
+                has_token_map=token_map is not None,
+                init_cache=(model.arch, capacity, model.out_dtype)
+                if capacity is not None else None,
+                has_prefix=P > 0)
             self._loop_fns[key] = loop_fn
 
+        control = np.zeros((B, 3 + max(prefix_arr.shape[1], 1)), np.int32)
+        control[:, 0] = prefix_lengths
+        control[:, 1] = min_steps
+        control[:, 2] = np.asarray(start_ids, np.int32)
+        control[:, 3:3 + prefix_arr.shape[1]] = prefix_arr
         packed = loop_fn(
-            params, model.consts,
-            jnp.asarray(start_ids, dtype=jnp.int32), jnp.int32(start_step),
+            params, model.consts, jnp.asarray(control),
+            jnp.int32(start_step),
             cache, mem_kv, mem_bias,
-            jnp.asarray(prefix_arr) if P > 0 else jnp.zeros((B, 1), jnp.int32),
-            jnp.asarray(prefix_lengths, dtype=jnp.int32),
-            jnp.asarray(min_steps),
             jax.random.PRNGKey(options.seed),
             token_map=token_map,
             encoder_ids=encoder_inputs[0] if encoder_inputs else None,
@@ -895,6 +919,9 @@ class DecodingEngine:
                 quantize_acts=self.model.policy.quantize_activations)
             mem_bias = attn_ops.length_mask_bias(
                 encoder_inputs[1], memory.shape[1])
+        if cache is None:
+            cache = T.init_self_cache(
+                self.model.arch, N, capacity, dtype=self.model.out_dtype)
 
         step_fn = self._get_step(sig)
 
