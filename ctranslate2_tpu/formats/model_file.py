@@ -183,9 +183,66 @@ class ModelFile:
                 f.write("\n")
 
 
+def _load_with_native(bin_path: str):
+    """Zero-copy variable index via the native header parser + mmap."""
+    from ..native import available, parse_model_index
+
+    if not available:
+        return None
+    import mmap
+
+    f = open(bin_path, "rb")
+    buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    version, spec, revision, var_index, alias_pairs = parse_model_index(buf)
+    variables: Dict[str, Variable] = {}
+    for name, dtype_id, shape, offset, nbytes in var_index:
+        dtype_name = _DTYPE_IDS[dtype_id]
+        arr = np.frombuffer(
+            buf, dtype=_NUMPY_DTYPES[dtype_name], count=nbytes
+            // np.dtype(_NUMPY_DTYPES[dtype_name]).itemsize,
+            offset=offset).reshape(shape)
+        variables[name] = Variable(name, arr, dtype_name)
+    aliases: Dict[str, str] = {}
+    for alias, target in alias_pairs:
+        aliases[alias] = target
+        aliases[alias + "_scale"] = target + "_scale"
+        aliases[alias + "_zero"] = target + "_zero"
+    return version, spec, revision, variables, aliases
+
+
 def load_model_file(directory: str) -> ModelFile:
-    """Parse ``<directory>/model.bin`` (+ config.json) into a ModelFile."""
+    """Parse ``<directory>/model.bin`` (+ config.json) into a ModelFile.
+
+    Uses the native zero-copy index when available (weights stay mmap'd
+    until first use), falling back to the pure-Python reader."""
     bin_path = os.path.join(directory, "model.bin")
+
+    native_result = None
+    try:
+        native_result = _load_with_native(bin_path)
+    except Exception:
+        native_result = None
+    if native_result is not None:
+        binary_version, spec_name, spec_revision, variables, aliases = native_result
+        if binary_version > CURRENT_BINARY_VERSION:
+            raise ValueError(
+                f"unsupported binary version {binary_version} "
+                f"(max supported: {CURRENT_BINARY_VERSION})")
+        config = {}
+        config_path = os.path.join(directory, "config.json")
+        if os.path.isfile(config_path):
+            with open(config_path, encoding="utf-8") as f:
+                config = json.load(f)
+        return ModelFile(
+            spec_name=spec_name,
+            spec_revision=spec_revision,
+            binary_version=binary_version,
+            variables=variables,
+            aliases=aliases,
+            config=config,
+            path=directory,
+        )
+
     with open(bin_path, "rb") as f:
         (binary_version,) = struct.unpack("<I", f.read(4))
         if binary_version > CURRENT_BINARY_VERSION:

@@ -32,7 +32,13 @@ def rebatch_input(
     batch_type: str = "examples",
 ) -> List[List[int]]:
     """Return batches of example indices, longest-first within and across
-    batches (reference: src/batch_reader.cc:174-227)."""
+    batches (reference: src/batch_reader.cc:174-227).
+
+    Uses the native core when available."""
+    from ..native import available, rebatch as native_rebatch
+
+    if available:
+        return native_rebatch(list(lengths), max_batch_size, batch_type)
     order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
     if max_batch_size <= 0:
         return [order] if order else []
