@@ -130,6 +130,16 @@ def flash_attention(
     Hkv, Tk = k.shape[1], k.shape[2]
     group = Hq // Hkv
 
+    # Mosaic wants 128-lane tiles: pad the head dim with zeros (no effect on
+    # logits; padded V columns are sliced off below).
+    out_d = D
+    if D % 128:
+        pad_d = 128 - D % 128
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+        D = D + pad_d
+
     block_q = min(block_q, max(Tq, 16))
     block_k = min(block_k, max(Tk, 16))
     nq = pl.cdiv(Tq, block_q)
@@ -204,4 +214,6 @@ def flash_attention(
     out = out.reshape(B, Hq, nq * block_q, D)
     if pq:
         out = out[:, :, :Tq]
+    if out_d != D:
+        out = out[..., :out_d]
     return out

@@ -208,6 +208,25 @@ def _qk_norms(arch, ap, spec, q, k, v):
     return q, k, v
 
 
+def _flash_eligible(spec: AttentionSpec, q, k, alibi_bias, position_bias,
+                    rel_positions, flash_lengths) -> bool:
+    """Static dispatch decision for the Pallas flash-attention kernel.
+
+    Wins over the XLA path for long sequences; biases other than
+    causal/length masks are not fused in the kernel."""
+    import os
+
+    if os.environ.get("CT2TPU_FLASH", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if alibi_bias is not None or position_bias is not None \
+            or rel_positions is not None:
+        return False
+    threshold = int(os.environ.get("CT2TPU_FLASH_MIN_LEN", "2048"))
+    return q.shape[2] >= threshold and k.shape[2] >= threshold
+
+
 def self_attention_block(
     arch: ArchSpec,
     spec: AttentionSpec,
@@ -224,6 +243,8 @@ def self_attention_block(
     rel_positions=None,
     position_bias=None,
     wrap_norm: bool = True,
+    causal: bool = False,
+    flash_lengths=None,  # [B] valid lengths enabling the flash kernel path
 ):
     """Self-attention with optional fixed-capacity KV cache.
 
@@ -245,6 +266,25 @@ def self_attention_block(
         cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
         new_cache = {"k": ck, "v": cv}
         k, v = ck, cv
+
+    if (cache is None
+            and _flash_eligible(spec, q, k, alibi_bias, position_bias,
+                                rel_positions, flash_lengths)):
+        from ..kernels.flash_attention import flash_attention
+
+        ctx = flash_attention(
+            q, k, v,
+            scale=spec.queries_scale,
+            causal=causal,
+            lengths=flash_lengths,
+            window=spec.sliding_window,
+        )
+        out = attn_ops.combine_heads(ctx)
+        res = residual if (wrap_norm and spec.has_layer_norm) else None
+        out = linear(ap["o"], out, residual=res, quantize_activations=quantize_acts)
+        if wrap_norm and not pre_norm and spec.has_layer_norm:
+            out = _norm(arch, ap.get("layer_norm"), out)
+        return out, new_cache
 
     extra_bias = attn_ops.combine_bias(alibi_bias, position_bias)
     full_bias = attn_ops.combine_bias(bias, extra_bias)
@@ -413,7 +453,7 @@ def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
                 bias=bias, rot_consts=rot, offset=0,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 rel_positions=rel_positions, position_bias=position_bias,
-                wrap_norm=False)
+                wrap_norm=False, causal=False, flash_lengths=lengths)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             h = _norm(arch, lp["pre_feedforward_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -424,7 +464,8 @@ def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
                 arch, aspec, lp["self_attention"], x,
                 bias=bias, rot_consts=rot, offset=0,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
-                rel_positions=rel_positions, position_bias=position_bias)
+                rel_positions=rel_positions, position_bias=position_bias,
+                causal=False, flash_lengths=lengths)
             x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm, quantize_acts)
 
     if spec.has_output_norm:
@@ -626,7 +667,8 @@ def decoder_forward(
                 bias=layer_bias, rot_consts=rot, offset=pos, cache=cache_i,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
-                position_bias=position_bias, wrap_norm=False)
+                position_bias=position_bias, wrap_norm=False,
+                causal=True, flash_lengths=lengths)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch, lp["external_pre_encoder_attention_layer_norm"], x) \
@@ -662,7 +704,8 @@ def decoder_forward(
                 bias=layer_bias, rot_consts=rot, offset=pos, cache=cache_i,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
-                position_bias=position_bias, wrap_norm=False)
+                position_bias=position_bias, wrap_norm=False,
+                causal=True, flash_lengths=lengths)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -674,7 +717,8 @@ def decoder_forward(
                 bias=layer_bias, rot_consts=rot, offset=pos, cache=cache_i,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
-                position_bias=position_bias)
+                position_bias=position_bias,
+                causal=True, flash_lengths=lengths)
             if layer.cross_attention is not None:
                 want_w = (
                     ("logits" if raw_attention else True)

@@ -1,0 +1,86 @@
+"""Pallas kernel tests (interpret mode on the CPU backend)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from ctranslate2_tpu.kernels.flash_attention import flash_attention
+from ctranslate2_tpu.ops.attention import (
+    causal_mask_bias,
+    combine_bias,
+    dot_product_attention,
+    length_mask_bias,
+    sliding_window_bias,
+)
+
+
+def _ref(q, k, v, scale, causal, lengths=None, window=0):
+    T = q.shape[2]
+    Tk = k.shape[2]
+    bias = None
+    if causal:
+        bias = combine_bias(bias, causal_mask_bias(T, Tk))
+    if lengths is not None:
+        bias = combine_bias(bias, length_mask_bias(lengths, Tk))
+    if window:
+        bias = combine_bias(bias, sliding_window_bias(T, Tk, window))
+    return dot_product_attention(q, k, v, bias=bias, queries_scale=scale)
+
+
+@pytest.mark.parametrize("case", [
+    dict(B=2, Hq=4, Hkv=4, T=64, D=32, causal=True),
+    dict(B=2, Hq=4, Hkv=2, T=64, D=32, causal=True),   # GQA
+    dict(B=1, Hq=4, Hkv=1, T=96, D=32, causal=False),  # MQA, ragged T
+    dict(B=2, Hq=2, Hkv=2, T=64, D=32, causal=True, window=16),
+])
+def test_flash_attention_matches_reference(case):
+    window = case.pop("window", 0)
+    B, Hq, Hkv, T, D, causal = (case[k] for k in ("B", "Hq", "Hkv", "T", "D", "causal"))
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, Hq, T, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, T, D), jnp.float32)
+    lengths = jnp.asarray([T - 10] + [T] * (B - 1), jnp.int32)
+    scale = 1.0 / np.sqrt(D)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, scale=scale, causal=causal,
+                              lengths=lengths, window=window,
+                              block_q=32, block_k=32)
+    ref = _ref(q, k, v, scale, causal, lengths, window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_q_offset():
+    """Chunked continuation: queries at an offset attend causally."""
+    B, H, T, D = 1, 2, 64, 32
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (B, H, 32, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, H, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, H, T, D), jnp.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, scale=scale, causal=True, q_offset=32,
+                              block_q=32, block_k=32)
+    # Reference: causal bias with offset.
+    bias = causal_mask_bias(32, T, offset=32)
+    ref = dot_product_attention(q, k, v, bias=bias, queries_scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_small_top_k_matches_lax():
+    from ctranslate2_tpu.decoding.sampling import small_top_k
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 1000), jnp.float32)
+    v1, i1 = small_top_k(x, 4)
+    v2, i2 = jax.lax.top_k(x, 4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
