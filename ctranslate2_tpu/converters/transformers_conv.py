@@ -693,6 +693,59 @@ def load_whisper(b: ConvBuilder, model, config, tokenizer):
     return cfg
 
 
+@register("Wav2Vec2Config")
+def load_wav2vec2(b: ConvBuilder, model, config, tokenizer):
+    """Wav2Vec2ForCTC (stable-layer-norm variant, like the reference:
+    transformers.py:1036-1111)."""
+    import torch
+
+    b.spec_name, b.revision = "Wav2Vec2Spec", 3
+    sc = "encoder"
+    b.add_attr(f"{sc}/num_heads", config.num_attention_heads, "int16")
+
+    w2v = model.wav2vec2
+    fe = w2v.feature_extractor
+
+    b.add(f"{sc}/feat_layer0/conv/weight", _np(fe.conv_layers[0].conv.weight))
+    if fe.conv_layers[0].conv.bias is not None:
+        b.add(f"{sc}/feat_layer0/conv/bias", _np(fe.conv_layers[0].conv.bias))
+    b.set_layer_norm(f"{sc}/feat_layer0/layer_norm", fe.conv_layers[0].layer_norm)
+    for i, layer in enumerate(fe.conv_layers[1:]):
+        b.add(f"{sc}/feat_layer_{i}/conv/weight", _np(layer.conv.weight))
+        if layer.conv.bias is not None:
+            b.add(f"{sc}/feat_layer_{i}/conv/bias", _np(layer.conv.bias))
+        b.set_layer_norm(f"{sc}/feat_layer_{i}/layer_norm", layer.layer_norm)
+
+    fp = w2v.feature_projection
+    b.set_layer_norm(f"{sc}/fp_layer_norm", fp.layer_norm)
+    b.set_linear(f"{sc}/fp_projection", fp.projection)
+
+    # Materialize the weight-norm parametrized positional conv
+    # (reference: transformers.py:1088-1099).
+    pos_conv = w2v.encoder.pos_conv_embed.conv
+    with torch.no_grad():
+        w2v.encoder.pos_conv_embed(torch.randn(1, 1, config.hidden_size))
+    b.add(f"{sc}/pos_conv_embed/conv/weight", _np(pos_conv.weight))
+    if pos_conv.bias is not None:
+        b.add(f"{sc}/pos_conv_embed/conv/bias", _np(pos_conv.bias))
+
+    b.set_layer_norm(f"{sc}/layer_norm", w2v.encoder.layer_norm)
+    b.set_linear(f"{sc}/lm_head", model.lm_head)
+
+    for i, layer in enumerate(w2v.encoder.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        att = layer.attention
+        b.set_layer_norm(f"{asc}/layer_norm", layer.layer_norm)
+        b.set_qkv(asc, att.q_proj, att.k_proj, att.v_proj)
+        b.set_linear(f"{asc}/linear_1", att.out_proj)
+        b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.final_layer_norm)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.feed_forward.intermediate_dense)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.feed_forward.output_dense)
+
+    return {"layer_norm_epsilon": float(config.layer_norm_eps)}
+
+
 # ---------------------------------------------------------------------------
 # Encoder-only loaders.
 # ---------------------------------------------------------------------------

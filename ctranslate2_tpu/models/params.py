@@ -237,7 +237,23 @@ class ParamsBuilder:
         out: dict = {
             "layers": [],
         }
-        if spec.num_conv_layers:
+        if spec.is_wav2vec2:
+            out["feat_layer0"] = {
+                "conv": self.conv(f"{scope}/feat_layer0/conv"),
+                "layer_norm": self.norm(f"{scope}/feat_layer0/layer_norm"),
+            }
+            out["feat_layers"] = [
+                {"conv": self.conv(f"{scope}/feat_layer_{i}/conv"),
+                 "layer_norm": self.norm(f"{scope}/feat_layer_{i}/layer_norm")}
+                for i in range(spec.num_feat_layers)
+            ]
+            out["fp_layer_norm"] = self.norm(f"{scope}/fp_layer_norm")
+            out["fp_projection"] = self.linear(f"{scope}/fp_projection")
+            out["pos_conv_embed"] = {
+                "conv": self.conv(f"{scope}/pos_conv_embed/conv")}
+            if spec.has_lm_head:
+                out["lm_head"] = self.linear(f"{scope}/lm_head")
+        elif spec.num_conv_layers:
             out["convs"] = [
                 self.conv(f"{scope}/conv{i + 1}")
                 for i in range(spec.num_conv_layers)

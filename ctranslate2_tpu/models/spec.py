@@ -107,6 +107,11 @@ class EncoderSpec:
     # Speech frontends: number of conv layers before the transformer stack
     # (Whisper: 2 — reference: src/layers/whisper.cc:8-23).
     num_conv_layers: int = 0
+    # Wav2Vec2 (reference: src/layers/wav2vec2.cc): feature-extractor conv
+    # stack + feature projection + positional conv + optional LM head.
+    is_wav2vec2: bool = False
+    num_feat_layers: int = 0
+    has_lm_head: bool = False
 
 
 @dataclass(frozen=True)
@@ -291,7 +296,11 @@ def extract_encoder(mf: ModelFile, scope: str = "encoder") -> Optional[EncoderSp
     num_conv = 0
     while f"{scope}/conv{num_conv + 1}/weight" in mf:
         num_conv += 1
-    is_speech = num_conv > 0
+    is_wav2vec2 = f"{scope}/fp_projection/weight" in mf
+    num_feat_layers = 0
+    while f"{scope}/feat_layer_{num_feat_layers}/conv/weight" in mf:
+        num_feat_layers += 1
+    is_speech = num_conv > 0 or is_wav2vec2
     if is_speech:
         # Whisper encoders run GELU activations and pre-norm
         # (reference: src/layers/whisper.cc:6-22).
@@ -336,6 +345,9 @@ def extract_encoder(mf: ModelFile, scope: str = "encoder") -> Optional[EncoderSp
         has_layernorm_embedding=(scope + "/layernorm_embedding/gamma") in mf,
         has_output_norm=(scope + "/layer_norm/gamma") in mf,
         num_conv_layers=num_conv,
+        is_wav2vec2=is_wav2vec2,
+        num_feat_layers=num_feat_layers,
+        has_lm_head=(scope + "/lm_head/weight") in mf,
     )
 
 

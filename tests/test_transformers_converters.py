@@ -271,3 +271,25 @@ def test_gpt2_int8_quantized_conversion(tmp_path):
     theirs = _hf_logits(model, IDS)
     # INT8: loose comparison — argmax parity per position.
     assert (ours.argmax(-1) == theirs.argmax(-1)).mean() > 0.7
+
+
+def test_wav2vec2(tmp_path):
+    cfg = transformers.Wav2Vec2Config(
+        vocab_size=32, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        conv_dim=(16, 16, 32), conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3), num_feat_extract_layers=3,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16)
+    model = transformers.Wav2Vec2ForCTC(cfg).eval()
+    out_dir = _convert(model, tmp_path, vocab_size=32)
+
+    from ctranslate2_tpu.runtime.wav2vec2 import Wav2Vec2
+
+    w = Wav2Vec2(out_dir, compute_type="float32")
+    audio = np.random.default_rng(0).standard_normal((1, 400)).astype(np.float32)
+    ours = w.encode(audio[:, None, :], to_cpu=True)
+
+    with torch.no_grad():
+        theirs = model(torch.tensor(audio)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-3)
