@@ -50,10 +50,42 @@ def _np(tensor) -> np.ndarray:
     return tensor.detach().to("cpu").float().numpy()
 
 
+def _is_awq(module) -> bool:
+    return hasattr(module, "qweight")
+
+
+def _np_int(tensor) -> np.ndarray:
+    return tensor.detach().to("cpu").numpy().astype(np.int32)
+
+
 class ConvBuilder(SpecBuilder):
     """SpecBuilder with torch-module-aware setters."""
 
+    def _record_awq(self, module):
+        # AutoAWQ module classes: WQLinear_GEMM / WQLinear_GEMV
+        # (reference converter: transformers.py:49-51, 237-248).
+        version = 2 if "GEMV" in type(module).__name__.upper() else 1
+        self._awq_config = {
+            "quantization_type": version,
+            "quantization_bits": int(getattr(module, "w_bit", 4)),
+            "quantization_group_size": int(getattr(module, "group_size", 128)),
+        }
+        return version
+
+    def set_awq_linear(self, scope: str, module):
+        """Pass through AWQ-packed weights unchanged
+        (reference: transformers.py:241-244)."""
+        self._record_awq(module)
+        self.add(f"{scope}/weight", _np_int(module.qweight))
+        self.add(f"{scope}/weight_scale", _np(module.scales))
+        self.add(f"{scope}/weight_zero", _np_int(module.qzeros))
+        if getattr(module, "bias", None) is not None:
+            self.add(f"{scope}/bias", _np(module.bias))
+
     def set_linear(self, scope: str, module, transpose: bool = False):
+        if _is_awq(module):
+            self.set_awq_linear(scope, module)
+            return
         w = _np(module.weight)
         if transpose or type(module).__name__ == "Conv1D":
             w = w.T  # HF GPT-2 Conv1D stores [in, out]
@@ -63,6 +95,20 @@ class ConvBuilder(SpecBuilder):
 
     def set_qkv(self, scope: str, q, k, v, transpose: bool = False):
         """Store a fused QKV projection in artifact layout [q|k|v]."""
+        if _is_awq(q):
+            # AWQ GEMM packs [in, out/8]: fuse along axis 1; GEMV packs
+            # [out, in/8]: fuse along axis 0.
+            axis = 0 if self._record_awq(q) == 2 else 1
+            self.add(f"{scope}/linear_0/weight",
+                     np.concatenate([_np_int(m.qweight) for m in (q, k, v)], axis))
+            self.add(f"{scope}/linear_0/weight_scale",
+                     np.concatenate([_np(m.scales) for m in (q, k, v)], axis))
+            self.add(f"{scope}/linear_0/weight_zero",
+                     np.concatenate([_np_int(m.qzeros) for m in (q, k, v)], axis))
+            if getattr(q, "bias", None) is not None:
+                self.add(f"{scope}/linear_0/bias",
+                         np.concatenate([_np(m.bias) for m in (q, k, v)]))
+            return
         ws = []
         bs = []
         for m in (q, k, v):

@@ -20,6 +20,11 @@ def _weights_dtype(mf: ModelFile) -> str:
     """Dtype of the model's linear weights on disk."""
     for name, var in mf.variables.items():
         if name.endswith("/weight") and len(var.shape) == 2 and "embeddings" not in name:
+            if var.dtype_name == "int32" and (name + "_zero") in mf.variables:
+                # AWQ 4-bit packed weights stay quantized; the policy only
+                # picks the activation float (reference forces float16:
+                # src/models/model.cc quantization_type checks).
+                return "float16"
             return var.dtype_name
     return "float32"
 

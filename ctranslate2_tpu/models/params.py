@@ -72,14 +72,28 @@ class ParamsBuilder:
         return jnp.asarray(var.as_float32(), dtype=dtype or self.float_dtype)
 
     def linear(self, scope: str) -> Optional[dict]:
-        """Build a linear param dict {w|wq+scale, b} from a CT2 scope."""
+        """Build a linear param dict {w|wq+scale|w4+g_scale, b} from a CT2
+        scope."""
         var = self.mf.get(scope + "/weight")
         if var is None:
             return None
         scale = self.mf.get(scope + "/weight_scale")
+        zero = self.mf.get(scope + "/weight_zero")
         out: dict = {}
 
-        if var.dtype_name in ("int8", "int16"):
+        if zero is not None:
+            # AWQ 4-bit group quantization (reference:
+            # python/ctranslate2/converters/transformers.py:237-248;
+            # layouts: src/ops/awq/*). Kept quantized regardless of the
+            # requested compute type, as in the reference.
+            from ..ops.awq import AWQ_GEMM, build_awq_linear
+
+            quant_type = int(self.mf.config.get("quantization_type", AWQ_GEMM))
+            out = build_awq_linear(
+                var.array, scale.as_float32(), zero.array, quant_type
+            )
+            out = {k: jnp.asarray(v) for k, v in out.items()}
+        elif var.dtype_name in ("int8", "int16"):
             if self.policy.weight_dtype == "int8" and var.dtype_name == "int8":
                 out["wq"] = jnp.asarray(np.ascontiguousarray(var.array.T))
                 s = scale.as_float32()
@@ -151,12 +165,14 @@ class ParamsBuilder:
         """
         outs = []
         offset = 0
-        w_key = "wq" if "wq" in lin else "w"
+        w_key = "w4" if "w4" in lin else ("wq" if "wq" in lin else "w")
         for size in sizes:
             part = {w_key: lin[w_key][:, offset:offset + size]}
             if "scale" in lin:
                 s = lin["scale"]
                 part["scale"] = s[offset:offset + size] if s.ndim else s
+            if "g_scale" in lin:
+                part["g_scale"] = lin["g_scale"][:, offset:offset + size]
             if "b" in lin:
                 part["b"] = lin["b"][offset:offset + size]
             outs.append(part)

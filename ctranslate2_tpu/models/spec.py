@@ -174,6 +174,12 @@ def _linear_out_dim(mf: ModelFile, scope: str) -> int:
     var = mf.get(scope + "/weight")
     if var is None:
         var = mf.get(scope + "/weight_packed")
+    if (scope + "/weight_zero") in mf:
+        # AWQ layouts: GEMM stores [in, out/8] int32 (out = 8 * dim 1),
+        # GEMV stores [out, in/8] (reference: src/ops/awq/gemv_gpu.cu:280).
+        if int(mf.config.get("quantization_type", 1)) == 1:
+            return var.shape[1] * 8
+        return var.shape[0]
     return var.shape[0]
 
 

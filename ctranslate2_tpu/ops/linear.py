@@ -19,10 +19,12 @@ Weights are stored transposed relative to the artifact, as ``(in, out)``
 with per-output-channel scales, the layout XLA prefers for ``x @ w``.
 
 Param dict keys:
-  ``w``      float weight (in, out)                      [float path]
-  ``wq``     int8/int4-unpacked weight (in, out)         [quantized path]
-  ``scale``  per-output-channel scale (out,) or scalar
-  ``b``      optional bias (out,)
+  ``w``        float weight (in, out)                      [float path]
+  ``wq``       int8/int4-unpacked weight (in, out)         [quantized path]
+  ``scale``    per-output-channel scale (out,) or scalar
+  ``w4``       AWQ int8 (q - zero) values (in, out)        [W4A16 path]
+  ``g_scale``  AWQ per-group scales (in/G, out)
+  ``b``        optional bias (out,)
 """
 
 from __future__ import annotations
@@ -61,7 +63,23 @@ def linear(
     out_dtype = x.dtype
     bias = params.get("b")
 
-    if "wq" in params:
+    if "w4" in params:
+        # AWQ W4A16: group-dequant the (q - z) payload and run a float
+        # matmul (reference dequant identity: src/ops/awq/dequantize_gpu.cu
+        # sub + fma per nibble). XLA fuses the dequant into the dot's
+        # weight-operand read; the Pallas kernel path covers decode GEMVs.
+        w4 = params["w4"]
+        gs = params["g_scale"]
+        K, N = w4.shape
+        n_groups = gs.shape[0]
+        G = K // n_groups
+        w = (
+            w4.astype(jnp.float32).reshape(n_groups, G, N) * gs[:, None, :]
+        ).reshape(K, N)
+        y = jnp.dot(
+            x.astype(jnp.float32), w, preferred_element_type=jnp.float32
+        )
+    elif "wq" in params:
         wq = params["wq"]
         w_scale = params["scale"].astype(jnp.float32)
         if quantize_activations and wq.dtype == jnp.int8:
@@ -90,11 +108,13 @@ def linear(
     return y
 
 
+def _weight(params: dict):
+    return params.get("w", params.get("wq", params.get("w4")))
+
+
 def output_size(params: dict) -> int:
-    w = params.get("w", params.get("wq"))
-    return w.shape[-1]
+    return _weight(params).shape[-1]
 
 
 def input_size(params: dict) -> int:
-    w = params.get("w", params.get("wq"))
-    return w.shape[0]
+    return _weight(params).shape[0]
