@@ -1,0 +1,212 @@
+"""Pallas quantized matmul kernels (weight-stationary dequant-in-kernel).
+
+TPU-native equivalents of the reference's quantized GEMM stack
+(reference: src/ops/gemm.cc:28-186 + src/cpu/primitives.cc:543-900 int8
+backends, and src/ops/awq/gemm*.cu W4 kernels): the weight payload stays
+quantized in HBM and is dequantized in VMEM right before hitting the MXU,
+so the matmul reads 1 byte/weight instead of 4 (f32) — the decisive factor
+for the HBM-bound decode GEMMs.
+
+Two kernels:
+
+- ``matmul_w4a16``: AWQ-style group-quantized weights. The k-block size is
+  pinned to the group size so the per-(group, out-channel) scale is a
+  constant over each partial dot: ``acc += (x_blk @ w_blk) * s[g, :]`` is
+  exact. Payload is the zero-folded ``(q - z)`` int8 produced by
+  ops/awq.py; values |w| <= 15 convert losslessly to bf16 for the MXU.
+- ``matmul_w8a8``: CT2-style per-row activation scales x per-output-channel
+  weight scales. int8 x int8 -> int32 accumulation on the MXU int8 path,
+  with the dequant epilogue fused in the kernel
+  (reference: src/ops/dequantize.cc:13-59 fused GEMM-output dequant).
+
+Both carry an ``interpret`` path so CPU tests exercise the same code.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_rows(x, multiple: int):
+    m = x.shape[0]
+    pad = (-m) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, m
+
+
+# ---------------------------------------------------------------------------
+# W4A16: group-quantized weights, float activations.
+# ---------------------------------------------------------------------------
+
+
+def _w4a16_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, group: int,
+                  groups_per_step: int):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    w = w_ref[:].astype(x.dtype)  # |q - z| <= 15: lossless in bf16
+    acc = acc_ref[:]
+    for gi in range(groups_per_step):  # static unroll
+        part = jax.lax.dot_general(
+            x[:, gi * group:(gi + 1) * group],
+            w[gi * group:(gi + 1) * group, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # s_ref holds all group rows for this n-block; pick this group's.
+        s = s_ref[pl.ds(k * groups_per_step + gi, 1), :].astype(jnp.float32)
+        acc = acc + part * s
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def matmul_w4a16(
+    x,  # [M, K] float
+    w4,  # [K, N] int8 (q - z values)
+    g_scale,  # [K // G, N] float32 group scales
+    *,
+    block_m: int = 256,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """Group-dequant matmul: returns ``x @ (w4 * expand(g_scale))``.
+
+    The k-block is a multiple of the quantization group size G, so every
+    partial dot sees a constant scale row per group (exact rescaling).
+    """
+    M, K = x.shape
+    N = w4.shape[1]
+    G = K // g_scale.shape[0]
+
+    x, true_m = _pad_rows(x, min(block_m, 8))
+    block_m = min(block_m, x.shape[0])
+    block_n = min(block_n, N)
+    block_k = max(G, min(block_k - block_k % G, K))
+    while K % block_k:
+        block_k -= G
+    groups_per_step = block_k // G
+    Mp = x.shape[0]
+
+    grid = (pl.cdiv(Mp, block_m), pl.cdiv(N, block_n), K // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a16_kernel, group=G, groups_per_step=groups_per_step
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            # All group rows stay VMEM-resident per n-block (small array;
+            # a (1, bn) block would break the 8-sublane divisibility rule).
+            pl.BlockSpec((K // G, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w4, g_scale)
+    return out[:true_m]
+
+
+def w4a16_supported(x_shape, w4_shape, g_scale_shape) -> bool:
+    K, N = w4_shape
+    if g_scale_shape[0] == 0 or K % g_scale_shape[0]:
+        return False
+    G = K // g_scale_shape[0]
+    # One scale row per k-step; keep G MXU-aligned and N lane-aligned.
+    return G % 128 == 0 and N % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# W8A8: dynamic per-row activation scales, per-channel weight scales.
+# ---------------------------------------------------------------------------
+
+
+def _w8a8_kernel(q_ref, w_ref, as_ref, ws_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        q_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _done():
+        scale = as_ref[:, 0][:, None] * ws_ref[0, :][None, :]
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) / scale).astype(o_ref.dtype)
+
+
+def matmul_w8a8(
+    q,  # [M, K] int8 quantized activations
+    wq,  # [K, N] int8 weights
+    a_scale,  # [M] float32 (x ~= q / a_scale)
+    w_scale,  # [N] float32 (w ~= wq / w_scale)
+    *,
+    block_m: int = 256,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """int8 x int8 -> int32 matmul with the fused dequant epilogue
+    ``y = acc / (a_scale ⊗ w_scale)`` (reference: src/ops/dequantize.cc)."""
+    M, K = q.shape
+    N = wq.shape[1]
+
+    q, true_m = _pad_rows(q, min(block_m, 32))
+    a_scale = jnp.pad(
+        jnp.where(a_scale == 0, 1.0, a_scale)[:, None],
+        ((0, q.shape[0] - M), (0, 0)), constant_values=1.0)
+    block_m = min(block_m, q.shape[0])
+    block_n = min(block_n, N)
+    block_k = min(block_k, K)
+    Mp = q.shape[0]
+
+    grid = (pl.cdiv(Mp, block_m), pl.cdiv(N, block_n), pl.cdiv(K, block_k))
+
+    out = pl.pallas_call(
+        _w8a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((block_m, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, wq, a_scale, w_scale[None, :])
+    return out[:true_m]
+
+
+def w8a8_supported(q_shape, wq_shape) -> bool:
+    K, N = wq_shape
+    return K % 128 == 0 and N % 128 == 0

@@ -84,3 +84,58 @@ def test_small_top_k_matches_lax():
     v2, i2 = jax.lax.top_k(x, 4)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+# ---------------------------------------------------------------------------
+# Quantized matmul kernels (interpret mode on CPU).
+# ---------------------------------------------------------------------------
+
+
+def test_matmul_w4a16_interpret():
+    import numpy as np
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels import quant_matmul as qm
+
+    rng = np.random.default_rng(0)
+    M, K, N, G = 5, 384, 256, 128
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w4 = rng.integers(-15, 16, (K, N)).astype(np.int8)
+    gs = (rng.random((K // G, N)) * 0.1 + 0.01).astype(np.float32)
+    ref = x @ (w4.astype(np.float32) * np.repeat(gs, G, 0))
+    out = qm.matmul_w4a16(jnp.asarray(x), jnp.asarray(w4), jnp.asarray(gs),
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-4)
+    assert qm.w4a16_supported((M, K), w4.shape, gs.shape)
+
+
+def test_matmul_w4a16_multi_group_block():
+    import numpy as np
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels import quant_matmul as qm
+
+    rng = np.random.default_rng(1)
+    M, K, N, G = 3, 512, 128, 128
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w4 = rng.integers(-15, 16, (K, N)).astype(np.int8)
+    gs = (rng.random((K // G, N)) * 0.1 + 0.01).astype(np.float32)
+    ref = x @ (w4.astype(np.float32) * np.repeat(gs, G, 0))
+    out = qm.matmul_w4a16(jnp.asarray(x), jnp.asarray(w4), jnp.asarray(gs),
+                          block_k=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-4)
+
+
+def test_matmul_w8a8_interpret():
+    import numpy as np
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels import quant_matmul as qm
+
+    rng = np.random.default_rng(2)
+    M, K, N = 7, 256, 384
+    q = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    wq = rng.integers(-127, 128, (K, N)).astype(np.int8)
+    a_s = (rng.random(M) * 5 + 0.5).astype(np.float32)
+    w_s = (rng.random(N) * 5 + 0.5).astype(np.float32)
+    ref = (q.astype(np.int64) @ wq.astype(np.int64)) / np.outer(a_s, w_s)
+    out = qm.matmul_w8a8(jnp.asarray(q), jnp.asarray(wq), jnp.asarray(a_s),
+                         jnp.asarray(w_s), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
