@@ -11,7 +11,7 @@ from .runtime.whisper import (
     WhisperAlignmentResult,
     WhisperGenerationResult,
 )
-from .runtime.wav2vec2 import Wav2Vec2
+from .runtime.wav2vec2 import Wav2Vec2, Wav2Vec2Bert
 from .runtime.results import (
     AsyncResult,
     ExecutionStats,

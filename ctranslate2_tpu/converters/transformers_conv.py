@@ -498,19 +498,20 @@ def load_gemma(b: ConvBuilder, model, config, tokenizer):
 def _load_bart_like(b: ConvBuilder, model, config, tokenizer, *,
                     spec_name="TransformerSpec", activation=None,
                     scale_embeddings=None, pos_offset=2,
-                    layernorm_embedding=True, final_norm=False):
+                    layernorm_embedding=True, final_norm=False,
+                    pre_norm=None):
     b.spec_name, b.revision = spec_name, 7
     act = activation or _HF_ACTIVATIONS[config.activation_function]
     scale = (config.scale_embedding if scale_embeddings is None
              else scale_embeddings)
+    if pre_norm is None:
+        pre_norm = getattr(config, "normalize_before", False)
 
     for side in ("encoder", "decoder"):
         b.add_attr(f"{side}/num_heads", config.encoder_attention_heads
                    if side == "encoder" else config.decoder_attention_heads,
                    "int16")
-        b.add_attr(f"{side}/pre_norm",
-                   1 if getattr(config, "normalize_before", False) else 0,
-                   "int8")
+        b.add_attr(f"{side}/pre_norm", 1 if pre_norm else 0, "int8")
         b.add_attr(f"{side}/activation", ACTIVATION_IDS[act], "int8")
         b.add_attr(f"{side}/scale_embeddings", 1 if scale else 0, "int8")
     b.add_attr("encoder/embeddings_merge", 0, "int8")
@@ -576,7 +577,9 @@ def load_bart(b, model, config, tokenizer):
 
 @register("MBartConfig")
 def load_mbart(b, model, config, tokenizer):
-    return _load_bart_like(b, model, config, tokenizer, final_norm=True)
+    # MBart hardcodes pre-norm in its modeling code.
+    return _load_bart_like(b, model, config, tokenizer, final_norm=True,
+                           pre_norm=True)
 
 
 @register("M2M100Config")
@@ -900,3 +903,592 @@ class TransformersConverter:
                   encoding="utf-8") as f:
             json.dump(tokens, f, ensure_ascii=False)
         return output_dir
+
+
+@register("Wav2Vec2BertConfig")
+def load_wav2vec2bert(b: ConvBuilder, model, config, tokenizer):
+    """Wav2Vec2Bert conformer CTC encoder
+    (reference: python/ctranslate2/converters/transformers.py:1114-1227)."""
+    b.spec_name, b.revision = "Wav2Vec2BertSpec", 1
+    sc = "encoder"
+    enc = model.wav2vec2_bert
+
+    b.set_layer_norm(f"{sc}/fp_layer_norm", enc.feature_projection.layer_norm)
+    b.set_linear(f"{sc}/fp_projection", enc.feature_projection.projection)
+
+    left_max = getattr(config, "left_max_position_embeddings", 0)
+    right_max = getattr(config, "right_max_position_embeddings", 0)
+
+    def set_attention(scope, attn, rel=False):
+        b.set_qkv(scope, attn.linear_q, attn.linear_k, attn.linear_v)
+        b.set_linear(f"{scope}/linear_1", attn.linear_out)
+        if rel and getattr(attn, "distance_embedding", None) is not None:
+            b.add(f"{scope}/relative_asymmetric_position_keys",
+                  _np(attn.distance_embedding.weight))
+            b.add_attr(f"{scope}/relative_left_max_position",
+                       int(left_max), "int32")
+            b.add_attr(f"{scope}/relative_right_max_position",
+                       int(right_max), "int32")
+        b.add_attr(f"{scope}/num_heads", config.num_attention_heads, "int16")
+
+    def set_conv(scope, conv):
+        b.add(f"{scope}/weight", _np(conv.weight))
+        if getattr(conv, "bias", None) is not None:
+            b.add(f"{scope}/bias", _np(conv.bias))
+
+    for i, layer in enumerate(enc.encoder.layers):
+        ls = f"{sc}/encoder_layers_{i}"
+        b.set_layer_norm(f"{ls}/enc_ffn1_layer_norm", layer.ffn1_layer_norm)
+        b.set_linear(f"{ls}/enc_ffn1/linear_0", layer.ffn1.intermediate_dense)
+        b.set_linear(f"{ls}/enc_ffn1/linear_1", layer.ffn1.output_dense)
+        b.set_layer_norm(f"{ls}/enc_attn_layer_norm", layer.self_attn_layer_norm)
+        set_attention(f"{ls}/enc_attn", layer.self_attn, rel=True)
+        cm = layer.conv_module
+        b.set_layer_norm(f"{ls}/enc_conv_layer_norm", cm.layer_norm)
+        set_conv(f"{ls}/enc_conv_pointwise_conv1", cm.pointwise_conv1)
+        set_conv(f"{ls}/enc_conv_depthwise_conv", cm.depthwise_conv)
+        b.set_layer_norm(f"{ls}/enc_conv_depthwise_layer_norm",
+                         cm.depthwise_layer_norm)
+        set_conv(f"{ls}/enc_conv_pointwise_conv2", cm.pointwise_conv2)
+        b.set_layer_norm(f"{ls}/enc_ffn2_layer_norm", layer.ffn2_layer_norm)
+        b.set_linear(f"{ls}/enc_ffn2/linear_0", layer.ffn2.intermediate_dense)
+        b.set_linear(f"{ls}/enc_ffn2/linear_1", layer.ffn2.output_dense)
+        b.set_layer_norm(f"{ls}/enc_final_layer_norm", layer.final_layer_norm)
+
+    if getattr(enc, "adapter", None) is not None:
+        for i, layer in enumerate(enc.adapter.layers):
+            ls = f"{sc}/adapter_layers_{i}"
+            b.set_layer_norm(f"{ls}/adpt_residual_layer_norm",
+                             layer.residual_layer_norm)
+            set_conv(f"{ls}/adpt_residual_conv", layer.residual_conv)
+            b.set_layer_norm(f"{ls}/adpt_attn_layer_norm",
+                             layer.self_attn_layer_norm)
+            set_conv(f"{ls}/adpt_attn_conv", layer.self_attn_conv)
+            set_attention(f"{ls}/adpt_attn_layer", layer.self_attn)
+            b.set_layer_norm(f"{ls}/adpt_ffn_layer_norm", layer.ffn_layer_norm)
+            b.set_linear(f"{ls}/adpt_ffn/linear_0", layer.ffn.intermediate_dense)
+            b.set_linear(f"{ls}/adpt_ffn/linear_1", layer.ffn.output_dense)
+
+    if getattr(model, "lm_head", None) is not None:
+        b.set_linear(f"{sc}/lm_head", model.lm_head)
+    return {}
+
+
+# ---------------------------------------------------------------------------
+# Additional decoder-only loaders (GPT-J family, code models, Falcon, MPT,
+# Phi) — reference registry: transformers.py:613-3230.
+# ---------------------------------------------------------------------------
+
+
+def _permute_sliced_rotary(w: np.ndarray, num_heads: int,
+                           rotary_dim: Optional[int] = None) -> np.ndarray:
+    """Convert interleaved-rotary weights to the half-split layout so the
+    runtime can run rotary_interleave=False
+    (reference: python/ctranslate2/converters/utils.py:57-73)."""
+    if rotary_dim is not None:
+        w = w.reshape(num_heads, w.shape[0] // num_heads, -1).copy()
+        r = _permute_sliced_rotary(
+            w[:, :rotary_dim].reshape(num_heads * rotary_dim, -1), num_heads
+        ).reshape(num_heads, rotary_dim, -1)
+        w[:, :rotary_dim] = r
+        return w.reshape(-1, w.shape[-1])
+    return (
+        w.reshape(num_heads, w.shape[0] // num_heads // 2, 2, w.shape[1])
+        .swapaxes(1, 2)
+        .reshape(w.shape[0], w.shape[1])
+    )
+
+
+def _gptj_like_layers(b, sc, module_layers, num_heads, rotary_dim, *,
+                      get_parts):
+    """Shared GPT-J-style parallel-residual layer writer: one shared LN,
+    permuted-for-sliced-rotary QKV (reference: transformers.py:740-760)."""
+    for i, layer in enumerate(module_layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        ln, qw, kw, vw, qb, kb, vb, out, fc_in, fc_out = get_parts(layer)
+        b.set_layer_norm(f"{ls}/shared_layer_norm", ln)
+        qw = _permute_sliced_rotary(qw, num_heads, rotary_dim)
+        kw = _permute_sliced_rotary(kw, num_heads, rotary_dim)
+        b.add(f"{asc}/linear_0/weight", np.concatenate([qw, kw, vw], axis=0))
+        if qb is not None:
+            qb = _permute_sliced_rotary(qb[:, None], num_heads, rotary_dim)[:, 0]
+            kb = _permute_sliced_rotary(kb[:, None], num_heads, rotary_dim)[:, 0]
+            b.add(f"{asc}/linear_0/bias", np.concatenate([qb, kb, vb]))
+        b.set_linear(f"{asc}/linear_1", out)
+        b.set_linear(f"{ls}/ffn/linear_0", fc_in)
+        b.set_linear(f"{ls}/ffn/linear_1", fc_out)
+        b.add_attr(f"{asc}/rotary_dim", rotary_dim, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+
+
+@register("GPTJConfig")
+def load_gptj(b: ConvBuilder, model, config, tokenizer):
+    """GPT-J: parallel residual + shared LN + partial interleaved rotary
+    (reference: transformers.py:706-760)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    b.add_attr(f"{sc}/num_heads", config.n_head, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS[config.activation_function]],
+               "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    module = model.transformer
+    b.set_embeddings(f"{sc}/embeddings", module.wte)
+    b.set_layer_norm(f"{sc}/layer_norm", module.ln_f)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    def parts(layer):
+        a = layer.attn
+        return (layer.ln_1, _np(a.q_proj.weight), _np(a.k_proj.weight),
+                _np(a.v_proj.weight), None, None, None,
+                a.out_proj, layer.mlp.fc_in, layer.mlp.fc_out)
+
+    _gptj_like_layers(b, sc, module.h, config.n_head, config.rotary_dim,
+                      get_parts=parts)
+    return {"layer_norm_epsilon": float(config.layer_norm_epsilon)}
+
+
+@register("CodeGenConfig")
+def load_codegen(b: ConvBuilder, model, config, tokenizer):
+    """CodeGen: GPT-J layout after un-permuting the fused QVK projection
+    (reference: transformers.py:763-850)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    b.add_attr(f"{sc}/num_heads", config.n_head, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS[config.activation_function]],
+               "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    module = model.transformer
+    b.set_embeddings(f"{sc}/embeddings", module.wte)
+    b.set_layer_norm(f"{sc}/layer_norm", module.ln_f)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    mp_num = 8 if getattr(config, "head_dim", None) in (128, 256) else 4
+    embed_dim = config.n_embd
+    base_perm = np.arange(0, mp_num * 3).reshape(-1, 3).T.flatten()
+    local_dim = embed_dim // mp_num
+    permutation = np.concatenate(
+        [np.arange(i * local_dim, (i + 1) * local_dim) for i in base_perm])
+
+    def parts(layer):
+        qkv = _np(layer.attn.qkv_proj.weight)[permutation, :]
+        # CodeGen stores QVK, not QKV (reference: transformers.py:838-841).
+        qw, vw, kw = np.split(qkv, 3, axis=0)
+        return (layer.ln_1, qw, kw, vw, None, None, None,
+                layer.attn.out_proj, layer.mlp.fc_in, layer.mlp.fc_out)
+
+    _gptj_like_layers(b, sc, module.h, config.n_head, config.rotary_dim,
+                      get_parts=parts)
+    return {"layer_norm_epsilon": float(config.layer_norm_epsilon)}
+
+
+@register("GPTBigCodeConfig")
+def load_gpt_bigcode(b: ConvBuilder, model, config, tokenizer):
+    """GPT-BigCode / StarCoder: MQA with fused [Q|kv] projection
+    (reference: transformers.py:613-670)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    b.add_attr(f"{sc}/num_heads", config.n_head, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS[config.activation_function]],
+               "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    module = model.transformer
+    b.set_embeddings(f"{sc}/embeddings", module.wte)
+    b.set_position_embeddings(f"{sc}/position_encodings", module.wpe)
+    b.set_layer_norm(f"{sc}/layer_norm", module.ln_f)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    for i, layer in enumerate(module.h):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{asc}/layer_norm", layer.ln_1)
+        b.set_linear(f"{asc}/linear_0", layer.attn.c_attn)
+        b.set_linear(f"{asc}/linear_1", layer.attn.c_proj)
+        if config.multi_query:
+            b.add_attr(f"{asc}/multi_query", 1, "int8")
+        b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.ln_2)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.c_fc)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.c_proj)
+    return {"layer_norm_epsilon": float(config.layer_norm_epsilon)}
+
+
+@register("FalconConfig", "RWConfig")
+def load_falcon(b: ConvBuilder, model, config, tokenizer):
+    """Falcon / RefinedWeb: grouped fused QKV, parallel residual variants,
+    rotary or ALiBi (reference: transformers.py:3085-3229)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    num_heads = config.num_attention_heads
+    num_kv = getattr(config, "num_kv_heads", None)
+    if getattr(config, "multi_query", False) and not getattr(
+            config, "new_decoder_architecture", False):
+        num_kv = 1
+    alibi = bool(getattr(config, "alibi", False))
+    head_dim = config.hidden_size // num_heads
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation", ACTIVATION_IDS["gelu"], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+    if alibi:
+        b.add_attr(f"{sc}/alibi", 1, "int8")
+        b.add_attr(f"{sc}/scale_alibi", 1, "int8")
+
+    module = model.transformer
+    b.set_embeddings(f"{sc}/embeddings", module.word_embeddings)
+    b.set_layer_norm(f"{sc}/layer_norm", module.ln_f)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    new_arch = getattr(config, "new_decoder_architecture", False)
+    parallel = getattr(config, "parallel_attn", True)
+
+    for i, layer in enumerate(module.h):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        att = layer.self_attention
+
+        if new_arch and hasattr(layer, "ln_attn"):
+            b.set_layer_norm(f"{ls}/input_layer_norm", layer.ln_attn)
+            b.set_layer_norm(f"{ls}/post_attention_layer_norm", layer.ln_mlp)
+        elif parallel:
+            b.set_layer_norm(f"{ls}/shared_layer_norm", layer.input_layernorm)
+        else:
+            b.set_layer_norm(f"{asc}/layer_norm", layer.input_layernorm)
+            b.set_layer_norm(f"{ls}/ffn/layer_norm",
+                             layer.post_attention_layernorm)
+
+        w = _np(att.query_key_value.weight)
+        bias = att.query_key_value.bias
+        if num_kv in (None, num_heads):
+            # Interleaved per head: [h0q h0k h0v ...] when new_arch, plain
+            # [Q|K|V] otherwise; HF stores grouped q+2 per kv group.
+            if new_arch:
+                w = w.reshape(num_heads, 3, head_dim, -1)
+                fused = np.concatenate(
+                    [w[:, 0].reshape(num_heads * head_dim, -1),
+                     w[:, 1].reshape(num_heads * head_dim, -1),
+                     w[:, 2].reshape(num_heads * head_dim, -1)], axis=0)
+            else:
+                fused = w
+            b.add(f"{asc}/linear_0/weight", fused)
+            if bias is not None:
+                bb = _np(bias)
+                if new_arch:
+                    bb = bb.reshape(num_heads, 3, head_dim)
+                    bb = np.concatenate([bb[:, 0].reshape(-1),
+                                         bb[:, 1].reshape(-1),
+                                         bb[:, 2].reshape(-1)])
+                b.add(f"{asc}/linear_0/bias", bb)
+        elif num_kv == 1:
+            # MQA layout is already [Q... k v] (reference: 3157-3161).
+            b.add(f"{asc}/linear_0/weight", w)
+            if bias is not None:
+                b.add(f"{asc}/linear_0/bias", _np(bias))
+            b.add_attr(f"{asc}/multi_query", 1, "int8")
+        else:
+            # Grouped: (kv_groups, q_per_group + 2, head_dim, in)
+            # (reference: 3177-3196).
+            g = w.reshape(num_kv, num_heads // num_kv + 2, head_dim, -1)
+            q, k, v = (g[:, :-2], g[:, -2:-1], g[:, -1:])
+            fused = np.concatenate(
+                [q.reshape(num_heads * head_dim, -1),
+                 k.reshape(num_kv * head_dim, -1),
+                 v.reshape(num_kv * head_dim, -1)], axis=0)
+            b.add(f"{asc}/linear_0/weight", fused)
+            if bias is not None:
+                gb = _np(bias).reshape(num_kv, num_heads // num_kv + 2, head_dim)
+                b.add(f"{asc}/linear_0/bias", np.concatenate(
+                    [gb[:, :-2].reshape(-1), gb[:, -2:-1].reshape(-1),
+                     gb[:, -1:].reshape(-1)]))
+            b.add_attr(f"{asc}/num_heads_kv", int(num_kv), "int32")
+
+        b.set_linear(f"{asc}/linear_1", att.dense)
+        if not alibi:
+            b.add_attr(f"{asc}/rotary_dim", 0, "int32")
+            b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+            b.add_attr(f"{asc}/rotary_base",
+                       float(getattr(config, "rope_theta", 10000.0)),
+                       "float32")
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.dense_h_to_4h)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.dense_4h_to_h)
+    return {"layer_norm_epsilon": float(
+        getattr(config, "layer_norm_epsilon", 1e-5))}
+
+
+@register("MPTConfig", "MptConfig")
+def load_mpt(b: ConvBuilder, model, config, tokenizer):
+    """MPT: ALiBi, bias-free, tied output embeddings
+    (reference: transformers.py:1442-1495)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    b.add_attr(f"{sc}/num_heads", config.n_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation", ACTIVATION_IDS["gelu"], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+    b.add_attr(f"{sc}/alibi", 1, "int8")
+
+    module = model.transformer
+    b.set_embeddings(f"{sc}/embeddings", module.wte)
+    # MPT norms carry no bias; the reference registers a zero beta
+    # (reference: transformers.py:1491-1494).
+    b.add(f"{sc}/layer_norm/gamma", _np(module.norm_f.weight))
+    b.add(f"{sc}/layer_norm/beta", np.zeros_like(_np(module.norm_f.weight)))
+    # Tied projection.
+    b.add(f"{sc}/projection/weight", _np(module.wte.weight))
+
+    for i, layer in enumerate(module.blocks):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.add(f"{asc}/layer_norm/gamma", _np(layer.norm_1.weight))
+        b.add(f"{asc}/layer_norm/beta",
+              np.zeros_like(_np(layer.norm_1.weight)))
+        b.set_linear(f"{asc}/linear_0", layer.attn.Wqkv)
+        b.set_linear(f"{asc}/linear_1", layer.attn.out_proj)
+        b.add(f"{ls}/ffn/layer_norm/gamma", _np(layer.norm_2.weight))
+        b.add(f"{ls}/ffn/layer_norm/beta",
+              np.zeros_like(_np(layer.norm_2.weight)))
+        b.set_linear(f"{ls}/ffn/linear_0", layer.ffn.up_proj)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.ffn.down_proj)
+    return {}
+
+
+@register("PhiConfig")
+def load_phi(b: ConvBuilder, model, config, tokenizer):
+    """Phi-1/2 (modern HF layout): parallel residual with shared LN and
+    partial rotary (reference: transformers.py:2858-2907 covers the legacy
+    layout; this maps the upstream PhiForCausalLM modules)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    num_heads = config.num_attention_heads
+    head_dim = config.hidden_size // num_heads
+    rotary_dim = int(head_dim * getattr(config, "partial_rotary_factor", 1.0))
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS[config.hidden_act]], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    module = model.model
+    b.set_embeddings(f"{sc}/embeddings", module.embed_tokens)
+    b.set_layer_norm(f"{sc}/layer_norm", module.final_layernorm)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    for i, layer in enumerate(module.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{ls}/shared_layer_norm", layer.input_layernorm)
+        b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                  layer.self_attn.v_proj)
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.dense)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.fc1)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.fc2)
+        b.add_attr(f"{asc}/rotary_dim", rotary_dim, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        b.add_attr(f"{asc}/rotary_base",
+                   float(getattr(config, "rope_theta", 10000.0)), "float32")
+    return {"layer_norm_epsilon": float(config.layer_norm_eps)}
+
+
+@register("Phi3Config")
+def load_phi3(b: ConvBuilder, model, config, tokenizer):
+    """Phi-3: llama-like with fused qkv/gate_up projections and Su (longrope)
+    scaling factors (reference: transformers.py:2910-3070)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    num_heads = config.num_attention_heads
+    num_heads_kv = getattr(config, "num_key_value_heads", num_heads)
+    head_dim = config.hidden_size // num_heads
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation", ACTIVATION_IDS["swish"], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    rope_scaling = getattr(config, "rope_scaling", None)
+    long_factor = short_factor = None
+    scaling_type = None
+    if rope_scaling:
+        rtype = rope_scaling.get("rope_type", rope_scaling.get("type"))
+        if rtype in ("su", "longrope"):
+            scaling_type = 1
+            long_factor = rope_scaling["long_factor"]
+            short_factor = rope_scaling["short_factor"]
+        elif rtype == "linear":
+            scaling_type = 0
+
+    module = model.model
+    b.set_embeddings(f"{sc}/embeddings", module.embed_tokens)
+    b.set_layer_norm(f"{sc}/layer_norm", module.norm, rms=True)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    for i, layer in enumerate(module.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{asc}/layer_norm", layer.input_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/ffn/layer_norm",
+                         layer.post_attention_layernorm, rms=True)
+        b.set_linear(f"{asc}/linear_0", layer.self_attn.qkv_proj)
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.o_proj)
+        gate, up = np.split(_np(layer.mlp.gate_up_proj.weight), 2, axis=0)
+        b.add(f"{ls}/ffn/linear_0/weight", gate)
+        b.add(f"{ls}/ffn/linear_0_noact/weight", up)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.down_proj)
+
+        if num_heads_kv != num_heads:
+            b.add_attr(f"{asc}/num_heads_kv", num_heads_kv, "int32")
+        b.add_attr(f"{asc}/rotary_dim", 0, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        b.add_attr(f"{asc}/rotary_base",
+                   float(getattr(config, "rope_theta", 10000.0)), "float32")
+        if scaling_type is not None:
+            b.add_attr(f"{asc}/rotary_scaling_type", scaling_type, "int8")
+            b.add_attr(f"{asc}/original_max_position_embeddings",
+                       int(getattr(config,
+                                   "original_max_position_embeddings", 0)),
+                       "int32")
+            b.add_attr(f"{asc}/max_position_embeddings",
+                       int(getattr(config, "max_position_embeddings", 0)),
+                       "int32")
+        if long_factor is not None:
+            b.add(f"{asc}/rotary_scaling_long_factor",
+                  np.asarray(long_factor, np.float32))
+            b.add(f"{asc}/rotary_scaling_short_factor",
+                  np.asarray(short_factor, np.float32))
+    return {"layer_norm_epsilon": float(config.rms_norm_eps)}
+
+
+@register("PegasusConfig")
+def load_pegasus(b: ConvBuilder, model, config, tokenizer):
+    """Pegasus: pre-norm BART layout with sinusoidal positions and final
+    norms (reference: transformers.py:529-540 via BartLoader)."""
+    out = _load_bart_like(
+        b, model, config, tokenizer,
+        pos_offset=0, layernorm_embedding=False, final_norm=True,
+        pre_norm=True)
+    out = out or {}
+    out["bos_token"] = getattr(tokenizer, "pad_token", None) or "<pad>"
+    out["decoder_start_token"] = out["bos_token"]
+    return out
+
+
+@register("DistilBertConfig")
+def load_distilbert(b: ConvBuilder, model, config, tokenizer):
+    """DistilBERT encoder (reference: transformers.py:3231-3286)."""
+    b.spec_name, b.revision = "TransformerEncoderSpec", 1
+    sc = "encoder"
+    b.add_attr(f"{sc}/num_heads", config.n_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 0, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS[config.activation]], "int8")
+    b.add_attr(f"{sc}/embeddings_merge", 1, "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    base = getattr(model, "distilbert", None) or model.base_model
+    emb = base.embeddings
+    b.set_embeddings(f"{sc}/embeddings_0", emb.word_embeddings)
+    b.set_position_embeddings(f"{sc}/position_encodings",
+                              emb.position_embeddings)
+    b.set_layer_norm(f"{sc}/layernorm_embedding", emb.LayerNorm)
+
+    for i, layer in enumerate(base.transformer.layer):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        att = layer.attention
+        b.set_qkv(asc, att.q_lin, att.k_lin, att.v_lin)
+        b.set_linear(f"{asc}/linear_1", att.out_lin)
+        b.set_layer_norm(f"{asc}/layer_norm", layer.sa_layer_norm)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.ffn.lin1)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.ffn.lin2)
+        b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.output_layer_norm)
+    return {"layer_norm_epsilon": 1e-12}
+
+
+@register("Gemma3Config", "Gemma3TextConfig")
+def load_gemma3(b: ConvBuilder, model, config, tokenizer):
+    """Gemma 3: sandwich norms + QK norms + interleaved local (sliding,
+    rope 10k) / global (full, rope 1M) attention layers
+    (reference: transformers.py:1848-2060)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    cfg = getattr(config, "text_config", config)
+    num_heads = cfg.num_attention_heads
+    num_heads_kv = getattr(cfg, "num_key_value_heads", num_heads)
+    head_dim = cfg.head_dim
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    act = getattr(cfg, "hidden_activation", "gelu_pytorch_tanh")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS["gelu" if act == "gelu" else "gelu_tanh"],
+               "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 1, "int8")
+
+    rope_global = float(getattr(cfg, "rope_theta", 1_000_000))
+    rope_local = float(getattr(cfg, "rope_local_base_freq", 10_000))
+    sliding_window = int(getattr(cfg, "sliding_window", 1024) or 0)
+    layer_types = getattr(cfg, "layer_types", None)
+    if layer_types is None:
+        pattern = getattr(cfg, "_sliding_window_pattern",
+                          getattr(cfg, "sliding_window_pattern", 6))
+        layer_types = [
+            "full_attention" if (i + 1) % pattern == 0
+            else "sliding_attention"
+            for i in range(cfg.num_hidden_layers)]
+
+    module = getattr(model.model, "language_model", model.model)
+    b.set_embeddings(f"{sc}/embeddings", module.embed_tokens)
+    b.set_layer_norm(f"{sc}/layer_norm", module.norm, rms=True, plus_one=True)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    for i, layer in enumerate(module.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{ls}/input_layer_norm", layer.input_layernorm,
+                         rms=True, plus_one=True)
+        b.set_layer_norm(f"{ls}/post_attention_layer_norm",
+                         layer.post_attention_layernorm, rms=True,
+                         plus_one=True)
+        b.set_layer_norm(f"{ls}/pre_feedforward_layer_norm",
+                         layer.pre_feedforward_layernorm, rms=True,
+                         plus_one=True)
+        b.set_layer_norm(f"{ls}/post_feedforward_layer_norm",
+                         layer.post_feedforward_layernorm, rms=True,
+                         plus_one=True)
+        b.set_layer_norm(f"{asc}/q_norm", layer.self_attn.q_norm,
+                         rms=True, plus_one=True)
+        b.set_layer_norm(f"{asc}/k_norm", layer.self_attn.k_norm,
+                         rms=True, plus_one=True)
+        b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                  layer.self_attn.v_proj)
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.o_proj)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.gate_proj)
+        b.set_linear(f"{ls}/ffn/linear_0_noact", layer.mlp.up_proj)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.down_proj)
+
+        if num_heads_kv != num_heads:
+            b.add_attr(f"{asc}/num_heads_kv", num_heads_kv, "int32")
+        if head_dim != cfg.hidden_size // num_heads:
+            b.add_attr(f"{asc}/head_dim", head_dim, "int32")
+        b.add_attr(f"{asc}/rotary_dim", 0, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        if layer_types[i] == "full_attention":
+            b.add_attr(f"{asc}/rotary_base", rope_global, "float32")
+        else:
+            b.add_attr(f"{asc}/rotary_base", rope_local, "float32")
+            if sliding_window:
+                b.add_attr(f"{asc}/sliding_window", sliding_window, "int32")
+        scalar = getattr(cfg, "query_pre_attn_scalar", None)
+        if scalar:
+            b.add_attr(f"{asc}/queries_scale", float(scalar) ** -0.5,
+                       "float32")
+    return {"layer_norm_epsilon": float(cfg.rms_norm_eps)}

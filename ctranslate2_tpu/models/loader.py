@@ -177,8 +177,9 @@ def load_model(
                     break
                 source_vocabularies.append(v)
                 i += 1
-        if target_vocabulary is None and arch.decoder is not None:
-            # Decoder-only models use "vocabulary".
+        if target_vocabulary is None:
+            # Decoder-only (and converted encoder-only) models use
+            # "vocabulary".
             target_vocabulary = Vocabulary.load(path, "vocabulary", info)
 
     vmap = os.path.join(path, "vmap.txt")

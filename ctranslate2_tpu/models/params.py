@@ -128,7 +128,13 @@ class ParamsBuilder:
         gamma = self.mf.get(scope + "/gamma")
         if gamma is None:
             return None
-        out = {"gamma": jnp.asarray(gamma.as_float32(), dtype=jnp.float32)}
+        g = gamma.as_float32()
+        if self.mf.flag(scope + "/layer_norm_use_residual", False):
+            # Gemma RMSNorm variant: x * rms * (1 + gamma); baking the +1
+            # into gamma is numerically identical
+            # (reference: src/ops/rms_norm_gpu.cu:44).
+            g = g + 1.0
+        out = {"gamma": jnp.asarray(g, dtype=jnp.float32)}
         beta = self.mf.get(scope + "/beta")
         if beta is not None:
             out["beta"] = jnp.asarray(beta.as_float32(), dtype=jnp.float32)

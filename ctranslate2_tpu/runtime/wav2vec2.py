@@ -106,3 +106,34 @@ class Wav2Vec2:
         if to_cpu:
             return np.asarray(out)
         return out
+
+
+class Wav2Vec2Bert:
+    """Conformer speech encoder (reference: src/models/wav2vec2bert.cc,
+    python/cpp/wav2vec2bert.cc): features -> CTC logits / hidden states."""
+
+    def __init__(self, model_path: str, device: str = "auto",
+                 compute_type: str = "default", **kwargs):
+        from ..formats.model_file import load_model_file
+        from ..models import wav2vec2bert as W
+        from ..utils.dtypes import resolve_compute_type
+
+        self.mf = load_model_file(model_path)
+        if not W.is_wav2vec2bert(self.mf):
+            raise ValueError(
+                f"The model at {model_path} is not a Wav2Vec2Bert model")
+        self.spec = W.extract_wav2vec2bert(self.mf)
+        self.policy = resolve_compute_type(compute_type, "float32")
+        self.params = W.build_wav2vec2bert_params(self.mf, self.spec, self.policy)
+        self._forward = W.wav2vec2bert_forward_jit
+
+    def encode(self, features, to_cpu: bool = False):
+        """[B, T, C_feat] input features -> logits [B, T', vocab] (or the
+        hidden states when the model was converted with return_hidden)."""
+        out = self._forward(
+            self.spec, self.params, jnp.asarray(features),
+            quantize_acts=self.policy.quantize_activations,
+            out_dtype=self.policy.activation_jnp)
+        if to_cpu:
+            return np.asarray(out.astype(jnp.float32))
+        return out

@@ -293,3 +293,192 @@ def test_wav2vec2(tmp_path):
     with torch.no_grad():
         theirs = model(torch.tensor(audio)).logits.numpy()
     np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-3)
+
+
+def test_wav2vec2bert(tmp_path):
+    cfg = transformers.Wav2Vec2BertConfig(
+        hidden_size=32, num_hidden_layers=2, num_adapter_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        feature_projection_input_dim=48, output_hidden_size=32,
+        vocab_size=20, left_max_position_embeddings=8,
+        right_max_position_embeddings=8,
+        position_embeddings_type="relative_key",
+        conv_depthwise_kernel_size=31, add_adapter=True,
+        layerdrop=0.0, feat_proj_dropout=0.0, hidden_dropout=0.0)
+    model = transformers.Wav2Vec2BertForCTC(cfg).eval()
+    out_dir = _convert(model, tmp_path, vocab_size=20)
+
+    from ctranslate2_tpu import Wav2Vec2Bert
+
+    enc = Wav2Vec2Bert(out_dir, compute_type="float32")
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2, 12, 48)).astype(np.float32)
+    ours = enc.encode(feats, to_cpu=True)
+
+    with torch.no_grad():
+        theirs = model(torch.tensor(feats)).logits.numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_gptj(tmp_path):
+    cfg = transformers.GPTJConfig(
+        vocab_size=64, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        rotary_dim=8)
+    _check(transformers.GPTJForCausalLM(cfg), tmp_path)
+
+
+def test_codegen(tmp_path):
+    cfg = transformers.CodeGenConfig(
+        vocab_size=64, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        rotary_dim=8, n_inner=None)
+    _check(transformers.CodeGenForCausalLM(cfg), tmp_path)
+
+
+def test_gpt_bigcode(tmp_path):
+    cfg = transformers.GPTBigCodeConfig(
+        vocab_size=64, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        multi_query=True)
+    _check(transformers.GPTBigCodeForCausalLM(cfg), tmp_path)
+
+
+def test_falcon_new_arch(tmp_path):
+    cfg = transformers.FalconConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2, new_decoder_architecture=True,
+        parallel_attn=True, bias=False, alibi=False)
+    _check(transformers.FalconForCausalLM(cfg), tmp_path)
+
+
+def test_falcon_alibi(tmp_path):
+    cfg = transformers.FalconConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, new_decoder_architecture=False,
+        multi_query=True, parallel_attn=True, bias=False, alibi=True)
+    _check(transformers.FalconForCausalLM(cfg), tmp_path)
+
+
+def test_mpt(tmp_path):
+    cfg = transformers.MptConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=4,
+        max_seq_len=64)
+    _check(transformers.MptForCausalLM(cfg), tmp_path)
+
+
+def test_phi(tmp_path):
+    cfg = transformers.PhiConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=64)
+    _check(transformers.PhiForCausalLM(cfg), tmp_path)
+
+
+def test_phi3(tmp_path):
+    cfg = transformers.Phi3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, pad_token_id=3)
+    _check(transformers.Phi3ForCausalLM(cfg), tmp_path)
+
+
+def test_pegasus(tmp_path):
+    cfg = transformers.PegasusConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_position_embeddings=64,
+        scale_embedding=True)
+    model = transformers.PegasusForConditionalGeneration(cfg).eval()
+    out_dir = _convert(model, tmp_path, vocab_size=64)
+
+    src = [[5, 9, 12, 30]]
+    tgt_in = [[0, 7, 21]]
+    m = load_model(out_dir, compute_type="float32")
+    import jax.numpy as jnp
+    from ctranslate2_tpu.models import transformer as T
+
+    src_arr = jnp.asarray(src, jnp.int32)
+    lengths = jnp.full((1,), src_arr.shape[1], jnp.int32)
+    memory = T.encoder_forward_jit(m.arch, m.params, m.consts, src_arr,
+                                   lengths, quantize_acts=False,
+                                   out_dtype=jnp.float32)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    from ctranslate2_tpu.ops import attention as attn_ops
+
+    mem_bias = attn_ops.length_mask_bias(lengths, src_arr.shape[1])
+    tgt_arr = jnp.asarray(tgt_in, jnp.int32)
+    ours, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, tgt_arr, jnp.int32(0), None, mem_kv,
+        mem_bias, lengths=jnp.full((1,), 3, jnp.int32),
+        quantize_acts=False, out_dtype=jnp.float32)
+
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(src), attention_mask=torch.ones(1, 4),
+            decoder_input_ids=torch.tensor(tgt_in)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_distilbert(tmp_path):
+    cfg = transformers.DistilBertConfig(
+        vocab_size=64, dim=32, n_layers=2, n_heads=4, hidden_dim=64,
+        max_position_embeddings=64)
+    model = transformers.DistilBertModel(cfg).eval()
+    out_dir = _convert(model, tmp_path, vocab_size=64)
+
+    from ctranslate2_tpu import Encoder
+
+    enc = Encoder(out_dir, compute_type="float32")
+    ids = [[4, 9, 17, 23]]
+    out = enc.forward_batch([[f"tk{i}" for i in row] for row in ids])
+    ours = np.asarray(out.last_hidden_state)
+    with torch.no_grad():
+        theirs = model(torch.tensor(ids)).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours[:, : theirs.shape[1]], theirs,
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_mbart(tmp_path):
+    cfg = transformers.MBartConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_position_embeddings=64)
+    model = transformers.MBartForConditionalGeneration(cfg).eval()
+    out_dir = _convert(model, tmp_path, vocab_size=64)
+
+    import jax.numpy as jnp
+    from ctranslate2_tpu.models import transformer as T
+    from ctranslate2_tpu.ops import attention as attn_ops
+
+    src = [[5, 9, 12, 30]]
+    tgt_in = [[2, 7, 21]]
+    m = load_model(out_dir, compute_type="float32")
+    src_arr = jnp.asarray(src, jnp.int32)
+    lengths = jnp.full((1,), src_arr.shape[1], jnp.int32)
+    memory = T.encoder_forward_jit(m.arch, m.params, m.consts, src_arr,
+                                   lengths, quantize_acts=False,
+                                   out_dtype=jnp.float32)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    mem_bias = attn_ops.length_mask_bias(lengths, src_arr.shape[1])
+    ours, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray(tgt_in, jnp.int32),
+        jnp.int32(0), None, mem_kv, mem_bias,
+        lengths=jnp.full((1,), 3, jnp.int32),
+        quantize_acts=False, out_dtype=jnp.float32)
+
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(src), attention_mask=torch.ones(1, 4),
+            decoder_input_ids=torch.tensor(tgt_in)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_gemma3(tmp_path):
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=64, sliding_window=4,
+        sliding_window_pattern=2, query_pre_attn_scalar=8,
+        rope_theta=1_000_000.0, rope_local_base_freq=10_000.0)
+    _check(transformers.Gemma3ForCausalLM(cfg), tmp_path, atol=5e-3)
