@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..models import transformer as T
 from ..ops import attention as attn_ops
 from . import processors as proc
-from .sampling import sample_tokens, small_top_k
+from .sampling import gumbel_top_k, sample_tokens, small_top_k
 
 
 def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
@@ -142,7 +142,15 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
             log_probs = jax.nn.log_softmax(l, axis=-1)
             total = log_probs + scores.reshape(N)[:, None]
             flat = total.reshape(B, K * V)
-            ts, ti = small_top_k(flat, K2)  # [B, 2K]
+            if sig.greedy_sampler:
+                ts, ti = small_top_k(flat, K2)  # [B, 2K]
+            else:
+                # Random sampling under beam search: 2K Gumbel-max draws
+                # without replacement (reference: src/sampling.cc:60-92).
+                ts, ti = gumbel_top_k(
+                    flat, jax.random.fold_in(key, step), K2,
+                    topk=sig.sampling_topk, topp=sig.sampling_topp,
+                    temperature=sig.sampling_temperature)
             words = (ti % V).astype(jnp.int32)
             origins = (ti // V).astype(jnp.int32)
 

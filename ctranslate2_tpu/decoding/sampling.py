@@ -86,3 +86,29 @@ def sample_tokens(
         ids = sampled
     out_scores = jnp.take_along_axis(log_probs, ids[:, None], axis=-1)[:, 0]
     return ids.astype(jnp.int32), out_scores
+
+
+def gumbel_top_k(flat_scores, key, k: int, *, topk: int = 0,
+                 topp: float = 1.0, temperature: float = 1.0):
+    """``k`` draws without replacement via the Gumbel-max trick
+    (reference: src/ops/gumbel_max.cc; used by RandomSampler when more than
+    one sample is requested, src/sampling.cc:60-92 — the beam-search +
+    random-sampling combination).
+
+    Returns (scores, indices) where scores come from the *unperturbed*
+    distribution, as the reference gathers them for beam bookkeeping.
+    """
+    work = flat_scores
+    if topk and topk < work.shape[-1]:
+        kth = small_top_k(work, topk)[0][..., -1:]
+        work = jnp.where(work >= kth, work, DISABLE)
+    if temperature != 1.0:
+        work = work / temperature
+    if topp < 1.0:
+        work = top_p_mask(work, topp)
+    u = jax.random.uniform(key, work.shape, minval=1e-20, maxval=1.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    noisy = jnp.where(work <= DISABLE / 2, DISABLE, work + gumbel)
+    _, idx = small_top_k(noisy, k)
+    scores = jnp.take_along_axis(flat_scores, idx, axis=-1)
+    return scores, idx

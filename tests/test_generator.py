@@ -142,3 +142,20 @@ def test_architecture_variants(tmp_path, kwargs):
         logits = g.forward_batch([[g._vocab.to_token(i) for i in ids[:-1]]])
         nxt = int(jnp.argmax(logits[0, len(ids) - 2]))
         assert nxt == ids[-1]
+
+
+def test_beam_with_random_sampling(generator):
+    """Beam search + random sampling = Gumbel-max draws
+    (reference: src/sampling.cc:60-92)."""
+    import ctranslate2_tpu
+
+    outs = []
+    for seed in (1, 2):
+        ctranslate2_tpu.set_random_seed(seed)
+        out = generator.generate_batch(
+            [["tok1", "tok2"]], max_length=8, beam_size=2,
+            sampling_topk=10, sampling_temperature=2.0)
+        outs.append(tuple(out[0].sequences[0]))
+        assert len(out[0].sequences[0]) >= 2
+    # High-temperature sampling with different seeds should diverge.
+    assert outs[0] != outs[1] or len(outs[0]) <= 3
