@@ -279,8 +279,13 @@ def build_seq2seq_model(
     activation: str = "relu",
     seed: int = 1234,
     quantization: Optional[str] = None,
+    merged_attention: bool = False,
 ):
-    """Fabricate a TransformerSpec encoder-decoder model directory."""
+    """Fabricate a TransformerSpec encoder-decoder model directory.
+
+    With ``merged_attention``, decoder layers carry a ``memory_kv``
+    projection and no separate cross-attention (the T5Gemma2 layout,
+    reference: src/layers/attention.cc:625-796)."""
     rng = np.random.default_rng(seed)
     b = SpecBuilder("TransformerSpec", 7)
 
@@ -304,7 +309,13 @@ def build_seq2seq_model(
     for i in range(num_layers):
         ls = f"decoder/layer_{i}"
         _add_attention(b, f"{ls}/self_attention", rng, d_model, num_heads, True)
-        _add_attention(b, f"{ls}/attention", rng, d_model, num_heads, False)
+        if merged_attention:
+            b.add(f"{ls}/self_attention/memory_kv/weight",
+                  _rand(rng, 2 * d_model, d_model))
+            b.add(f"{ls}/self_attention/memory_kv/bias",
+                  _rand(rng, 2 * d_model))
+        else:
+            _add_attention(b, f"{ls}/attention", rng, d_model, num_heads, False)
         _add_ffn(b, f"{ls}/ffn", rng, d_model, d_ff)
 
     b.quantize(quantization)

@@ -1492,3 +1492,111 @@ def load_gemma3(b: ConvBuilder, model, config, tokenizer):
             b.add_attr(f"{asc}/queries_scale", float(scalar) ** -0.5,
                        "float32")
     return {"layer_norm_epsilon": float(cfg.rms_norm_eps)}
+
+
+@register("T5GemmaConfig")
+def load_t5gemma(b: ConvBuilder, model, config, tokenizer):
+    """T5Gemma: Gemma2-style encoder-decoder with sandwich norms, rotary
+    on both sides, and external pre/post cross-attention norms
+    (reference: transformers.py:3807-4067)."""
+    b.spec_name, b.revision = "TransformerSpec", 7
+    enc_cfg = config.encoder
+    dec_cfg = config.decoder
+    module = model.model
+
+    def act_of(cfg):
+        a = getattr(cfg, "hidden_activation", "gelu_pytorch_tanh")
+        return ACTIVATION_IDS["gelu" if a == "gelu" else "gelu_tanh"]
+
+    def side_common(sc, cfg, mod):
+        b.add_attr(f"{sc}/num_heads", cfg.num_attention_heads, "int16")
+        b.add_attr(f"{sc}/pre_norm", 1, "int8")
+        b.add_attr(f"{sc}/activation", act_of(cfg), "int8")
+        b.add_attr(f"{sc}/scale_embeddings", 1, "int8")
+        name = f"{sc}/embeddings_0" if sc == "encoder" else f"{sc}/embeddings"
+        b.set_embeddings(name, mod.embed_tokens)
+        b.set_layer_norm(f"{sc}/layer_norm", mod.norm, rms=True,
+                         plus_one=True)
+
+    def set_attn_common(asc, cfg, attn, layer_types, i):
+        num_heads = cfg.num_attention_heads
+        num_heads_kv = getattr(cfg, "num_key_value_heads", num_heads)
+        head_dim = cfg.head_dim
+        if num_heads_kv != num_heads:
+            b.add_attr(f"{asc}/num_heads_kv", num_heads_kv, "int32")
+        if head_dim != cfg.hidden_size // num_heads:
+            b.add_attr(f"{asc}/head_dim", head_dim, "int32")
+        b.add_attr(f"{asc}/rotary_dim", 0, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        b.add_attr(f"{asc}/rotary_base",
+                   float(getattr(cfg, "rope_theta", 10000.0)), "float32")
+        scalar = getattr(cfg, "query_pre_attn_scalar", None)
+        if scalar:
+            b.add_attr(f"{asc}/queries_scale", float(scalar) ** -0.5,
+                       "float32")
+        if layer_types is not None and i < len(layer_types) \
+                and layer_types[i] == "sliding_attention" \
+                and getattr(cfg, "sliding_window", 0):
+            b.add_attr(f"{asc}/sliding_window",
+                       int(cfg.sliding_window), "int32")
+
+    for sc, cfg, mod in (("encoder", enc_cfg, module.encoder),
+                         ("decoder", dec_cfg, module.decoder)):
+        side_common(sc, cfg, mod)
+        layer_types = getattr(cfg, "layer_types", None)
+        for i, layer in enumerate(mod.layers):
+            ls = f"{sc}/layer_{i}"
+            asc = f"{ls}/self_attention"
+            b.set_layer_norm(f"{ls}/input_layer_norm",
+                             layer.pre_self_attn_layernorm, rms=True,
+                             plus_one=True)
+            b.set_layer_norm(f"{ls}/post_attention_layer_norm",
+                             layer.post_self_attn_layernorm, rms=True,
+                             plus_one=True)
+            b.set_layer_norm(f"{ls}/pre_feedforward_layer_norm",
+                             layer.pre_feedforward_layernorm, rms=True,
+                             plus_one=True)
+            b.set_layer_norm(f"{ls}/post_feedforward_layer_norm",
+                             layer.post_feedforward_layernorm, rms=True,
+                             plus_one=True)
+            b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                      layer.self_attn.v_proj)
+            b.set_linear(f"{asc}/linear_1", layer.self_attn.o_proj)
+            set_attn_common(asc, cfg, layer.self_attn, layer_types, i)
+
+            if sc == "decoder":
+                csc = f"{ls}/attention"
+                b.set_layer_norm(
+                    f"{ls}/external_pre_encoder_attention_layer_norm",
+                    layer.pre_cross_attn_layernorm, rms=True, plus_one=True)
+                b.set_layer_norm(
+                    f"{ls}/external_post_encoder_attention_layer_norm",
+                    layer.post_cross_attn_layernorm, rms=True, plus_one=True)
+                b.set_linear(f"{csc}/linear_0", layer.cross_attn.q_proj)
+                kw = _np(layer.cross_attn.k_proj.weight)
+                vw = _np(layer.cross_attn.v_proj.weight)
+                b.add(f"{csc}/linear_1/weight",
+                      np.concatenate([kw, vw], axis=0))
+                b.set_linear(f"{csc}/linear_2", layer.cross_attn.o_proj)
+                num_heads_kv = getattr(cfg, "num_key_value_heads",
+                                       cfg.num_attention_heads)
+                if num_heads_kv != cfg.num_attention_heads:
+                    b.add_attr(f"{csc}/num_heads_kv", num_heads_kv, "int32")
+                if cfg.head_dim != cfg.hidden_size // cfg.num_attention_heads:
+                    b.add_attr(f"{csc}/head_dim", cfg.head_dim, "int32")
+                scalar = getattr(cfg, "query_pre_attn_scalar", None)
+                if scalar:
+                    b.add_attr(f"{csc}/queries_scale",
+                               float(scalar) ** -0.5, "float32")
+
+            b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.gate_proj)
+            b.set_linear(f"{ls}/ffn/linear_0_noact", layer.mlp.up_proj)
+            b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.down_proj)
+
+    b.add_attr("encoder/embeddings_merge", 0, "int8")
+    # Tied output projection (reference: transformers.py:3880-3882).
+    b.set_linear("decoder/projection", module.decoder.embed_tokens)
+    return {
+        "layer_norm_epsilon": float(enc_cfg.rms_norm_eps),
+        "decoder_start_token": getattr(tokenizer, "bos_token", "<s>") or "<s>",
+    }

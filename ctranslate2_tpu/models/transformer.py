@@ -308,6 +308,96 @@ def self_attention_block(
     return out, new_cache
 
 
+def merged_attention_block(
+    arch: ArchSpec,
+    spec: AttentionSpec,
+    ap: dict,
+    x,
+    mem_kv: dict,  # {"k","v"} [B, Hkv, S, D] (beam-shared, k_norm applied)
+    *,
+    bias,  # self-keys bias (causal/lengths) [., ., T, C]
+    memory_bias,  # [B, 1, 1, S] additive f32 or None
+    rot_consts=None,
+    offset=0,
+    cache: Optional[dict] = None,
+    beam_size: int = 1,
+    pre_norm: bool = True,
+    quantize_acts: bool = True,
+    wrap_norm: bool = True,
+):
+    """T5Gemma2-style merged self+cross attention: one softmax over the
+    concatenation [self keys | memory keys]
+    (reference: src/layers/attention.cc:625-796 forward_merged). Memory K/V
+    come from the ``memory_kv`` projection (k_norm only, no rotary) and are
+    shared across beams.
+
+    Returns (output, new_cache).
+    """
+    residual = x
+    h = x
+    if wrap_norm and pre_norm and spec.has_layer_norm:
+        h = _norm(arch, ap.get("layer_norm"), h)
+
+    q, k, v = _project_qkv(ap, spec, h, quantize_acts)
+    q, k, v = _qk_norms(arch, ap, spec, q, k, v)
+    q, k = _maybe_rotary(spec, rot_consts, q, k, offset)
+
+    new_cache = None
+    if cache is not None:
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
+        new_cache = {"k": ck, "v": cv}
+        k, v = ck, cv
+
+    BK, _, T, _ = q.shape
+    B, _, S, _ = mem_kv["k"].shape
+    beam = BK // B
+    mem_k = mem_kv["k"]
+    mem_v = mem_kv["v"]
+    if beam > 1:
+        mem_k = jnp.repeat(mem_k, beam, axis=0)
+        mem_v = jnp.repeat(mem_v, beam, axis=0)
+    keys = jnp.concatenate([k, mem_k.astype(k.dtype)], axis=2)
+    values = jnp.concatenate([v, mem_v.astype(v.dtype)], axis=2)
+
+    C = k.shape[2]
+    self_bias = jnp.broadcast_to(
+        bias.astype(jnp.float32), (BK, 1, T, C)) if bias is not None \
+        else jnp.zeros((BK, 1, T, C), jnp.float32)
+    if memory_bias is not None:
+        mb = jnp.repeat(memory_bias.astype(jnp.float32), beam, axis=0)
+        mem_b = jnp.broadcast_to(mb, (BK, 1, T, S))
+    else:
+        mem_b = jnp.zeros((BK, 1, T, S), jnp.float32)
+    full_bias = jnp.concatenate([self_bias, mem_b], axis=-1)
+
+    ctx = attn_ops.dot_product_attention(
+        q, keys, values, bias=full_bias, queries_scale=spec.queries_scale)
+    out = attn_ops.combine_heads(ctx)
+    res = residual if (wrap_norm and spec.has_layer_norm) else None
+    out = linear(ap["o"], out, residual=res, quantize_activations=quantize_acts)
+    if wrap_norm and not pre_norm and spec.has_layer_norm:
+        out = _norm(arch, ap.get("layer_norm"), out)
+    return out, new_cache
+
+
+def precompute_merged_memory_kv(arch: ArchSpec, spec: AttentionSpec, ap: dict,
+                                memory, quantize_acts: bool = True):
+    """Project encoder output through the merged-attention ``memory_kv``
+    linear (k_norm only, no rotary — reference: attention.cc:706-735)."""
+    Hkv = spec.num_heads_kv
+    D = spec.head_dim
+    fused = linear(ap["memory_kv"], memory, quantize_activations=quantize_acts)
+    k, v = fused[..., :Hkv * D], fused[..., Hkv * D:]
+    k = attn_ops.split_heads(k, Hkv)
+    v = attn_ops.split_heads(v, Hkv)
+    if spec.has_k_norm:
+        k = _norm(arch, ap.get("k_norm"), k)
+    return {"k": k, "v": v}
+
+
 def precompute_cross_kv(arch: ArchSpec, spec: AttentionSpec, ap: dict, memory,
                         quantize_acts: bool = True):
     """Project encoder output to cross-attention K/V once
@@ -539,13 +629,20 @@ def precompute_memory(arch: ArchSpec, params: dict, memory, quantize_acts: bool 
     spec = arch.decoder
     out = []
     for i, layer in enumerate(spec.layers):
-        if layer.cross_attention is None:
+        if layer.cross_attention is not None:
+            ap = params["decoder"]["layers"][i]["attention"]
+            out.append(
+                precompute_cross_kv(arch, layer.cross_attention, ap, memory,
+                                    quantize_acts)
+            )
+        elif layer.self_attention.has_memory_kv:
+            ap = params["decoder"]["layers"][i]["self_attention"]
+            out.append(
+                precompute_merged_memory_kv(arch, layer.self_attention, ap,
+                                            memory, quantize_acts)
+            )
+        else:
             out.append(None)
-            continue
-        ap = params["decoder"]["layers"][i]["attention"]
-        out.append(
-            precompute_cross_kv(arch, layer.cross_attention, ap, memory, quantize_acts)
-        )
     return out
 
 
@@ -662,13 +759,23 @@ def decoder_forward(
 
         if layer.sandwich_norm:
             h = _norm(arch, lp["input_layer_norm"], x)
-            ctx, nc = self_attention_block(
-                arch, aspec, lp["self_attention"], h,
-                bias=layer_bias, rot_consts=rot, offset=pos, cache=cache_i,
-                pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
-                alibi_bias=alibi_bias, rel_positions=rel_positions,
-                position_bias=position_bias, wrap_norm=False,
-                causal=True, flash_lengths=lengths)
+            if aspec.has_memory_kv:
+                # Merged self+cross attention (T5Gemma2,
+                # reference: src/layers/attention.cc:625-796).
+                ctx, nc = merged_attention_block(
+                    arch, aspec, lp["self_attention"], h, mem_kv[i],
+                    bias=layer_bias, memory_bias=memory_bias,
+                    rot_consts=rot, offset=pos, cache=cache_i,
+                    beam_size=beam_size, pre_norm=spec.pre_norm,
+                    quantize_acts=quantize_acts, wrap_norm=False)
+            else:
+                ctx, nc = self_attention_block(
+                    arch, aspec, lp["self_attention"], h,
+                    bias=layer_bias, rot_consts=rot, offset=pos, cache=cache_i,
+                    pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                    alibi_bias=alibi_bias, rel_positions=rel_positions,
+                    position_bias=position_bias, wrap_norm=False,
+                    causal=True, flash_lengths=lengths)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch, lp["external_pre_encoder_attention_layer_norm"], x) \
@@ -711,6 +818,15 @@ def decoder_forward(
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
                           quantize_acts, wrap_norm=False)
             x = x + a + f
+        elif aspec.has_memory_kv:
+            x, nc = merged_attention_block(
+                arch, aspec, lp["self_attention"], x, mem_kv[i],
+                bias=layer_bias, memory_bias=memory_bias,
+                rot_consts=rot, offset=pos, cache=cache_i,
+                beam_size=beam_size, pre_norm=spec.pre_norm,
+                quantize_acts=quantize_acts)
+            x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm,
+                          quantize_acts)
         else:
             x, nc = self_attention_block(
                 arch, aspec, lp["self_attention"], x,

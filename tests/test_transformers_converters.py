@@ -482,3 +482,42 @@ def test_gemma3(tmp_path):
         sliding_window_pattern=2, query_pre_attn_scalar=8,
         rope_theta=1_000_000.0, rope_local_base_freq=10_000.0)
     _check(transformers.Gemma3ForCausalLM(cfg), tmp_path, atol=5e-3)
+
+
+def test_t5gemma(tmp_path):
+    enc = transformers.T5GemmaModuleConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, intermediate_size=64,
+        vocab_size=64, sliding_window=4, query_pre_attn_scalar=8,
+        layer_types=["sliding_attention", "full_attention"],
+        max_position_embeddings=64)
+    cfg = transformers.T5GemmaConfig(encoder=enc, decoder=enc, vocab_size=64)
+    model = transformers.T5GemmaForConditionalGeneration(cfg).eval()
+    out_dir = _convert(model, tmp_path, vocab_size=64)
+
+    import jax.numpy as jnp
+    from ctranslate2_tpu.models import transformer as T
+    from ctranslate2_tpu.ops import attention as attn_ops
+
+    src = [[5, 9, 12, 30]]
+    tgt_in = [[2, 7, 21]]
+    m = load_model(out_dir, compute_type="float32")
+    src_arr = jnp.asarray(src, jnp.int32)
+    lengths = jnp.full((1,), src_arr.shape[1], jnp.int32)
+    memory = T.encoder_forward_jit(m.arch, m.params, m.consts, src_arr,
+                                   lengths, quantize_acts=False,
+                                   out_dtype=jnp.float32)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    mem_bias = attn_ops.length_mask_bias(lengths, src_arr.shape[1])
+    ours, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray(tgt_in, jnp.int32),
+        jnp.int32(0), None, mem_kv, mem_bias,
+        lengths=jnp.full((1,), 3, jnp.int32),
+        quantize_acts=False, out_dtype=jnp.float32)
+
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(src), attention_mask=torch.ones(1, 4),
+            decoder_input_ids=torch.tensor(tgt_in)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-3, rtol=1e-3)

@@ -146,3 +146,70 @@ def test_callback_streaming(translator):
 
     translator.translate_batch([SRC1], beam_size=1, callback=callback)
     assert tokens[:6] == ["a", "t", "z", "m", "o", "n"]
+
+
+# ---------------------------------------------------------------------------
+# Merged self+cross attention (T5Gemma2 layout,
+# reference: src/layers/attention.cc:625-796).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def merged_model_dir(tmp_path_factory):
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    d = str(tmp_path_factory.mktemp("merged"))
+    build_seq2seq_model(d, merged_attention=True)
+    return d
+
+
+def test_merged_attention_translates(merged_model_dir):
+    from ctranslate2_tpu import Translator
+
+    t = Translator(merged_model_dir)
+    res = t.translate_batch([["tok5", "tok6", "tok7"]], beam_size=2,
+                            max_decoding_length=6, return_scores=True)
+    assert res[0].hypotheses[0] is not None
+    res_g = t.translate_batch([["tok5", "tok6", "tok7"]], beam_size=1,
+                              max_decoding_length=6)
+    assert res_g[0].hypotheses[0] is not None
+
+
+def test_merged_attention_step_vs_sequence(merged_model_dir):
+    """Iterative cached decode equals the teacher-forced sequence pass
+    (the reference asserts the same equivalence: tests/model_test.cc:59-151).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ctranslate2_tpu.models import transformer as T
+    from ctranslate2_tpu.models.loader import load_model
+    from ctranslate2_tpu.ops import attention as attn_ops
+
+    m = load_model(merged_model_dir, compute_type="float32")
+    src = jnp.asarray([[5, 9, 12, 30]], jnp.int32)
+    lengths = jnp.full((1,), 4, jnp.int32)
+    memory = T.encoder_forward_jit(m.arch, m.params, m.consts, src, lengths,
+                                   quantize_acts=False, out_dtype=jnp.float32)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    mem_bias = attn_ops.length_mask_bias(lengths, src.shape[1])
+
+    tgt = jnp.asarray([[1, 5, 8, 11]], jnp.int32)
+    seq_logits, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, tgt, jnp.int32(0), None, mem_kv, mem_bias,
+        lengths=jnp.full((1,), 4, jnp.int32),
+        quantize_acts=False, out_dtype=jnp.float32)
+
+    cache = T.init_self_cache(m.arch, 1, 8)
+    step_logits = []
+    for t_idx in range(4):
+        lg, cache, _ = T.decoder_forward_jit(
+            m.arch, m.params, m.consts, tgt[:, t_idx:t_idx + 1],
+            jnp.int32(t_idx), cache, mem_kv, mem_bias,
+            quantize_acts=False, out_dtype=jnp.float32)
+        step_logits.append(np.asarray(lg[:, 0]))
+
+    np.testing.assert_allclose(
+        np.stack(step_logits, axis=1), np.asarray(seq_logits),
+        rtol=1e-4, atol=1e-4)
