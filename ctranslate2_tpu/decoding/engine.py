@@ -245,15 +245,23 @@ class DecodingEngine:
             pass  # fast paths initialize the cache inside the jit
         else:
             # Grow/replicate an existing cache to N rows and `capacity` cols.
-            def grow(a):
+            # INT8 caches store per-vector scales on axis 3 ([B, H, 1, C]);
+            # their padding must be 1 to keep dequantization finite.
+            def grow(a, axis=2, fill=0.0):
                 if a.shape[0] != N:
                     a = jnp.repeat(a, N // a.shape[0], axis=0)
-                if a.shape[2] < capacity:
+                if a.shape[axis] < capacity:
                     pad = [(0, 0)] * a.ndim
-                    pad[2] = (0, capacity - a.shape[2])
-                    a = jnp.pad(a, pad)
+                    pad[axis] = (0, capacity - a.shape[axis])
+                    a = jnp.pad(a, pad, constant_values=fill)
                 return a
-            cache = jax.tree.map(grow, cache)
+
+            cache = [
+                {k: grow(v, 3 if k.endswith("_scale") else 2,
+                         1.0 if k.endswith("_scale") else 0.0)
+                 for k, v in layer.items()}
+                for layer in cache
+            ]
 
         return N, max_step, capacity, mem_kv, mem_bias, cache, use_hard_prefix
 
@@ -356,7 +364,7 @@ class DecodingEngine:
                 encoder_inputs[1], memory.shape[1])
         if cache is None:
             cache = T.init_self_cache(
-                self.model.arch, N, capacity, dtype=self.model.out_dtype)
+                self.model.arch, N, capacity, dtype=self.model.kv_dtype)
 
         step_fn = self._get_step(sig)
 
@@ -566,15 +574,21 @@ class DecodingEngine:
 
         if cache is None:
             cache = T.init_self_cache(model.arch, 1, capacity,
-                                      dtype=model.out_dtype)
+                                      dtype=model.kv_dtype)
         else:
-            def grow(a):
-                if a.shape[2] < capacity:
+            def grow(a, axis=2, fill=0.0):
+                if a.shape[axis] < capacity:
                     pad = [(0, 0)] * a.ndim
-                    pad[2] = (0, capacity - a.shape[2])
-                    a = jnp.pad(a, pad)
+                    pad[axis] = (0, capacity - a.shape[axis])
+                    a = jnp.pad(a, pad, constant_values=fill)
                 return a
-            cache = jax.tree.map(grow, cache)
+
+            cache = [
+                {k: grow(v, 3 if k.endswith("_scale") else 2,
+                         1.0 if k.endswith("_scale") else 0.0)
+                 for k, v in layer.items()}
+                for layer in cache
+            ]
 
         pos = start_step
         if prefix_length > 0:
@@ -722,7 +736,7 @@ class DecodingEngine:
                 has_prefix=has_prefix,
                 has_memory=sig.has_memory,
                 has_token_map=token_map is not None,
-                init_cache=(model.arch, capacity, model.out_dtype)
+                init_cache=(model.arch, capacity, model.kv_dtype)
                 if capacity is not None else None)
             self._loop_fns[key] = loop_fn
 
@@ -807,7 +821,7 @@ class DecodingEngine:
                 model.arch, sig, model.policy.quantize_activations,
                 model.out_dtype, max_step,
                 has_token_map=token_map is not None,
-                init_cache=(model.arch, capacity, model.out_dtype)
+                init_cache=(model.arch, capacity, model.kv_dtype)
                 if capacity is not None else None,
                 has_prefix=P > 0)
             self._loop_fns[key] = loop_fn
@@ -921,7 +935,7 @@ class DecodingEngine:
                 encoder_inputs[1], memory.shape[1])
         if cache is None:
             cache = T.init_self_cache(
-                self.model.arch, N, capacity, dtype=self.model.out_dtype)
+                self.model.arch, N, capacity, dtype=self.model.kv_dtype)
 
         step_fn = self._get_step(sig)
 

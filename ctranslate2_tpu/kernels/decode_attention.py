@@ -1,0 +1,192 @@
+"""Pallas decode attention over an INT8-quantized KV cache.
+
+SURVEY kernel #4 ("paged/blocked KV-cache decode attention with INT8 KV"):
+the reference keeps fp16/fp32 KV caches and recomputes attention with full
+dense reads (reference: src/layers/attention.cc:536-563); on TPU the decode
+step is HBM-bound on the cache read, so keys/values are stored as int8 with
+one float scale per (batch, head, position) vector — halving both cache
+memory and decode-step bandwidth vs bf16 — and dequantized in VMEM right
+before the MXU (the technique of INT8 KV-cache serving systems, e.g.
+QServe/BitDecoding-style decode kernels).
+
+Single-step (T=1) blockwise online-softmax kernel. The GQA query group is
+folded into the query block so each KV block is streamed from HBM exactly
+once and the Q.K dot runs at (group x block) MXU shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def quantize_kv(x):
+    """Per-vector symmetric int8 quantization over the last axis.
+
+    Returns (q int8, scale f32) with ``x ~= q / scale``; zero vectors get
+    scale 1.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(amax > 0, 127.0 / amax, 1.0)
+    q = jnp.clip(jnp.rint(x.astype(jnp.float32) * scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _decode_kernel(
+    lengths_ref,  # scalar prefetch: [B] int32 valid KV lengths
+    q_ref,  # [1, G, D]  (query heads of this kv group)
+    k_ref,  # [1, BC, D] int8
+    ks_ref,  # [1, 1, BC] f32
+    v_ref,  # [1, BC, D] int8
+    vs_ref,  # [1, 1, BC] f32
+    o_ref,  # [1, G, D]
+    m_ref,  # [G, 1] f32
+    l_ref,  # [G, 1] f32
+    acc_ref,  # [G, D] f32
+    *,
+    scale: float,
+    block_c: int,
+    num_kv_heads: int,
+    window: int,
+):
+    bh = pl.program_id(0)
+    cj = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(cj == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = bh // num_kv_heads
+    length = lengths_ref[b]
+    c_start = cj * block_c
+
+    run = c_start < length
+    if window > 0:
+        run = run & (c_start + block_c > length - window)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32) * scale  # [G, D]
+        k = k_ref[0].astype(jnp.float32)  # [BC, D] int8 values
+        # scores = (q . k8) / k_scale — exact rescaling because the scale
+        # is constant along the contraction (per cached vector).
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [G, BC]
+        s = s / ks_ref[0]
+
+        pos = c_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_c), 1)
+        mask = pos < length
+        if window > 0:
+            mask = mask & (pos >= length - window)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)  # [G, BC]
+        corr = jnp.exp(m_prev - m_new)  # [G, 1]
+
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = p / vs_ref[0]  # fold the V dequant scale into the weights
+        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            pv, v_ref[0].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(cj == nc - 1)
+    def _done():
+        denom = jnp.maximum(l_ref[:], 1e-20)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def decode_attention_int8(
+    q,  # [B, Hq, 1, D] float
+    k8,  # [B, Hkv, C, D] int8
+    k_scale,  # [B, Hkv, C] f32
+    v8,  # [B, Hkv, C, D] int8
+    v_scale,  # [B, Hkv, C] f32
+    lengths,  # [B] int32 valid cache lengths
+    *,
+    scale: float = 1.0,
+    window: int = 0,
+    block_c: int = 2048,
+    interpret: bool = False,
+):
+    """Single-step attention over the int8 cache; returns [B, Hq, 1, D]."""
+    B, Hq, Tq, D = q.shape
+    Hkv, C = k8.shape[1], k8.shape[2]
+    group = Hq // Hkv
+
+    out_d = D
+    if D % 128:
+        pad = 128 - D % 128
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        k8 = jnp.pad(k8, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        v8 = jnp.pad(v8, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        D += pad
+
+    block_c = min(block_c, C)
+    nc = pl.cdiv(C, block_c)
+    if C % block_c:
+        pad_c = nc * block_c - C
+        k8 = jnp.pad(k8, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
+        v8 = jnp.pad(v8, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
+        k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, pad_c)),
+                          constant_values=1.0)
+        v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, pad_c)),
+                          constant_values=1.0)
+        C = nc * block_c
+
+    # Group queries by kv head: [B*Hkv, group, D].
+    qr = q.reshape(B, Hkv, group, D).reshape(B * Hkv, group, D)
+    kr = k8.reshape(B * Hkv, C, D)
+    vr = v8.reshape(B * Hkv, C, D)
+    ksr = k_scale.reshape(B * Hkv, 1, C)
+    vsr = v_scale.reshape(B * Hkv, 1, C)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * Hkv, nc),
+        in_specs=[
+            pl.BlockSpec((1, group, D), lambda bh, cj, lens: (bh, 0, 0)),
+            pl.BlockSpec((1, block_c, D), lambda bh, cj, lens: (bh, cj, 0)),
+            pl.BlockSpec((1, 1, block_c), lambda bh, cj, lens: (bh, 0, cj)),
+            pl.BlockSpec((1, block_c, D), lambda bh, cj, lens: (bh, cj, 0)),
+            pl.BlockSpec((1, 1, block_c), lambda bh, cj, lens: (bh, 0, cj)),
+        ],
+        out_specs=pl.BlockSpec((1, group, D), lambda bh, cj, lens: (bh, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group, 1), jnp.float32),
+            pltpu.VMEM((group, 1), jnp.float32),
+            pltpu.VMEM((group, D), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            scale=scale,
+            block_c=block_c,
+            num_kv_heads=Hkv,
+            window=window,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * Hkv, group, D), jnp.float32),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), qr, kr, ksr, vr, vsr)
+
+    out = out.reshape(B, Hkv, group, D).reshape(B, Hq, 1, D)
+    if out_d != D:
+        out = out[..., :out_d]
+    return out

@@ -56,6 +56,15 @@ class LoadedModel:
     def out_dtype(self):
         return self.policy.activation_jnp
 
+    @property
+    def kv_dtype(self):
+        """Self-attention KV-cache dtype: jnp.int8 selects the quantized
+        cache layout (CT2TPU_KV_CACHE=int8, SURVEY kernel #4); defaults to
+        the activation dtype."""
+        if os.environ.get("CT2TPU_KV_CACHE", "").lower() == "int8":
+            return jnp.int8
+        return self.policy.activation_jnp
+
     def ensure_consts(self, max_positions: int) -> dict:
         if max_positions > self.consts.get("max_positions", 0):
             grown = 1 << max(11, (max_positions - 1).bit_length())

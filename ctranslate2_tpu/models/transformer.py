@@ -24,6 +24,7 @@ All functions are pure; the architecture is carried in frozen specs
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -261,7 +262,33 @@ def self_attention_block(
     q, k = _maybe_rotary(spec, rot_consts, q, k, offset)
 
     new_cache = None
-    if cache is not None:
+    if cache is not None and "k_scale" in cache:
+        # INT8 KV cache (SURVEY kernel #4).
+        new_cache = _update_int8_cache(cache, k, v, offset)
+        T = q.shape[2]
+        extra_free = (alibi_bias is None and position_bias is None
+                      and rel_positions is None)
+        if T == 1 and extra_free and jax.default_backend() == "tpu" \
+                and int(os.environ.get("CT2TPU_DECODE_KERNEL", "1")):
+            from ..kernels.decode_attention import decode_attention_int8
+
+            kv_lengths = jnp.full((q.shape[0],), offset + T, jnp.int32)
+            ctx = decode_attention_int8(
+                q, new_cache["k"], new_cache["k_scale"][:, :, 0, :],
+                new_cache["v"], new_cache["v_scale"][:, :, 0, :],
+                kv_lengths, scale=spec.queries_scale,
+                window=spec.sliding_window)
+            out = attn_ops.combine_heads(ctx.astype(x.dtype))
+            res = residual if (wrap_norm and spec.has_layer_norm) else None
+            out = linear(ap["o"], out, residual=res,
+                         quantize_activations=quantize_acts)
+            if wrap_norm and not pre_norm and spec.has_layer_norm:
+                out = _norm(arch, ap.get("layer_norm"), out)
+            return out, new_cache
+        # Prefill / CPU fallback: dequantize the whole cache for the XLA
+        # masked-attention path.
+        k, v = _dequantize_cache(new_cache, q.dtype)
+    elif cache is not None:
         ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0))
         cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
         new_cache = {"k": ck, "v": cv}
@@ -343,7 +370,10 @@ def merged_attention_block(
     q, k = _maybe_rotary(spec, rot_consts, q, k, offset)
 
     new_cache = None
-    if cache is not None:
+    if cache is not None and "k_scale" in cache:
+        new_cache = _update_int8_cache(cache, k, v, offset)
+        k, v = _dequantize_cache(new_cache, q.dtype)
+    elif cache is not None:
         ck = jax.lax.dynamic_update_slice(
             cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0))
         cv = jax.lax.dynamic_update_slice(
@@ -614,14 +644,52 @@ speech_encoder_forward_jit = jax.jit(
 
 
 def init_self_cache(arch: ArchSpec, batch: int, capacity: int, dtype=jnp.float32):
-    """Fixed-capacity self-attention KV cache for every decoder layer."""
+    """Fixed-capacity self-attention KV cache for every decoder layer.
+
+    ``dtype=jnp.int8`` selects the quantized cache layout: int8 payloads
+    plus one float scale per cached vector (SURVEY kernel #4; halves cache
+    memory and decode-read bandwidth vs bf16)."""
     spec = arch.decoder
     layers = []
     for layer in spec.layers:
         a = layer.self_attention
         shape = (batch, a.num_heads_kv, capacity, a.head_dim)
-        layers.append({"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)})
+        if dtype == jnp.int8:
+            sshape = (batch, a.num_heads_kv, 1, capacity)
+            layers.append({
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.ones(sshape, jnp.float32),
+                "v_scale": jnp.ones(sshape, jnp.float32),
+            })
+        else:
+            layers.append(
+                {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)})
     return layers
+
+
+def _update_int8_cache(cache: dict, k, v, offset):
+    """Quantize and append new K/V vectors at ``offset``."""
+    from ..kernels.decode_attention import quantize_kv
+
+    k8, ks = quantize_kv(k)
+    v8, vs = quantize_kv(v)
+    return {
+        "k": jax.lax.dynamic_update_slice(cache["k"], k8, (0, 0, offset, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], v8, (0, 0, offset, 0)),
+        "k_scale": jax.lax.dynamic_update_slice(
+            cache["k_scale"], ks[:, :, None, :], (0, 0, 0, offset)),
+        "v_scale": jax.lax.dynamic_update_slice(
+            cache["v_scale"], vs[:, :, None, :], (0, 0, 0, offset)),
+    }
+
+
+def _dequantize_cache(cache: dict, dtype):
+    k = cache["k"].astype(jnp.float32) / jnp.swapaxes(
+        cache["k_scale"], 2, 3)
+    v = cache["v"].astype(jnp.float32) / jnp.swapaxes(
+        cache["v_scale"], 2, 3)
+    return k.astype(dtype), v.astype(dtype)
 
 
 def precompute_memory(arch: ArchSpec, params: dict, memory, quantize_acts: bool = True):

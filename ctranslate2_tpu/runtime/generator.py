@@ -172,7 +172,7 @@ class Generator:
         cache = T.init_self_cache(
             model.arch, B * options.beam_size
             if options.beam_size > 1 else B,
-            capacity, dtype=model.out_dtype)
+            capacity, dtype=model.kv_dtype)
 
         # Static prompt (reference: src/models/language_model.cc:186-215).
         if static_prompt:
@@ -182,7 +182,7 @@ class Generator:
                 sp_cache, _ = cached
             else:
                 single = T.init_self_cache(model.arch, 1, capacity,
-                                           dtype=model.out_dtype)
+                                           dtype=model.kv_dtype)
                 sp_cache = self._prefill([list(sp_ids)], single, 0, capacity)
                 if cache_static_prompt:
                     self._static_prompt_cache[sp_ids] = (sp_cache, capacity)
@@ -201,7 +201,7 @@ class Generator:
                 # un-replicated rows then tile.
                 if options.beam_size > 1:
                     base = T.init_self_cache(model.arch, B, capacity,
-                                             dtype=model.out_dtype)
+                                             dtype=model.kv_dtype)
                     if static_prompt:
                         base = jax.tree.map(
                             lambda a: jnp.repeat(a, B, axis=0), sp_cache)

@@ -159,3 +159,19 @@ def test_beam_with_random_sampling(generator):
         assert len(out[0].sequences[0]) >= 2
     # High-temperature sampling with different seeds should diverge.
     assert outs[0] != outs[1] or len(outs[0]) <= 3
+
+
+def test_int8_kv_cache(gpt_dir, monkeypatch):
+    """INT8 KV cache (CT2TPU_KV_CACHE=int8) tracks the float-cache output
+    (SURVEY kernel #4; quantized-cache decode)."""
+    import ctranslate2_tpu
+    from ctranslate2_tpu import Generator
+
+    ref = Generator(gpt_dir).generate_batch(
+        [["tok1", "tok2"]], max_length=8)[0].sequences[0]
+    monkeypatch.setenv("CT2TPU_KV_CACHE", "int8")
+    out = Generator(gpt_dir).generate_batch(
+        [["tok1", "tok2"]], max_length=8)[0].sequences[0]
+    # 8-bit per-vector quantization: greedy argmax chain should match on a
+    # tiny random model.
+    assert out == ref

@@ -139,3 +139,68 @@ def test_matmul_w8a8_interpret():
     out = qm.matmul_w8a8(jnp.asarray(q), jnp.asarray(wq), jnp.asarray(a_s),
                          jnp.asarray(w_s), interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_int8_interpret():
+    import numpy as np
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels.decode_attention import (
+        decode_attention_int8, quantize_kv)
+
+    rng = np.random.default_rng(0)
+    B, Hq, Hkv, C, D = 2, 4, 2, 64, 32
+    q = rng.standard_normal((B, Hq, 1, D)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, C, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, C, D)).astype(np.float32)
+    lengths = np.array([40, 64], np.int32)
+    scale = 1 / np.sqrt(D)
+
+    k8, ks = quantize_kv(jnp.asarray(k))
+    v8, vs = quantize_kv(jnp.asarray(v))
+    out = decode_attention_int8(
+        jnp.asarray(q), k8, ks, v8, vs, jnp.asarray(lengths), scale=scale,
+        block_c=32, interpret=True)
+
+    kd = np.asarray(k8).astype(np.float32) / np.asarray(ks)[..., None]
+    vd = np.asarray(v8).astype(np.float32) / np.asarray(vs)[..., None]
+    g = Hq // Hkv
+    ref = np.zeros((B, Hq, 1, D), np.float32)
+    for b in range(B):
+        for h in range(Hq):
+            s = (q[b, h, 0] * scale) @ kd[b, h // g].T
+            s[lengths[b]:] = -1e30
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            ref[b, h, 0] = p @ vd[b, h // g]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_int8_sliding_window():
+    import numpy as np
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels.decode_attention import (
+        decode_attention_int8, quantize_kv)
+
+    rng = np.random.default_rng(1)
+    B, H, C, D, W = 1, 2, 64, 32, 16
+    q = rng.standard_normal((B, H, 1, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, C, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, C, D)).astype(np.float32)
+    lengths = np.array([48], np.int32)
+    k8, ks = quantize_kv(jnp.asarray(k))
+    v8, vs = quantize_kv(jnp.asarray(v))
+    out = decode_attention_int8(
+        jnp.asarray(q), k8, ks, v8, vs, jnp.asarray(lengths),
+        scale=0.2, window=W, block_c=32, interpret=True)
+
+    kd = np.asarray(k8).astype(np.float32) / np.asarray(ks)[..., None]
+    vd = np.asarray(v8).astype(np.float32) / np.asarray(vs)[..., None]
+    ref = np.zeros((B, H, 1, D), np.float32)
+    for h in range(H):
+        s = (q[0, h, 0] * 0.2) @ kd[0, h].T
+        s[:48 - W] = -1e30
+        s[48:] = -1e30
+        p = np.exp(s - s.max())
+        p /= p.sum()
+        ref[0, h, 0] = p @ vd[0, h]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
