@@ -296,3 +296,59 @@ def test_fairseq_seq2seq(tmp_path):
     t = Translator(out)
     res = t.translate_batch([["tok1", "tok2"]], max_decoding_length=5)
     assert res[0].hypotheses[0] is not None
+
+
+# ---------------------------------------------------------------------------
+# OpenAI GPT-2 (TensorFlow checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def test_openai_gpt2(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    from ctranslate2_tpu.converters.openai_gpt2_conv import OpenAIGPT2Converter
+
+    import json
+
+    rng = np.random.default_rng(5)
+    model_dir = tmp_path / "gpt2"
+    model_dir.mkdir()
+
+    g = tf.Graph()
+    with g.as_default():
+        def var(name, val):
+            tf.compat.v1.get_variable(name, initializer=val)
+
+        var("model/wte", _r(rng, V, D))
+        var("model/wpe", _r(rng, 64, D))
+        var("model/ln_f/g", np.ones(D, np.float32))
+        var("model/ln_f/b", np.zeros(D, np.float32))
+        for i in range(LAYERS):
+            var(f"model/h{i}/ln_1/g", np.ones(D, np.float32))
+            var(f"model/h{i}/ln_1/b", np.zeros(D, np.float32))
+            var(f"model/h{i}/attn/c_attn/w", _r(rng, 1, D, 3 * D))
+            var(f"model/h{i}/attn/c_attn/b", _r(rng, 3 * D))
+            var(f"model/h{i}/attn/c_proj/w", _r(rng, 1, D, D))
+            var(f"model/h{i}/attn/c_proj/b", _r(rng, D))
+            var(f"model/h{i}/ln_2/g", np.ones(D, np.float32))
+            var(f"model/h{i}/ln_2/b", np.zeros(D, np.float32))
+            var(f"model/h{i}/mlp/c_fc/w", _r(rng, 1, D, FF))
+            var(f"model/h{i}/mlp/c_fc/b", _r(rng, FF))
+            var(f"model/h{i}/mlp/c_proj/w", _r(rng, 1, FF, D))
+            var(f"model/h{i}/mlp/c_proj/b", _r(rng, D))
+        saver = tf.compat.v1.train.Saver()
+        with tf.compat.v1.Session(graph=g) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            saver.save(sess, str(model_dir / "model.ckpt"))
+
+    with open(model_dir / "hparams.json", "w") as f:
+        json.dump({"n_layer": LAYERS, "n_head": H, "n_embd": D,
+                   "n_vocab": V, "n_ctx": 64}, f)
+    with open(model_dir / "encoder.json", "w") as f:
+        json.dump({("<|endoftext|>" if i == 0 else f"tok{i}"): i
+                   for i in range(V)}, f)
+
+    out = OpenAIGPT2Converter(str(model_dir)).convert(
+        str(tmp_path / "converted"), force=True)
+    g2 = Generator(out)
+    res = g2.generate_batch([["tok5", "tok6"]], max_length=6)
+    assert res[0].sequences[0]
