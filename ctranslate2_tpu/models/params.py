@@ -58,9 +58,15 @@ def _quantize_per_row(w: np.ndarray):
 
 
 class ParamsBuilder:
-    def __init__(self, mf: ModelFile, policy: DTypePolicy):
+    def __init__(self, mf: ModelFile, policy: DTypePolicy,
+                 fuse_qkv: bool = False):
         self.mf = mf
         self.policy = policy
+        # Keep the artifact's fused QKV as ONE matmul for single-device
+        # decode (3x fewer projection dispatches per step); tensor-parallel
+        # loading needs the head-aligned split instead (see
+        # parallel/sharding.py).
+        self.fuse_qkv = fuse_qkv
         self.float_dtype = jnp.bfloat16 if policy.weight_dtype == "bfloat16" else jnp.float32
 
     # ---- leaf builders ----
@@ -190,8 +196,11 @@ class ParamsBuilder:
         out: dict = {}
         if spec.self_attention:
             fused = self.linear(f"{scope}/linear_0")
-            out["q"], out["k"], out["v"] = self._split_linear(
-                fused, [H * D, Hkv * D, Hkv * D])
+            if self.fuse_qkv:
+                out["qkv"] = fused
+            else:
+                out["q"], out["k"], out["v"] = self._split_linear(
+                    fused, [H * D, Hkv * D, Hkv * D])
             out["o"] = self.linear(f"{scope}/linear_1")
         else:
             out["q"] = self.linear(f"{scope}/linear_0")
@@ -352,8 +361,9 @@ class ParamsBuilder:
         return out
 
 
-def build_params(mf: ModelFile, arch: ArchSpec, policy: DTypePolicy) -> dict:
-    builder = ParamsBuilder(mf, policy)
+def build_params(mf: ModelFile, arch: ArchSpec, policy: DTypePolicy,
+                 fuse_qkv: bool = False) -> dict:
+    builder = ParamsBuilder(mf, policy, fuse_qkv=fuse_qkv)
     params: dict = {}
     if arch.encoder is not None:
         params["encoder"] = builder.encoder(arch.encoder)

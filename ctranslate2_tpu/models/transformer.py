@@ -177,9 +177,19 @@ def _project_qkv(ap: dict, spec: AttentionSpec, x, quantize_acts: bool):
     reference: src/layers/attention.cc:479-519) so the output axes shard
     head-aligned under tensor parallelism with no resharding.
     """
-    q = linear(ap["q"], x, quantize_activations=quantize_acts)
-    k = linear(ap["k"], x, quantize_activations=quantize_acts)
-    v = linear(ap["v"], x, quantize_activations=quantize_acts)
+    if "qkv" in ap:
+        # Single fused projection (the artifact layout, one MXU dispatch);
+        # used off-mesh where head-aligned sharding is not needed.
+        fused = linear(ap["qkv"], x, quantize_activations=quantize_acts)
+        Dq = spec.num_heads * spec.head_dim
+        Dkv = spec.num_heads_kv * spec.head_dim
+        q = fused[..., :Dq]
+        k = fused[..., Dq:Dq + Dkv]
+        v = fused[..., Dq + Dkv:]
+    else:
+        q = linear(ap["q"], x, quantize_activations=quantize_acts)
+        k = linear(ap["k"], x, quantize_activations=quantize_acts)
+        v = linear(ap["v"], x, quantize_activations=quantize_acts)
     return (
         attn_ops.split_heads(q, spec.num_heads),
         attn_ops.split_heads(k, spec.num_heads_kv),

@@ -67,6 +67,10 @@ def _emb_spec(p: dict):
 
 
 def _attention_specs(spec_attn, ap: dict) -> dict:
+    if "qkv" in ap:
+        raise ValueError(
+            "Tensor-parallel sharding requires unfused QKV projections; "
+            "load the model with fuse_qkv=False (or CT2TPU_FUSE_QKV=0)")
     out = {}
     divisible = spec_attn.num_heads_kv % 1 == 0  # always true; kept for clarity
     for name in ("q", "k", "v"):

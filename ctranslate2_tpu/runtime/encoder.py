@@ -26,7 +26,11 @@ class EncoderForwardOutput:
 class Encoder:
     def __init__(self, model_path: str, device: str = "auto",
                  compute_type: str = "default", **kwargs):
-        self.model: LoadedModel = load_model(model_path, compute_type=compute_type)
+        # tensor_parallel loads head-aligned (unfused) QKV shards
+        # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        self.model: LoadedModel = load_model(
+            model_path, compute_type=compute_type,
+            fuse_qkv=not kwargs.get("tensor_parallel", False))
         if self.model.arch.encoder is None:
             raise ValueError(
                 f"The model at {model_path} does not have an encoder")

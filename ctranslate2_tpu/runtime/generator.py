@@ -33,7 +33,11 @@ class Generator:
         compute_type: str = "default",
         **kwargs,
     ):
-        self.model: LoadedModel = load_model(model_path, compute_type=compute_type)
+        # tensor_parallel loads head-aligned (unfused) QKV shards
+        # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        self.model: LoadedModel = load_model(
+            model_path, compute_type=compute_type,
+            fuse_qkv=not kwargs.get("tensor_parallel", False))
         if not self.model.is_decoder_only:
             raise ValueError(
                 f"The model at {model_path} is not a decoder-only model "

@@ -89,7 +89,11 @@ wav2vec2_forward_jit = jax.jit(
 class Wav2Vec2:
     def __init__(self, model_path: str, device: str = "auto",
                  compute_type: str = "default", **kwargs):
-        self.model: LoadedModel = load_model(model_path, compute_type=compute_type)
+        # tensor_parallel loads head-aligned (unfused) QKV shards
+        # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        self.model: LoadedModel = load_model(
+            model_path, compute_type=compute_type,
+            fuse_qkv=not kwargs.get("tensor_parallel", False))
         enc = self.model.arch.encoder
         if enc is None or not enc.is_wav2vec2:
             raise ValueError(

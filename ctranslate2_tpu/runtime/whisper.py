@@ -93,7 +93,11 @@ def median_filter(x: np.ndarray, width: int) -> np.ndarray:
 class Whisper:
     def __init__(self, model_path: str, device: str = "auto",
                  compute_type: str = "default", **kwargs):
-        self.model: LoadedModel = load_model(model_path, compute_type=compute_type)
+        # tensor_parallel loads head-aligned (unfused) QKV shards
+        # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        self.model: LoadedModel = load_model(
+            model_path, compute_type=compute_type,
+            fuse_qkv=not kwargs.get("tensor_parallel", False))
         if self.model.arch.encoder is None or not self.model.arch.encoder.num_conv_layers:
             raise ValueError(
                 f"The model at {model_path} is not a Whisper model")

@@ -32,7 +32,7 @@ def test_mesh_construction():
 
 
 def test_sharded_forward_matches_single_device(llama_dir):
-    model = load_model(llama_dir, compute_type="float32")
+    model = load_model(llama_dir, compute_type="float32", fuse_qkv=False)
     mesh = make_mesh(num_data=2, num_model=4)
 
     ids = jnp.asarray(np.random.default_rng(0).integers(3, 64, (4, 8)),
@@ -57,7 +57,7 @@ def test_sharded_forward_matches_single_device(llama_dir):
 
 
 def test_sharded_cached_decode(llama_dir):
-    model = load_model(llama_dir, compute_type="float32")
+    model = load_model(llama_dir, compute_type="float32", fuse_qkv=False)
     mesh = make_mesh(num_data=1, num_model=8)
     sharded_params = shard_params(model.params, model.arch, mesh)
     sharded_consts = shard_consts(model.consts, mesh)
@@ -87,7 +87,7 @@ def test_sharded_generation(llama_dir):
     g = Generator(llama_dir)
     ref = g.generate_batch([["tok1", "tok2"]], max_length=8)
 
-    g2 = Generator(llama_dir)
+    g2 = Generator(llama_dir, tensor_parallel=True)
     mesh = make_mesh(num_data=1, num_model=4)
     g2.model.params = shard_params(g2.model.params, g2.model.arch, mesh)
     g2.model.consts = shard_consts(g2.model.consts, mesh)
