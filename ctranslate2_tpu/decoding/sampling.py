@@ -15,25 +15,73 @@ from .processors import DISABLE
 
 
 def small_top_k(x, k: int):
-    """Top-k by k iterative max passes — much faster than ``lax.top_k``'s
-    sort-based lowering on TPU for small k over large vocabularies.
+    """Exact top-k with ONE full pass over the scores (block tournament).
+
+    ``lax.top_k`` sort-lowers (many passes) and k iterated argmax+mask
+    passes re-read and re-write the whole array k times; both are HBM-bound
+    on [batch, vocab]-sized inputs. Here the scores are read once into
+    per-block maxima, then each of the k picks re-examines only the winning
+    block (a tiny gather), masking previously taken entries by flat index —
+    exact for any tie pattern.
 
     Returns (values [..., k], indices [..., k]) in descending order.
     """
     if k > 16:
         return jax.lax.top_k(x, k)
-    work = x
-    vals = []
-    idxs = []
-    for _ in range(k):
-        idx = jnp.argmax(work, axis=-1)
-        val = jnp.take_along_axis(work, idx[..., None], axis=-1)[..., 0]
+    orig_shape = x.shape
+    V = orig_shape[-1]
+    B = 1
+    for d in orig_shape[:-1]:
+        B *= d
+    x2 = x.reshape(B, V)
+
+    bs = 512
+    pad = (-V) % bs
+    if pad:
+        x2 = jnp.pad(x2, ((0, 0), (0, pad)), constant_values=DISABLE)
+    nb = x2.shape[1] // bs
+    if nb < 2:
+        # Tiny rows: plain iterated argmax.
+        work = x.reshape(B, V)
+        vals, idxs = [], []
+        for _ in range(k):
+            idx = jnp.argmax(work, axis=-1)
+            vals.append(jnp.take_along_axis(work, idx[:, None], -1)[:, 0])
+            idxs.append(idx.astype(jnp.int32))
+            work = jnp.where(
+                jnp.arange(V, dtype=jnp.int32) == idx[:, None], DISABLE, work)
+        return (jnp.stack(vals, -1).reshape(orig_shape[:-1] + (k,)),
+                jnp.stack(idxs, -1).reshape(orig_shape[:-1] + (k,)))
+
+    xb = x2.reshape(B, nb, bs)
+    # The single full pass.
+    bmax = jnp.max(xb, axis=-1)  # [B, nb]
+    barg = jnp.argmax(xb, axis=-1).astype(jnp.int32)  # [B, nb]
+
+    rows = jnp.arange(B, dtype=jnp.int32)
+    in_iota = jnp.arange(bs, dtype=jnp.int32)[None, :]
+    vals, idxs = [], []
+    for i in range(k):
+        win = jnp.argmax(bmax, axis=-1).astype(jnp.int32)  # [B]
+        val = bmax[rows, win]
+        flat = win * bs + barg[rows, win]
         vals.append(val)
-        idxs.append(idx)
-        work = jnp.where(
-            jnp.arange(work.shape[-1], dtype=jnp.int32) == idx[..., None],
-            DISABLE, work)
-    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
+        idxs.append(flat)
+        # Re-examine only the winning block, excluding everything already
+        # taken from it.
+        blk = xb[rows, win]  # [B, bs]
+        blk_pos = win[:, None] * bs + in_iota
+        taken = jnp.zeros((B, bs), jnp.bool_)
+        for f in idxs:
+            taken = taken | (blk_pos == f[:, None])
+        blk = jnp.where(taken, DISABLE, blk)
+        bmax = bmax.at[rows, win].set(jnp.max(blk, axis=-1))
+        barg = barg.at[rows, win].set(
+            jnp.argmax(blk, axis=-1).astype(jnp.int32))
+
+    out_v = jnp.stack(vals, -1).reshape(orig_shape[:-1] + (k,))
+    out_i = jnp.stack(idxs, -1).reshape(orig_shape[:-1] + (k,))
+    return out_v, out_i
 
 
 def top_p_mask(scores, p: float):
