@@ -534,3 +534,35 @@ class Translator:
             num_examples=num_examples,
             total_time_in_ms=(time.time() - start) * 1000.0,
         )
+
+    def score_file(self, source_path: str, target_path: str,
+                   output_path: str, max_batch_size: int = 32,
+                   batch_type: str = "examples",
+                   with_tokens_score: bool = False, **kwargs) -> ExecutionStats:
+        """Score a parallel file pair, writing ``mean_score ||| target``
+        lines (reference: include/ctranslate2/translator.h score_file and
+        python/cpp/translator.cc)."""
+        start = time.time()
+        with open(source_path, encoding="utf-8") as f:
+            sources = [line.rstrip("\n").split() for line in f]
+        with open(target_path, encoding="utf-8") as f:
+            targets = [line.rstrip("\n").split() for line in f]
+        results = self.score_batch(
+            sources, targets, max_batch_size=max_batch_size,
+            batch_type=batch_type, **kwargs)
+        num_tokens = 0
+        with open(output_path, "w", encoding="utf-8") as fout:
+            for r in results:
+                num_tokens += len(r.tokens)
+                mean = (sum(r.tokens_score) / len(r.tokens_score)
+                        if r.tokens_score else 0.0)
+                line = f"{mean:.6f} ||| {' '.join(r.tokens)}"
+                if with_tokens_score:
+                    line += " ||| " + " ".join(
+                        f"{s:.6f}" for s in r.tokens_score)
+                fout.write(line + "\n")
+        return ExecutionStats(
+            num_tokens=num_tokens,
+            num_examples=len(results),
+            total_time_in_ms=(time.time() - start) * 1000.0,
+        )

@@ -213,3 +213,17 @@ def test_merged_attention_step_vs_sequence(merged_model_dir):
     np.testing.assert_allclose(
         np.stack(step_logits, axis=1), np.asarray(seq_logits),
         rtol=1e-4, atol=1e-4)
+
+
+def test_score_file(translator, tmp_path):
+    src = tmp_path / "src.txt"
+    tgt = tmp_path / "tgt.txt"
+    out = tmp_path / "scores.txt"
+    src.write_text(" ".join(SRC1) + "\n" + " ".join(SRC2) + "\n")
+    tgt.write_text("a t z m o n\na t c h i s o n\n")
+    stats = translator.score_file(str(src), str(tgt), str(out))
+    assert stats.num_examples == 2
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2
+    assert "|||" in lines[0]
+    float(lines[0].split("|||")[0])  # parseable mean score
