@@ -71,8 +71,9 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
         L = max_steps
         if init_cache is not None:
             from ..models.transformer import init_self_cache
-            arch_, capacity_, dtype_ = init_cache
-            cache = init_self_cache(arch_, N, capacity_, dtype=dtype_)
+            arch_, capacity_, dtype_, stacked_ = init_cache
+            cache = init_self_cache(arch_, N, capacity_, dtype=dtype_,
+                                    stacked=stacked_)
 
         if encoder_ids is not None:
             # Fused encode + cross-KV projection: one dispatch per request.
@@ -234,7 +235,7 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
 
             rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
                     + new_origins).reshape(N)
-            cache = jax.tree.map(lambda a: a[rows], cache)
+            cache = T.cache_gather_rows(cache, rows)
             alive = jnp.take_along_axis(
                 alive, new_origins[:, :, None], axis=1)
             alive = jax.lax.dynamic_update_slice(
@@ -293,8 +294,9 @@ def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
         P = prefix.shape[1] if has_prefix else 0
         if init_cache is not None:
             from ..models.transformer import init_self_cache
-            arch_, capacity_, dtype_ = init_cache
-            cache = init_self_cache(arch_, N, capacity_, dtype=dtype_)
+            arch_, capacity_, dtype_, stacked_ = init_cache
+            cache = init_self_cache(arch_, N, capacity_, dtype=dtype_,
+                                    stacked=stacked_)
 
         if encoder_ids is not None:
             memory = T.encoder_forward(

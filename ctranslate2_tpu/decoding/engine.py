@@ -82,7 +82,7 @@ class DecodingEngine:
 
     @staticmethod
     def _reorder(cache, alive_seq, rows, new_tokens, gen_step):
-        cache = jax.tree.map(lambda a: a[rows], cache)
+        cache = T.cache_gather_rows(cache, rows)
         if alive_seq is not None:
             alive_seq = alive_seq[rows]
             alive_seq = jax.lax.dynamic_update_slice(
@@ -244,24 +244,8 @@ class DecodingEngine:
         if cache is None:
             pass  # fast paths initialize the cache inside the jit
         else:
-            # Grow/replicate an existing cache to N rows and `capacity` cols.
-            # INT8 caches store per-vector scales on axis 3 ([B, H, 1, C]);
-            # their padding must be 1 to keep dequantization finite.
-            def grow(a, axis=2, fill=0.0):
-                if a.shape[0] != N:
-                    a = jnp.repeat(a, N // a.shape[0], axis=0)
-                if a.shape[axis] < capacity:
-                    pad = [(0, 0)] * a.ndim
-                    pad[axis] = (0, capacity - a.shape[axis])
-                    a = jnp.pad(a, pad, constant_values=fill)
-                return a
-
-            cache = [
-                {k: grow(v, 3 if k.endswith("_scale") else 2,
-                         1.0 if k.endswith("_scale") else 0.0)
-                 for k, v in layer.items()}
-                for layer in cache
-            ]
+            # Grow/replicate an existing cache to N rows / `capacity` cols.
+            cache = T.cache_grow(cache, N, capacity)
 
         return N, max_step, capacity, mem_kv, mem_bias, cache, use_hard_prefix
 
@@ -364,7 +348,8 @@ class DecodingEngine:
                 encoder_inputs[1], memory.shape[1])
         if cache is None:
             cache = T.init_self_cache(
-                self.model.arch, N, capacity, dtype=self.model.kv_dtype)
+                self.model.arch, N, capacity, dtype=self.model.kv_dtype,
+                stacked=self.model.scan_layers)
 
         step_fn = self._get_step(sig)
 
@@ -574,21 +559,13 @@ class DecodingEngine:
 
         if cache is None:
             cache = T.init_self_cache(model.arch, 1, capacity,
-                                      dtype=model.kv_dtype)
+                                      dtype=model.kv_dtype,
+                                      stacked=model.scan_layers)
         else:
-            def grow(a, axis=2, fill=0.0):
-                if a.shape[axis] < capacity:
-                    pad = [(0, 0)] * a.ndim
-                    pad[axis] = (0, capacity - a.shape[axis])
-                    a = jnp.pad(a, pad, constant_values=fill)
-                return a
-
-            cache = [
-                {k: grow(v, 3 if k.endswith("_scale") else 2,
-                         1.0 if k.endswith("_scale") else 0.0)
-                 for k, v in layer.items()}
-                for layer in cache
-            ]
+            rows = (cache["k"] if T.cache_is_stacked(cache)
+                    else cache[0]["k"]).shape[
+                        1 if T.cache_is_stacked(cache) else 0]
+            cache = T.cache_grow(cache, rows, capacity)
 
         pos = start_step
         if prefix_length > 0:
@@ -646,7 +623,7 @@ class DecodingEngine:
             return result
 
         # Continue each alternative independently.
-        cache = jax.tree.map(lambda a: jnp.repeat(a, num_alt, axis=0), cache)
+        cache = T.cache_repeat_rows(cache, num_alt)
         mem_rep = jnp.repeat(memory, num_alt, axis=0) if memory is not None else None
         lens_rep = (jnp.repeat(memory_lengths, num_alt, axis=0)
                     if memory_lengths is not None else None)
@@ -736,7 +713,8 @@ class DecodingEngine:
                 has_prefix=has_prefix,
                 has_memory=sig.has_memory,
                 has_token_map=token_map is not None,
-                init_cache=(model.arch, capacity, model.kv_dtype)
+                init_cache=(model.arch, capacity, model.kv_dtype,
+                            model.scan_layers)
                 if capacity is not None else None)
             self._loop_fns[key] = loop_fn
 
@@ -821,7 +799,8 @@ class DecodingEngine:
                 model.arch, sig, model.policy.quantize_activations,
                 model.out_dtype, max_step,
                 has_token_map=token_map is not None,
-                init_cache=(model.arch, capacity, model.kv_dtype)
+                init_cache=(model.arch, capacity, model.kv_dtype,
+                            model.scan_layers)
                 if capacity is not None else None,
                 has_prefix=P > 0)
             self._loop_fns[key] = loop_fn
@@ -935,7 +914,8 @@ class DecodingEngine:
                 encoder_inputs[1], memory.shape[1])
         if cache is None:
             cache = T.init_self_cache(
-                self.model.arch, N, capacity, dtype=self.model.kv_dtype)
+                self.model.arch, N, capacity, dtype=self.model.kv_dtype,
+                stacked=self.model.scan_layers)
 
         step_fn = self._get_step(sig)
 

@@ -57,6 +57,12 @@ class LoadedModel:
         return self.policy.activation_jnp
 
     @property
+    def scan_layers(self) -> bool:
+        """True when decoder layer params are stacked for lax.scan."""
+        dec = self.params.get("decoder")
+        return dec is not None and isinstance(dec.get("layers"), dict)
+
+    @property
     def kv_dtype(self):
         """Self-attention KV-cache dtype: jnp.int8 selects the quantized
         cache layout (CT2TPU_KV_CACHE=int8, SURVEY kernel #4); defaults to
@@ -145,6 +151,7 @@ def load_model(
     compute_type: str = "default",
     max_positions: int = 2048,
     fuse_qkv: Optional[bool] = None,
+    stack_layers: Optional[bool] = None,
 ) -> LoadedModel:
     mf = load_model_file(path)
     _apply_v1_mapping(mf)
@@ -153,7 +160,15 @@ def load_model(
     policy = resolve_compute_type(compute_type, _weights_dtype(mf))
     if fuse_qkv is None:
         fuse_qkv = os.environ.get("CT2TPU_FUSE_QKV", "1") != "0"
-    params = build_params(mf, arch, policy, fuse_qkv=fuse_qkv)
+    if stack_layers is None:
+        # Scan-over-layers cuts compile time and program size ~num_layers-
+        # fold but measured ~35% slower per decode step than the unrolled
+        # loop on v5e (XLA pipelines unrolled layers better); default off,
+        # worth enabling for very deep models where compile dominates.
+        stack_layers = os.environ.get("CT2TPU_SCAN_LAYERS", "0") == "1" \
+            and fuse_qkv
+    params = build_params(mf, arch, policy, fuse_qkv=fuse_qkv,
+                          stack_layers=stack_layers)
     consts = transformer.make_consts(arch, params, max_positions)
 
     if mf.spec_name == "WhisperSpec":

@@ -59,7 +59,7 @@ def _quantize_per_row(w: np.ndarray):
 
 class ParamsBuilder:
     def __init__(self, mf: ModelFile, policy: DTypePolicy,
-                 fuse_qkv: bool = False):
+                 fuse_qkv: bool = False, stack_layers: bool = False):
         self.mf = mf
         self.policy = policy
         # Keep the artifact's fused QKV as ONE matmul for single-device
@@ -67,6 +67,9 @@ class ParamsBuilder:
         # loading needs the head-aligned split instead (see
         # parallel/sharding.py).
         self.fuse_qkv = fuse_qkv
+        # Stack uniform decoder layers along a leading axis so the forward
+        # can lax.scan over them (see models/transformer.py).
+        self.stack_layers = stack_layers
         self.float_dtype = jnp.bfloat16 if policy.weight_dtype == "bfloat16" else jnp.float32
 
     # ---- leaf builders ----
@@ -362,11 +365,19 @@ class ParamsBuilder:
 
 
 def build_params(mf: ModelFile, arch: ArchSpec, policy: DTypePolicy,
-                 fuse_qkv: bool = False) -> dict:
+                 fuse_qkv: bool = False, stack_layers: bool = False) -> dict:
+    from .spec import decoder_layers_uniform
+
     builder = ParamsBuilder(mf, policy, fuse_qkv=fuse_qkv)
     params: dict = {}
     if arch.encoder is not None:
         params["encoder"] = builder.encoder(arch.encoder)
     if arch.decoder is not None:
         params["decoder"] = builder.decoder(arch.decoder)
+        if stack_layers and decoder_layers_uniform(arch):
+            from .transformer import stack_layer_list
+
+            stacked = stack_layer_list(params["decoder"]["layers"])
+            if stacked is not None:
+                params["decoder"]["layers"] = stacked
     return params

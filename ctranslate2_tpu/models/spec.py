@@ -470,3 +470,15 @@ def extract_arch(mf: ModelFile) -> ArchSpec:
         decoder=extract_decoder(mf),
         ln_epsilon=float(ln_eps) if ln_eps is not None else None,
     )
+
+
+def decoder_layers_uniform(arch: ArchSpec) -> bool:
+    """True when every decoder layer has an identical spec, making the
+    layer stack scannable (``lax.scan`` over stacked weights). T5-style
+    models whose relative bias lives only in layer 0 are excluded by the
+    dataclass inequality."""
+    d = arch.decoder
+    if d is None or not d.layers:
+        return False
+    first = d.layers[0]
+    return all(layer == first for layer in d.layers[1:])

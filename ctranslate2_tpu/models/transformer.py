@@ -97,7 +97,9 @@ def make_consts(arch: ArchSpec, params: dict, max_positions: int = 4096) -> dict
             a = layer.self_attention
             if a.rotary is not None:
                 rotary_layers[str(i)] = _rotary_consts(
-                    a, params[side]["layers"][i]["self_attention"], max_positions
+                    a,
+                    _layer_slice(params[side]["layers"], i)["self_attention"],
+                    max_positions,
                 )
         if rotary_layers:
             side_consts["rotary"] = rotary_layers
@@ -653,29 +655,132 @@ speech_encoder_forward_jit = jax.jit(
 # ---------------------------------------------------------------------------
 
 
-def init_self_cache(arch: ArchSpec, batch: int, capacity: int, dtype=jnp.float32):
+# ---------------------------------------------------------------------------
+# Cache layouts and layer-stack helpers.
+#
+# Two cache layouts exist:
+# - per-layer list: [{"k": [N, H, C, D], ...} per layer] (general)
+# - stacked dict:   {"k": [L, N, H, C, D], ...} when every decoder layer has
+#   an identical spec (scan-over-layers; one gather/update for the whole
+#   stack instead of one per layer).
+# ---------------------------------------------------------------------------
+
+
+def cache_is_stacked(cache) -> bool:
+    return isinstance(cache, dict)
+
+
+def _cache_axes(cache):
+    """(batch_axis, position_axis_payload, position_axis_scale)."""
+    if cache_is_stacked(cache):
+        return 1, 3, 4
+    return 0, 2, 3
+
+
+def cache_gather_rows(cache, rows):
+    """Reorder/select cache batch rows (beam reorder, batch pruning)."""
+    if cache is None:
+        return None
+    if cache_is_stacked(cache):
+        return {k: v[:, rows] for k, v in cache.items()}
+    return jax.tree.map(lambda a: a[rows], cache)
+
+
+def cache_repeat_rows(cache, n: int):
+    """Tile every batch row ``n`` times (beam/hypothesis replication)."""
+    if cache is None:
+        return None
+    axis = 1 if cache_is_stacked(cache) else 0
+    return jax.tree.map(lambda a: jnp.repeat(a, n, axis=axis), cache)
+
+
+def cache_slice_rows(cache, start: int, size: int):
+    if cache is None:
+        return None
+    if cache_is_stacked(cache):
+        return {k: v[:, start:start + size] for k, v in cache.items()}
+    return jax.tree.map(lambda a: a[start:start + size], cache)
+
+
+def cache_grow(cache, n_rows: int, capacity: int):
+    """Grow a cache to ``n_rows`` batch rows and ``capacity`` positions.
+
+    INT8 scale arrays pad with 1 to keep dequantization finite.
+    """
+    if cache is None:
+        return None
+    baxis, paxis, saxis = _cache_axes(cache)
+
+    def grow_one(a, axis, fill):
+        if a.shape[baxis] != n_rows:
+            a = jnp.repeat(a, n_rows // a.shape[baxis], axis=baxis)
+        if a.shape[axis] < capacity:
+            pad = [(0, 0)] * a.ndim
+            pad[axis] = (0, capacity - a.shape[axis])
+            a = jnp.pad(a, pad, constant_values=fill)
+        return a
+
+    def grow_layer(d):
+        return {
+            k: grow_one(v, saxis if k.endswith("_scale") else paxis,
+                        1.0 if k.endswith("_scale") else 0.0)
+            for k, v in d.items()
+        }
+
+    if cache_is_stacked(cache):
+        return grow_layer(cache)
+    return [grow_layer(layer) for layer in cache]
+
+
+def _layer_slice(tree, i):
+    """Layer ``i`` of a stacked pytree (view under jit) or list entry."""
+    if tree is None:
+        return None
+    if isinstance(tree, list):
+        return tree[i]
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def stack_layer_list(layers):
+    """Stack homogeneous per-layer pytrees along a new leading axis;
+    returns None when structures or shapes differ."""
+    if not layers or any(l is None for l in layers):
+        return None
+    try:
+        structs = {jax.tree.structure(l) for l in layers}
+        if len(structs) != 1:
+            return None
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    except (ValueError, TypeError):
+        return None
+
+
+def init_self_cache(arch: ArchSpec, batch: int, capacity: int,
+                    dtype=jnp.float32, stacked: bool = False):
     """Fixed-capacity self-attention KV cache for every decoder layer.
 
     ``dtype=jnp.int8`` selects the quantized cache layout: int8 payloads
     plus one float scale per cached vector (SURVEY kernel #4; halves cache
-    memory and decode-read bandwidth vs bf16)."""
+    memory and decode-read bandwidth vs bf16). ``stacked`` produces the
+    layer-stacked layout used with scan-over-layers params."""
     spec = arch.decoder
-    layers = []
-    for layer in spec.layers:
-        a = layer.self_attention
-        shape = (batch, a.num_heads_kv, capacity, a.head_dim)
+
+    def layer_cache(a, lead=()):
+        shape = lead + (batch, a.num_heads_kv, capacity, a.head_dim)
         if dtype == jnp.int8:
-            sshape = (batch, a.num_heads_kv, 1, capacity)
-            layers.append({
+            sshape = lead + (batch, a.num_heads_kv, 1, capacity)
+            return {
                 "k": jnp.zeros(shape, jnp.int8),
                 "v": jnp.zeros(shape, jnp.int8),
                 "k_scale": jnp.ones(sshape, jnp.float32),
                 "v_scale": jnp.ones(sshape, jnp.float32),
-            })
-        else:
-            layers.append(
-                {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)})
-    return layers
+            }
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    if stacked:
+        return layer_cache(spec.layers[0].self_attention,
+                           lead=(len(spec.layers),))
+    return [layer_cache(layer.self_attention) for layer in spec.layers]
 
 
 def _update_int8_cache(cache: dict, k, v, offset):
@@ -705,23 +810,137 @@ def _dequantize_cache(cache: dict, dtype):
 def precompute_memory(arch: ArchSpec, params: dict, memory, quantize_acts: bool = True):
     """Project encoder output into per-layer cross K/V (prefill-once)."""
     spec = arch.decoder
+    layers = params["decoder"]["layers"]
+    stacked = isinstance(layers, dict)
     out = []
     for i, layer in enumerate(spec.layers):
+        lp = _layer_slice(layers, i)
         if layer.cross_attention is not None:
-            ap = params["decoder"]["layers"][i]["attention"]
             out.append(
-                precompute_cross_kv(arch, layer.cross_attention, ap, memory,
-                                    quantize_acts)
+                precompute_cross_kv(arch, layer.cross_attention,
+                                    lp["attention"], memory, quantize_acts)
             )
         elif layer.self_attention.has_memory_kv:
-            ap = params["decoder"]["layers"][i]["self_attention"]
             out.append(
-                precompute_merged_memory_kv(arch, layer.self_attention, ap,
-                                            memory, quantize_acts)
+                precompute_merged_memory_kv(arch, layer.self_attention,
+                                            lp["self_attention"], memory,
+                                            quantize_acts)
             )
         else:
             out.append(None)
+    if stacked and out and out[0] is not None:
+        # Match the stacked-params layout so memory K/V scan through xs.
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *out)
     return out
+
+
+
+
+def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
+                         rel_positions, position_bias, rot, pos, self_cache,
+                         mem_kv, memory_bias, beam_size, lengths,
+                         quantize_acts):
+    """lax.scan over a uniform decoder layer stack.
+
+    One compiled layer body serves all layers: weights, caches and memory
+    K/V stream through scan xs, cutting per-step op count ~num_layers-fold
+    versus the unrolled loop (decisive for decode-step latency)."""
+    layer = spec.layers[0]
+    aspec = layer.self_attention
+
+    xs = {"lp": stacked_lp}
+    if self_cache is not None:
+        xs["cache"] = self_cache
+    if mem_kv is not None:
+        xs["mem"] = mem_kv
+
+    def body(x, xs_i):
+        lp = xs_i["lp"]
+        cache_i = xs_i.get("cache")
+        mem_i = xs_i.get("mem")
+
+        if layer.sandwich_norm:
+            h = _norm(arch, lp["input_layer_norm"], x)
+            if aspec.has_memory_kv:
+                ctx, nc = merged_attention_block(
+                    arch, aspec, lp["self_attention"], h, mem_i,
+                    bias=bias, memory_bias=memory_bias,
+                    rot_consts=rot, offset=pos, cache=cache_i,
+                    beam_size=beam_size, pre_norm=spec.pre_norm,
+                    quantize_acts=quantize_acts, wrap_norm=False)
+            else:
+                ctx, nc = self_attention_block(
+                    arch, aspec, lp["self_attention"], h,
+                    bias=bias, rot_consts=rot, offset=pos, cache=cache_i,
+                    pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                    alibi_bias=alibi_bias, rel_positions=rel_positions,
+                    position_bias=position_bias, wrap_norm=False,
+                    causal=True, flash_lengths=lengths)
+            x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
+            if layer.cross_attention is not None:
+                h = _norm(arch,
+                          lp["external_pre_encoder_attention_layer_norm"], x) \
+                    if layer.external_pre_cross_norm else x
+                ctx, _ = cross_attention_block(
+                    arch, layer.cross_attention, lp["attention"], h,
+                    mem_i, memory_bias=memory_bias, beam_size=beam_size,
+                    pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                    return_weights=False, wrap_norm=False)
+                if layer.external_post_cross_norm:
+                    ctx = _norm(
+                        arch,
+                        lp["external_post_encoder_attention_layer_norm"], ctx)
+                x = x + ctx
+            h = _norm(arch, lp["pre_feedforward_layer_norm"], x)
+            f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
+                          quantize_acts, wrap_norm=False)
+            x = x + _norm(arch, lp["post_feedforward_layer_norm"], f)
+            if layer.layer_scalar != 1.0:
+                x = x * jnp.asarray(layer.layer_scalar, dtype=x.dtype)
+        elif layer.shared_layer_norm or layer.input_layer_norm:
+            norm_p = lp.get("shared_layer_norm") or lp.get("input_layer_norm")
+            h = _norm(arch, norm_p, x)
+            a, nc = self_attention_block(
+                arch, aspec, lp["self_attention"], h,
+                bias=bias, rot_consts=rot, offset=pos, cache=cache_i,
+                pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                alibi_bias=alibi_bias, rel_positions=rel_positions,
+                position_bias=position_bias, wrap_norm=False,
+                causal=True, flash_lengths=lengths)
+            if layer.post_attention_layer_norm:
+                h = _norm(arch, lp["post_attention_layer_norm"], x)
+            f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
+                          quantize_acts, wrap_norm=False)
+            x = x + a + f
+        elif aspec.has_memory_kv:
+            x, nc = merged_attention_block(
+                arch, aspec, lp["self_attention"], x, mem_i,
+                bias=bias, memory_bias=memory_bias,
+                rot_consts=rot, offset=pos, cache=cache_i,
+                beam_size=beam_size, pre_norm=spec.pre_norm,
+                quantize_acts=quantize_acts)
+            x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm,
+                          quantize_acts)
+        else:
+            x, nc = self_attention_block(
+                arch, aspec, lp["self_attention"], x,
+                bias=bias, rot_consts=rot, offset=pos, cache=cache_i,
+                pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                alibi_bias=alibi_bias, rel_positions=rel_positions,
+                position_bias=position_bias,
+                causal=True, flash_lengths=lengths)
+            if layer.cross_attention is not None:
+                x, _ = cross_attention_block(
+                    arch, layer.cross_attention, lp["attention"], x,
+                    mem_i, memory_bias=memory_bias, beam_size=beam_size,
+                    pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
+                    return_weights=False)
+            x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm,
+                          quantize_acts)
+        return x, (nc if self_cache is not None else 0)
+
+    x, new_cache = jax.lax.scan(body, x, xs)
+    return x, (new_cache if self_cache is not None else None)
 
 
 def decoder_forward(
@@ -769,14 +988,18 @@ def decoder_forward(
     if spec.has_layernorm_embedding:
         x = _norm(arch, dp.get("layernorm_embedding"), x)
 
+    stacked = isinstance(dp["layers"], dict)
+
     # Self-attention bias.
     if self_cache is not None:
-        C = self_cache[0]["k"].shape[2]
+        C = (self_cache["k"].shape[3] if cache_is_stacked(self_cache)
+             else self_cache[0]["k"].shape[2])
         causal = attn_ops.causal_mask_bias(T, C, offset=pos)
         bias = causal
         if lengths is not None:
             bias = bias + attn_ops.length_mask_bias(lengths, C)
     else:
+        C = T
         bias = attn_ops.causal_mask_bias(T, T, offset=0)
         if lengths is not None:
             bias = bias + attn_ops.length_mask_bias(lengths, T)
@@ -790,24 +1013,20 @@ def decoder_forward(
             pair_layers.setdefault(li, []).append(hi)
     new_cache = [] if self_cache is not None else None
 
-    for i, layer in enumerate(spec.layers):
-        lp = dp["layers"][i]
+    def layer_extras(i, layer, lp):
+        """Per-layer sliding-window / ALiBi / relative-position biases."""
         aspec = layer.self_attention
-        rot = dc.get("rotary", {}).get(str(i))
-
         layer_bias = bias
         if aspec.sliding_window and self_cache is not None:
             layer_bias = layer_bias + attn_ops.sliding_window_bias(
-                T, self_cache[i]["k"].shape[2], aspec.sliding_window, offset=pos
-            )
+                T, C, aspec.sliding_window, offset=pos)
         elif aspec.sliding_window:
             layer_bias = layer_bias + attn_ops.sliding_window_bias(
-                T, T, aspec.sliding_window, offset=0
-            )
+                T, T, aspec.sliding_window, offset=0)
 
         alibi_bias = None
         if spec.alibi:
-            Tk = self_cache[i]["k"].shape[2] if self_cache is not None else T
+            Tk = C if self_cache is not None else T
             slopes = dc["alibi_slopes"]
             positions = jnp.arange(Tk, dtype=jnp.float32)
             if not spec.alibi_use_positive_positions:
@@ -815,23 +1034,69 @@ def decoder_forward(
                 # (reference: src/layers/attention_layer.cc:38-41).
                 cur_len = (pos + T) if self_cache is not None else T
                 positions = positions - (jnp.asarray(cur_len, jnp.float32) - 1)
-            scale = spec.layers[i].self_attention.queries_scale if spec.scale_alibi else 1.0
+            scale = aspec.queries_scale if spec.scale_alibi else 1.0
             alibi_bias = (slopes[:, None, None] * positions[None, None, :] * scale)
 
         rel_positions = None
         if aspec.has_rel_position_keys:
-            Tk = self_cache[i]["k"].shape[2] if self_cache is not None else T
+            Tk = C if self_cache is not None else T
             rel_positions = attn_ops.make_relative_positions(
                 T, Tk, aspec.max_relative_position,
                 query_offset=pos if self_cache is not None else None)
-        if aspec.has_rel_attention_bias and position_bias is None:
-            Tk = self_cache[i]["k"].shape[2] if self_cache is not None else T
-            position_bias = attn_ops.t5_position_bias(
+        pbias = None
+        if aspec.has_rel_attention_bias:
+            Tk = C if self_cache is not None else T
+            pbias = attn_ops.t5_position_bias(
                 lp["self_attention"]["relative_attention_bias"],
                 T, Tk, aspec.rel_max_distance, bidirectional=False,
                 query_offset=pos if self_cache is not None else 0)
+        return layer_bias, alibi_bias, rel_positions, pbias
 
-        cache_i = self_cache[i] if self_cache is not None else None
+    # Fast path: one scanned layer body for uniform stacks (weights, cache
+    # and memory K/V stream through scan xs — per-step op count drops
+    # ~num_layers-fold).
+    if (stacked and alignment_pairs is None and not return_attention
+            and (self_cache is None or cache_is_stacked(self_cache))
+            and not isinstance(mem_kv, list)):
+        layer0 = spec.layers[0]
+        lp0 = _layer_slice(dp["layers"], 0)
+        layer_bias, alibi_bias, rel_positions, position_bias = layer_extras(
+            0, layer0, lp0)
+        rot = dc.get("rotary", {}).get("0")
+        x, new_cache = _scan_decoder_layers(
+            arch, spec, dp["layers"], x,
+            bias=layer_bias, alibi_bias=alibi_bias,
+            rel_positions=rel_positions, position_bias=position_bias,
+            rot=rot, pos=pos, self_cache=self_cache, mem_kv=mem_kv,
+            memory_bias=memory_bias, beam_size=beam_size, lengths=lengths,
+            quantize_acts=quantize_acts)
+        if spec.has_output_norm:
+            x = _norm(arch, dp.get("layer_norm"), x)
+        if spec.has_project_out:
+            x = linear(dp["project_out"], x, quantize_activations=quantize_acts)
+        if spec.has_outputs_scale:
+            x = x * dp["scale_outputs"].astype(x.dtype)
+        if return_logits and spec.has_projection:
+            logits = linear(dp["projection"], x,
+                            quantize_activations=quantize_acts)
+            if spec.final_logit_softcapping:
+                cap = spec.final_logit_softcapping
+                logits = jnp.tanh(logits / cap) * cap
+        else:
+            logits = x
+        return logits, new_cache, None
+
+    for i, layer in enumerate(spec.layers):
+        lp = _layer_slice(dp["layers"], i)
+        aspec = layer.self_attention
+        rot = dc.get("rotary", {}).get(str(i))
+
+        layer_bias, alibi_bias, rel_positions, pbias = layer_extras(
+            i, layer, lp)
+        if pbias is not None and position_bias is None:
+            position_bias = pbias
+
+        cache_i = _layer_slice(self_cache, i) if self_cache is not None else None
 
         layer_attention = None
 
@@ -841,7 +1106,8 @@ def decoder_forward(
                 # Merged self+cross attention (T5Gemma2,
                 # reference: src/layers/attention.cc:625-796).
                 ctx, nc = merged_attention_block(
-                    arch, aspec, lp["self_attention"], h, mem_kv[i],
+                    arch, aspec, lp["self_attention"], h,
+                    _layer_slice(mem_kv, i),
                     bias=layer_bias, memory_bias=memory_bias,
                     rot_consts=rot, offset=pos, cache=cache_i,
                     beam_size=beam_size, pre_norm=spec.pre_norm,
@@ -865,7 +1131,8 @@ def decoder_forward(
                           and i == spec.alignment_layer))
                 ctx, layer_attention = cross_attention_block(
                     arch, layer.cross_attention, lp["attention"], h,
-                    mem_kv[i], memory_bias=memory_bias, beam_size=beam_size,
+                    _layer_slice(mem_kv, i),
+                    memory_bias=memory_bias, beam_size=beam_size,
                     pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                     return_weights=want_w,
                     wrap_norm=False)
@@ -898,7 +1165,8 @@ def decoder_forward(
             x = x + a + f
         elif aspec.has_memory_kv:
             x, nc = merged_attention_block(
-                arch, aspec, lp["self_attention"], x, mem_kv[i],
+                arch, aspec, lp["self_attention"], x,
+                _layer_slice(mem_kv, i),
                 bias=layer_bias, memory_bias=memory_bias,
                 rot_consts=rot, offset=pos, cache=cache_i,
                 beam_size=beam_size, pre_norm=spec.pre_norm,
@@ -921,7 +1189,8 @@ def decoder_forward(
                           and i == spec.alignment_layer))
                 x, layer_attention = cross_attention_block(
                     arch, layer.cross_attention, lp["attention"], x,
-                    mem_kv[i], memory_bias=memory_bias, beam_size=beam_size,
+                    _layer_slice(mem_kv, i),
+                    memory_bias=memory_bias, beam_size=beam_size,
                     pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                     return_weights=want_w)
             x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm, quantize_acts)
@@ -941,6 +1210,11 @@ def decoder_forward(
 
     if alignment_pairs is not None and collected_pairs:
         attn_out = jnp.concatenate(collected_pairs, axis=1)  # [B, P, T, S]
+
+    if stacked and new_cache is not None:
+        # Keep the stacked layout across calls (rare general-path use on a
+        # stacked model, e.g. attention collection).
+        new_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *new_cache)
 
     if spec.has_output_norm:
         x = _norm(arch, dp.get("layer_norm"), x)

@@ -176,7 +176,7 @@ class Generator:
         cache = T.init_self_cache(
             model.arch, B * options.beam_size
             if options.beam_size > 1 else B,
-            capacity, dtype=model.kv_dtype)
+            capacity, dtype=model.kv_dtype, stacked=model.scan_layers)
 
         # Static prompt (reference: src/models/language_model.cc:186-215).
         if static_prompt:
@@ -186,13 +186,13 @@ class Generator:
                 sp_cache, _ = cached
             else:
                 single = T.init_self_cache(model.arch, 1, capacity,
-                                           dtype=model.kv_dtype)
+                                           dtype=model.kv_dtype,
+                                           stacked=model.scan_layers)
                 sp_cache = self._prefill([list(sp_ids)], single, 0, capacity)
                 if cache_static_prompt:
                     self._static_prompt_cache[sp_ids] = (sp_cache, capacity)
             N = B * options.beam_size if options.beam_size > 1 else B
-            cache = jax.tree.map(
-                lambda a: jnp.repeat(a, N, axis=0), sp_cache)
+            cache = T.cache_repeat_rows(sp_cache, N)
             start_step += len(sp_ids)
 
         return_prefix = options.return_prefix
@@ -205,13 +205,12 @@ class Generator:
                 # un-replicated rows then tile.
                 if options.beam_size > 1:
                     base = T.init_self_cache(model.arch, B, capacity,
-                                             dtype=model.kv_dtype)
+                                             dtype=model.kv_dtype,
+                                             stacked=model.scan_layers)
                     if static_prompt:
-                        base = jax.tree.map(
-                            lambda a: jnp.repeat(a, B, axis=0), sp_cache)
+                        base = T.cache_repeat_rows(sp_cache, B)
                     base = self._prefill(prompt_chunk, base, start_step, capacity)
-                    cache = jax.tree.map(
-                        lambda a: jnp.repeat(a, options.beam_size, axis=0), base)
+                    cache = T.cache_repeat_rows(base, options.beam_size)
                 else:
                     cache = self._prefill(prompt_chunk, cache, start_step, capacity)
                 start_step += forward_length
@@ -239,7 +238,7 @@ class Generator:
 
             dec_results = []
             for i in range(B):
-                cache_i = _jax.tree.map(lambda a: a[i:i + 1], cache)
+                cache_i = T.cache_slice_rows(cache, i, 1)
                 dec_results.append(self.engine.decode_alternatives(
                     start_ids[i], options, start_step=start_step,
                     end_ids=end_ids, cache=cache_i))

@@ -234,7 +234,8 @@ class Whisper:
                 quantize_acts=model.policy.quantize_activations)
             mem_bias = attn_ops.length_mask_bias(mem_lengths, memory.shape[1])
             cache = T.init_self_cache(model.arch, B, capacity,
-                                      dtype=model.kv_dtype)
+                                      dtype=model.kv_dtype,
+                                      stacked=model.scan_layers)
             logits, cache, _ = T.decoder_forward_jit(
                 model.arch, model.params, model.consts,
                 jnp.asarray(prompt_chunk, jnp.int32), jnp.int32(0), cache,
@@ -343,7 +344,8 @@ class Whisper:
             model.arch, model.params, memory,
             quantize_acts=model.policy.quantize_activations)
         mem_bias = attn_ops.length_mask_bias(mem_lengths, memory.shape[1])
-        cache = T.init_self_cache(model.arch, B, 16, dtype=model.kv_dtype)
+        cache = T.init_self_cache(model.arch, B, 16, dtype=model.kv_dtype,
+                                  stacked=model.scan_layers)
         logits, _, _ = T.decoder_forward_jit(
             model.arch, model.params, model.consts,
             jnp.full((B, 1), self._sot_id, jnp.int32), jnp.int32(0),

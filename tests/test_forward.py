@@ -113,5 +113,52 @@ def test_prefill_matches_stepwise(tiny_model_path):
             jnp.int32(pos), cache2, mem_kv, mem_bias, quantize_acts=False)
 
     assert jnp.allclose(logits1[:, -1], last[:, 0], atol=1e-4)
-    for l in range(len(cache1)):
-        assert jnp.allclose(cache1[l]["k"], cache2[l]["k"], atol=1e-4)
+    import jax as _jax
+
+    _jax.tree.map(
+        lambda a, b: None if bool(jnp.allclose(a, b, atol=1e-4))
+        else (_ for _ in ()).throw(AssertionError("cache mismatch")),
+        cache1, cache2)
+
+
+def test_scan_layers_equivalence(tmp_path):
+    """Stacked (lax.scan) and per-layer-loop decoder params produce the
+    same logits and generations."""
+    import numpy as np
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+    from ctranslate2_tpu.models.loader import load_model as _lm
+
+    model_dir = build_decoder_only_model(
+        str(tmp_path / "scan_eq"), vocab_size=32, num_layers=3, num_heads=4,
+        d_model=32, d_ff=64, rotary_dim=0, glu=True, rms_norm=True,
+        activation="swish", num_heads_kv=2)
+    m_scan = _lm(model_dir, compute_type="float32", stack_layers=True)
+    m_loop = _lm(model_dir, compute_type="float32", stack_layers=False,
+                 fuse_qkv=False)
+    assert m_scan.scan_layers
+    assert not m_loop.scan_layers
+
+    ids = jnp.asarray([[4, 9, 17, 23]], jnp.int32)
+    lengths = jnp.full((1,), 4, jnp.int32)
+    kwargs = dict(lengths=lengths, quantize_acts=False,
+                  out_dtype=jnp.float32)
+    la, _, _ = T.decoder_forward_jit(
+        m_scan.arch, m_scan.params, m_scan.consts, ids, jnp.int32(0),
+        None, None, None, **kwargs)
+    lb, _, _ = T.decoder_forward_jit(
+        m_loop.arch, m_loop.params, m_loop.consts, ids, jnp.int32(0),
+        None, None, None, **kwargs)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-4, atol=1e-4)
+
+    # Cached stepwise equivalence through the stacked cache.
+    cache = T.init_self_cache(m_scan.arch, 1, 16, stacked=True)
+    outs = []
+    for t in range(4):
+        lg, cache, _ = T.decoder_forward_jit(
+            m_scan.arch, m_scan.params, m_scan.consts, ids[:, t:t + 1],
+            jnp.int32(t), cache, None, None,
+            quantize_acts=False, out_dtype=jnp.float32)
+        outs.append(np.asarray(lg[:, 0]))
+    np.testing.assert_allclose(np.stack(outs, 1), np.asarray(la),
+                               rtol=1e-4, atol=1e-4)
