@@ -233,9 +233,34 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
             new_scores = jnp.take_along_axis(ts, order, axis=1)
             new_origins = jnp.take_along_axis(origins, order, axis=1)
 
-            rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
-                    + new_origins).reshape(N)
-            cache = T.cache_gather_rows(cache, rows)
+            import os as _os
+            if _os.environ.get("CT2TPU_BEAM_REORDER", "gather") == "onehot":
+                # Beam reorder as a batched one-hot contraction: one
+                # full-bandwidth read+write of the cache on the MXU instead
+                # of XLA's gather + staging-copy chain (profiled ~3x the
+                # traffic on v5e).
+                onehot = jax.nn.one_hot(new_origins, K, dtype=jnp.bfloat16)
+
+                def reorder(a):
+                    ar = a.reshape(B, K, -1)
+                    if a.dtype == jnp.bfloat16:
+                        out = jnp.einsum("bkj,bjm->bkm", onehot, ar)
+                    else:
+                        out = jnp.einsum(
+                            "bkj,bjm->bkm", onehot.astype(jnp.float32),
+                            ar.astype(jnp.float32)).astype(a.dtype)
+                    return out.reshape(a.shape)
+
+                if T.cache_is_stacked(cache):
+                    cache = {k: jnp.moveaxis(
+                        reorder(jnp.moveaxis(v, 1, 0)), 0, 1)
+                        for k, v in cache.items()}
+                else:
+                    cache = jax.tree.map(reorder, cache)
+            else:
+                rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
+                        + new_origins).reshape(N)
+                cache = T.cache_gather_rows(cache, rows)
             alive = jnp.take_along_axis(
                 alive, new_origins[:, :, None], axis=1)
             alive = jax.lax.dynamic_update_slice(
