@@ -364,3 +364,32 @@ class Generator:
         if return_log_probs:
             return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return logits
+
+    # Model residency parity (see Translator.unload_model).
+
+    @property
+    def model_is_loaded(self) -> bool:
+        return getattr(self, "_unloaded_params", None) is None
+
+    def unload_model(self, to_cpu: bool = True):
+        import jax
+
+        if not self.model_is_loaded:
+            return
+        cpu = jax.devices("cpu")[0]
+        self._unloaded_params = (
+            jax.device_put(self.model.params, cpu) if to_cpu else True)
+        self.model.params = None
+        self.engine._loop_fns.clear()
+        self.engine._step_fns.clear()
+
+    def load_model(self):
+        import jax
+
+        if self.model_is_loaded:
+            return
+        if self._unloaded_params is True:
+            raise RuntimeError("Model was unloaded without keeping a host copy")
+        self.model.params = jax.device_put(
+            self._unloaded_params, jax.devices()[0])
+        self._unloaded_params = None

@@ -227,3 +227,12 @@ def test_score_file(translator, tmp_path):
     assert len(lines) == 2
     assert "|||" in lines[0]
     float(lines[0].split("|||")[0])  # parseable mean score
+
+
+def test_unload_reload(translator):
+    ref = translator.translate_batch([SRC1])[0].hypotheses[0]
+    translator.unload_model(to_cpu=True)
+    assert not translator.model_is_loaded
+    translator.load_model()
+    assert translator.model_is_loaded
+    assert translator.translate_batch([SRC1])[0].hypotheses[0] == ref
