@@ -678,11 +678,21 @@ def _cache_axes(cache):
 
 
 def cache_gather_rows(cache, rows):
-    """Reorder/select cache batch rows (beam reorder, batch pruning)."""
+    """Reorder/select cache batch rows (beam reorder, batch pruning).
+
+    On TPU the per-layer list layout routes through one fused Pallas pass
+    (XLA emits a gather custom-call + staging copy per array — ~3x the
+    cache bytes per beam step)."""
     if cache is None:
         return None
     if cache_is_stacked(cache):
         return {k: v[:, rows] for k, v in cache.items()}
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("CT2TPU_FUSED_REORDER", "1") != "0"):
+        from ..kernels.gather_rows import gather_rows_fused
+
+        leaves, treedef = jax.tree.flatten(cache)
+        return jax.tree.unflatten(treedef, gather_rows_fused(leaves, rows))
     return jax.tree.map(lambda a: a[rows], cache)
 
 
