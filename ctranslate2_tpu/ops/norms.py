@@ -35,3 +35,28 @@ def apply_norm(params: dict, x, epsilon: float, use_residual: bool = False):
     if "beta" in params:
         return layer_norm(x, params["gamma"], params["beta"], epsilon)
     return rms_norm(x, params["gamma"], epsilon, use_residual)
+
+
+def _use_pallas_norms() -> bool:
+    import os
+
+    import jax
+
+    return (os.environ.get("CT2TPU_PALLAS_NORMS", "0") == "1"
+            and jax.default_backend() == "tpu")
+
+
+_orig_apply_norm = apply_norm
+
+
+def apply_norm(params: dict, x, epsilon: float, use_residual: bool = False):  # noqa: F811
+    """Apply a norm given its param dict ({"gamma": ..., "beta"?: ...}).
+
+    Routes to the Pallas fused kernel (kernels/norms.py, SURVEY kernel #5)
+    when CT2TPU_PALLAS_NORMS=1; XLA's own fusion is the measured default.
+    """
+    if _use_pallas_norms() and not use_residual and x.shape[-1] % 128 == 0:
+        from ..kernels.norms import fused_norm
+
+        return fused_norm(x, params["gamma"], params.get("beta"), eps=epsilon)
+    return _orig_apply_norm(params, x, epsilon, use_residual)

@@ -204,3 +204,27 @@ def test_decode_attention_int8_sliding_window():
         p /= p.sum()
         ref[0, h, 0] = p @ vd[0, h]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_norm_kernel():
+    import numpy as np
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels.norms import fused_norm
+    from ctranslate2_tpu.ops.norms import layer_norm, rms_norm
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, 7, 128)).astype(np.float32)
+    g = rng.standard_normal(128).astype(np.float32)
+    b = rng.standard_normal(128).astype(np.float32)
+
+    out_ln = fused_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b),
+                        eps=1e-5, interpret=True)
+    ref_ln = layer_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), 1e-5)
+    np.testing.assert_allclose(np.asarray(out_ln), np.asarray(ref_ln),
+                               rtol=1e-5, atol=1e-5)
+
+    out_rms = fused_norm(jnp.asarray(x), jnp.asarray(g), eps=1e-6,
+                         interpret=True)
+    ref_rms = rms_norm(jnp.asarray(x), jnp.asarray(g), 1e-6)
+    np.testing.assert_allclose(np.asarray(out_rms), np.asarray(ref_rms),
+                               rtol=1e-5, atol=1e-5)
