@@ -36,6 +36,13 @@ def get_random_seed() -> int:
     return _RANDOM_SEED
 
 
+def get_device_info() -> dict:
+    """Topology introspection (analog of the reference MpiInfo binding)."""
+    from .parallel.sharding import device_info
+
+    return device_info()
+
+
 def contains_model(path: str) -> bool:
     import os
 

@@ -212,3 +212,39 @@ def shard_consts(consts: dict, mesh: Mesh) -> dict:
         return leaf
 
     return jax.tree.map(place, consts)
+
+
+def initialize_distributed(coordinator_address: str = None,
+                           num_processes: int = None,
+                           process_id: int = None):
+    """Multi-host initialization (replaces the reference's MPI bootstrap,
+    reference: src/devices.cc:141-230 ScopedMPISetter): wires
+    ``jax.distributed.initialize`` so a mesh can span hosts; collectives
+    ride ICI within a slice and DCN across slices."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def device_info() -> dict:
+    """Runtime topology introspection (the analog of the reference's
+    MpiInfo binding, reference: python/cpp/mpi.cc)."""
+    import jax
+
+    return {
+        "platform": jax.default_backend(),
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_device_count": jax.local_device_count(),
+        "device_count": jax.device_count(),
+    }

@@ -95,3 +95,57 @@ def test_sharded_generation(llama_dir):
         tp = g2.generate_batch([["tok1", "tok2"]], max_length=8)
 
     assert ref[0].sequences == tp[0].sequences
+
+
+def test_ring_attention_matches_dense():
+    """Sequence-sharded ring attention == dense attention (beyond-parity
+    context parallelism, SURVEY §2.6)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ctranslate2_tpu.parallel.context import ring_attention
+    from ctranslate2_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(0)
+    B, H, T, D = 2, 4, 64, 32
+    q = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    scale = 1 / np.sqrt(D)
+
+    mesh = make_mesh(num_data=1, num_model=8)
+    out = np.asarray(ring_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mesh,
+        causal=True, scale=scale))
+
+    # dense reference
+    s = np.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    mask = np.tril(np.ones((T, T), bool))
+    s = np.where(mask[None, None], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_attention_non_causal():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ctranslate2_tpu.parallel.context import ring_attention
+    from ctranslate2_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(1)
+    B, H, T, D = 1, 2, 32, 16
+    q = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, D)).astype(np.float32)
+    mesh = make_mesh(num_data=1, num_model=8)
+    out = np.asarray(ring_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mesh,
+        causal=False, scale=0.25))
+    s = np.einsum("bhqd,bhkd->bhqk", q * 0.25, k)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
