@@ -52,6 +52,28 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
     end_ids = jnp.asarray(sig.end_ids or (0,), jnp.int32)
     has_end = bool(sig.end_ids)
 
+    # Chain-mask beam attention: instead of physically reordering every
+    # KV-cache array by beam origin each step (~3x the cache bytes in
+    # gather + staging traffic), keep the cache un-reordered and track a
+    # tiny [N, C] origin chain consumed as an attention mask
+    # (see ops/attention.py beam_chain_attention). Needs a float per-layer
+    # cache and no relative/T5 biases.
+    import os as _os
+
+    dspec = arch.decoder
+    use_chain = (
+        K > 1
+        and _os.environ.get("CT2TPU_BEAM_CHAIN", "1") != "0"
+        and init_cache is not None
+        and init_cache[2] != jnp.int8 and not init_cache[3]
+        and not any(
+            l.self_attention.has_rel_position_keys
+            or l.self_attention.has_rel_attention_bias
+            or l.self_attention.has_rel_asymmetric_keys
+            or l.self_attention.has_memory_kv
+            for l in dspec.layers)
+    )
+
     def is_end(tok):
         if not has_end:
             return jnp.zeros(tok.shape, jnp.bool_)
@@ -87,6 +109,16 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
 
         alive = jnp.zeros((B, K, L), jnp.int32)
         scores = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
+        if use_chain:
+            capacity_c = init_cache[1]
+            # Prefix slots (< start_pos) hold beam-identical prefill rows:
+            # "self" is a correct owner; future slots are -1 (invalid, which
+            # also subsumes the causal mask for single-token decode).
+            self_ids = jnp.tile(jnp.arange(K, dtype=jnp.int32), B)  # [N]
+            cpos = jnp.arange(capacity_c, dtype=jnp.int32)[None, :]
+            chain = jnp.where(cpos < start_pos, self_ids[:, None], -1)
+        else:
+            chain = None
         store_seqs = jnp.zeros((B, M, L), jnp.int32)
         store_lens = jnp.zeros((B, M), jnp.int32)
         store_scores = jnp.full((B, M), -jnp.inf, jnp.float32)
@@ -103,16 +135,25 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
             return (step < max_steps) & jnp.any(batch_active)
 
         def body(state):
-            (step, tokens, cache, alive, scores, store_seqs, store_lens,
-             store_scores, store_count, top_beam_finished, batch_active) = state
+            (step, tokens, cache, chain_st, alive, scores, store_seqs,
+             store_lens, store_scores, store_count, top_beam_finished,
+             batch_active) = state
+
+            if use_chain:
+                # The slot being written this step belongs to each row
+                # itself.
+                self_ids = jnp.tile(jnp.arange(K, dtype=jnp.int32), B)
+                chain_st = jax.lax.dynamic_update_slice(
+                    chain_st, self_ids[:, None], (0, start_pos + step))
 
             fed = token_map[tokens] if has_token_map else tokens
             logits, cache, _ = T.decoder_forward(
                 arch, params, consts, fed[:, None], start_pos + step,
                 cache, mem_kv, mem_bias,
-                beam_size=K if has_memory else 1,
+                beam_size=K,
                 quantize_acts=quantize_acts,
                 out_dtype=out_dtype,
+                beam_chain=chain_st if use_chain else None,
             )
             l = logits[:, -1].astype(jnp.float32)  # [N, V]
             V = l.shape[-1]
@@ -266,15 +307,16 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
             alive = jax.lax.dynamic_update_slice(
                 alive, new_words[:, :, None], (0, 0, step))
 
-            return (step + 1, new_words.reshape(N), cache, alive, new_scores,
-                    store_seqs, store_lens, store_scores, store_count,
-                    top_beam_finished, batch_active)
+            return (step + 1, new_words.reshape(N), cache, chain_st, alive,
+                    new_scores, store_seqs, store_lens, store_scores,
+                    store_count, top_beam_finished, batch_active)
 
-        state = (jnp.int32(0), start_tokens, cache, alive, scores,
-                 store_seqs, store_lens, store_scores, store_count,
-                 top_beam_finished, batch_active)
+        state = (jnp.int32(0), start_tokens, cache,
+                 chain if chain is not None else jnp.zeros((), jnp.int32),
+                 alive, scores, store_seqs, store_lens, store_scores,
+                 store_count, top_beam_finished, batch_active)
         state = jax.lax.while_loop(cond, body, state)
-        (_, _, _, _, _, store_seqs, store_lens, store_scores, store_count,
+        (_, _, _, _, _, _, store_seqs, store_lens, store_scores, store_count,
          _, _) = state
         # Pack everything into ONE int32 buffer so the host needs a single
         # device->host fetch: [B, M, L + 3] = seqs | len | score bits | count.

@@ -258,6 +258,9 @@ def self_attention_block(
     wrap_norm: bool = True,
     causal: bool = False,
     flash_lengths=None,  # [B] valid lengths enabling the flash kernel path
+    beam_chain=None,  # [N, C] int32 origin chain (beam loop, see
+    # attn_ops.beam_chain_attention) — replaces physical beam reordering
+    beam_chain_size: int = 1,
 ):
     """Self-attention with optional fixed-capacity KV cache.
 
@@ -305,6 +308,22 @@ def self_attention_block(
         cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
         new_cache = {"k": ck, "v": cv}
         k, v = ck, cv
+
+    if (beam_chain is not None and cache is not None
+            and "k_scale" not in cache and q.shape[2] == 1
+            and rel_positions is None and position_bias is None):
+        ctx = attn_ops.beam_chain_attention(
+            q, k, v, beam_chain,
+            beam_size=beam_chain_size,
+            queries_scale=spec.queries_scale,
+            bias=bias, alibi_bias=alibi_bias)
+        out = attn_ops.combine_heads(ctx)
+        res = residual if (wrap_norm and spec.has_layer_norm) else None
+        out = linear(ap["o"], out, residual=res,
+                     quantize_activations=quantize_acts)
+        if wrap_norm and not pre_norm and spec.has_layer_norm:
+            out = _norm(arch, ap.get("layer_norm"), out)
+        return out, new_cache
 
     if (cache is None
             and _flash_eligible(spec, q, k, alibi_bias, position_bias,
@@ -971,6 +990,7 @@ def decoder_forward(
     quantize_acts: bool = True,
     out_dtype=jnp.float32,
     return_logits: bool = True,
+    beam_chain=None,  # [N, C] int32 origin chain: beam attention by mask
 ):
     """Decoder pass covering both modes:
 
@@ -1129,7 +1149,8 @@ def decoder_forward(
                     pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                     alibi_bias=alibi_bias, rel_positions=rel_positions,
                     position_bias=position_bias, wrap_norm=False,
-                    causal=True, flash_lengths=lengths)
+                    causal=True, flash_lengths=lengths,
+                    beam_chain=beam_chain, beam_chain_size=beam_size)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch, lp["external_pre_encoder_attention_layer_norm"], x) \
@@ -1167,7 +1188,8 @@ def decoder_forward(
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias, wrap_norm=False,
-                causal=True, flash_lengths=lengths)
+                causal=True, flash_lengths=lengths,
+                beam_chain=beam_chain, beam_chain_size=beam_size)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -1190,7 +1212,8 @@ def decoder_forward(
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias,
-                causal=True, flash_lengths=lengths)
+                causal=True, flash_lengths=lengths,
+                beam_chain=beam_chain, beam_chain_size=beam_size)
             if layer.cross_attention is not None:
                 want_w = (
                     ("logits" if raw_attention else True)

@@ -197,3 +197,60 @@ def combine_heads(x):
     """[B, H, T, D] -> [B, T, H*D]"""
     B, H, T, D = x.shape
     return x.transpose(0, 2, 1, 3).reshape(B, T, H * D)
+
+
+def beam_chain_attention(
+    q,  # [N, Hq, 1, D], N = B*beam row-major
+    k,  # [N, Hkv, C, D] (never physically reordered)
+    v,  # [N, Hkv, C, D]
+    chain,  # [N, C] int32: slot j's owning beam within the group, or -1
+    *,
+    beam_size: int,
+    queries_scale: float = 1.0,
+    bias=None,  # additive, broadcastable over slots [.., 1, C]
+    alibi_bias=None,  # [Hq, 1, C]
+):
+    """Beam attention without physical cache reordering.
+
+    Instead of gathering KV rows by beam origin every step (3x the cache
+    bytes in staging traffic), each query attends over its WHOLE beam
+    group's cache [beam*C slots] with an additive mask selecting, per
+    slot, the one physical beam recorded in the origin chain. The chain is
+    a [N, C] int32 array updated with tiny gathers; unwritten slots are -1,
+    which also subsumes the causal mask for single-token decode.
+    """
+    N, Hq, Tq, D = q.shape
+    Hkv, C = k.shape[1], k.shape[2]
+    K = beam_size
+    B = N // K
+    group = Hq // Hkv
+
+    qg = q.reshape(B, K, Hkv, group, Tq, D)
+    kg = k.reshape(B, K, Hkv, C, D)
+    vg = v.reshape(B, K, Hkv, C, D)
+
+    logits = jnp.einsum(
+        "bkhgqd,bphcd->bkhgqpc", qg, kg,
+        preferred_element_type=jnp.float32) * queries_scale
+
+    # Chain mask: slot (p, c) visible to beam k iff chain[b, k, c] == p.
+    ch = chain.reshape(B, K, C)
+    valid = ch[:, :, None, :] == jnp.arange(K, dtype=chain.dtype)[None, None, :, None]
+    mask = jnp.where(valid, 0.0, -1e30)  # [B, K, K, C]
+    logits = logits + mask[:, :, None, None, None, :, :]
+
+    if bias is not None:
+        b4 = bias.astype(jnp.float32)
+        # broadcastable over slots: [.., Tq, C] -> add over the p axis
+        logits = logits + b4.reshape(
+            (1,) * 4 + (Tq, 1, C) if b4.ndim <= 4 else b4.shape)
+    if alibi_bias is not None:
+        ab = alibi_bias.astype(jnp.float32).reshape(1, 1, Hkv, group, Tq, 1, C)
+        logits = logits + ab
+
+    flat = logits.reshape(B, K, Hkv, group, Tq, K * C)
+    weights = jax.nn.softmax(flat, axis=-1).reshape(logits.shape)
+    out = jnp.einsum(
+        "bkhgqpc,bphcd->bkhgqd", weights.astype(v.dtype), vg,
+        preferred_element_type=jnp.float32)
+    return out.reshape(N, Hq, Tq, D).astype(q.dtype)

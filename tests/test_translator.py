@@ -236,3 +236,27 @@ def test_unload_reload(translator):
     translator.load_model()
     assert translator.model_is_loaded
     assert translator.translate_batch([SRC1])[0].hypotheses[0] == ref
+
+
+def test_beam_chain_equals_gather(tmp_path, monkeypatch):
+    """Chain-mask beam attention (no physical cache reorder) must produce
+    exactly the gather implementation's hypotheses and scores."""
+    import numpy as np
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    d = build_seq2seq_model(str(tmp_path / "chain"), seed=3)
+
+    def run():
+        t = Translator(d)
+        r = t.translate_batch([["tok5", "tok6", "tok7"], ["tok9"]],
+                              beam_size=4, max_decoding_length=10,
+                              num_hypotheses=2, return_scores=True)
+        return ([h for x in r for h in x.hypotheses],
+                [s for x in r for s in x.scores])
+
+    monkeypatch.setenv("CT2TPU_BEAM_CHAIN", "0")
+    hyp_a, sc_a = run()
+    monkeypatch.setenv("CT2TPU_BEAM_CHAIN", "1")
+    hyp_b, sc_b = run()
+    assert hyp_a == hyp_b
+    assert np.allclose(sc_a, sc_b, atol=1e-4)
