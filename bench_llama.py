@@ -1,0 +1,144 @@
+"""Llama-8B-geometry INT8 decode benchmark on one chip.
+
+BASELINE.json's north star compares tokens/sec/chip against CTranslate2
+INT8 on an A100 for Llama-3-8B. This benchmark measures this engine's
+decode throughput on the real Llama-3-8B geometry (32 layers, d=4096,
+32q/8kv heads, ffn=14336, vocab=128256) with INT8 weights fabricated
+directly in quantized form (no float intermediates), running the
+whole-generation greedy loop.
+
+Prints ONE JSON line. Tune with LLAMA_BATCH / LLAMA_PREFILL / LLAMA_DECODE /
+LLAMA_LAYERS (reduce layers for a quick smoke run).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("LLAMA_BATCH", "4"))
+PREFILL = int(os.environ.get("LLAMA_PREFILL", "128"))
+DECODE = int(os.environ.get("LLAMA_DECODE", "256"))
+LAYERS = int(os.environ.get("LLAMA_LAYERS", "32"))
+D_MODEL = int(os.environ.get("LLAMA_D_MODEL", "4096"))
+D_FF = int(os.environ.get("LLAMA_FF", "14336"))
+VOCAB = int(os.environ.get("LLAMA_VOCAB", "128256"))
+HEADS, HEADS_KV = 32, 8
+SCAN = os.environ.get("CT2TPU_SCAN_LAYERS", "")
+
+
+def build_llama_int8_modelfile():
+    """Fabricate the geometry directly as int8 payloads + scales."""
+    from ctranslate2_tpu.formats.model_file import ModelFile, make_variable
+
+    rng = np.random.default_rng(0)
+    mf = ModelFile(spec_name="TransformerDecoderSpec", spec_revision=8,
+                   binary_version=6)
+    mf.config = {"unk_token": "<unk>", "bos_token": "<s>",
+                 "eos_token": "</s>", "layer_norm_epsilon": 1e-5}
+
+    def add(name, value, dtype=None):
+        mf.variables[name] = make_variable(name, value, dtype)
+
+    def lin(scope, out_dim, in_dim, seed):
+        r = np.random.default_rng(seed)
+        add(f"{scope}/weight",
+            r.integers(-127, 128, (out_dim, in_dim), dtype=np.int8),
+            "int8")
+        add(f"{scope}/weight_scale",
+            np.full((out_dim,), 127.0 / 0.05, np.float32))
+
+    sc = "decoder"
+    add(f"{sc}/num_heads", HEADS, "int16")
+    add(f"{sc}/pre_norm", 1, "int8")
+    add(f"{sc}/activation", 2, "int8")  # swish
+    add(f"{sc}/scale_embeddings", 0, "int8")
+    head_dim = D_MODEL // HEADS
+
+    add(f"{sc}/embeddings/weight",
+        rng.integers(-127, 128, (VOCAB, D_MODEL), dtype=np.int8), "int8")
+    add(f"{sc}/embeddings/weight_scale",
+        np.full((VOCAB,), 127.0 / 0.05, np.float32))
+    add(f"{sc}/layer_norm/gamma", np.ones(D_MODEL, np.float32))
+    lin(f"{sc}/projection", VOCAB, D_MODEL, 1)
+
+    for i in range(LAYERS):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        qkv_out = HEADS * head_dim + 2 * HEADS_KV * head_dim
+        lin(f"{asc}/linear_0", qkv_out, D_MODEL, 10 + i)
+        lin(f"{asc}/linear_1", D_MODEL, HEADS * head_dim, 1000 + i)
+        add(f"{asc}/layer_norm/gamma", np.ones(D_MODEL, np.float32))
+        add(f"{asc}/num_heads_kv", HEADS_KV, "int32")
+        add(f"{asc}/rotary_dim", 0, "int32")
+        add(f"{asc}/rotary_interleave", 0, "int8")
+        add(f"{asc}/rotary_base", 500000.0, "float32")
+        lin(f"{ls}/ffn/linear_0", D_FF, D_MODEL, 2000 + i)
+        lin(f"{ls}/ffn/linear_0_noact", D_FF, D_MODEL, 3000 + i)
+        lin(f"{ls}/ffn/linear_1", D_MODEL, D_FF, 4000 + i)
+        add(f"{ls}/ffn/layer_norm/gamma", np.ones(D_MODEL, np.float32))
+    return mf
+
+
+def main():
+    import jax.numpy as jnp
+
+    from ctranslate2_tpu.decoding.engine import DecodingEngine
+    from ctranslate2_tpu.decoding.options import DecodingOptions
+    from ctranslate2_tpu.models.loader import load_model
+    from ctranslate2_tpu.models import transformer as T
+
+    t0 = time.perf_counter()
+    mf = build_llama_int8_modelfile()
+    print(f"# fabricated int8 weights in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    model = load_model(mf, compute_type="int8", max_positions=2048)
+    engine = DecodingEngine(model)
+    print(f"# loaded to device in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(7)
+    capacity = ((PREFILL + DECODE + 64) // 64) * 64
+    prompts = rng.integers(10, VOCAB - 10, (BATCH, PREFILL)).tolist()
+
+    def run():
+        # Prefill the prompt then run the whole-generation greedy loop.
+        cache = T.init_self_cache(model.arch, BATCH, capacity,
+                                  dtype=model.kv_dtype,
+                                  stacked=model.scan_layers)
+        ids = jnp.asarray([p[:-1] for p in prompts], jnp.int32)
+        _, cache, _ = T.decoder_forward_jit(
+            model.arch, model.params, model.consts, ids,
+            jnp.int32(0), cache, None, None,
+            quantize_acts=model.policy.quantize_activations,
+            out_dtype=model.out_dtype, return_logits=False)
+        opts = DecodingOptions(max_length=DECODE, min_length=DECODE,
+                               beam_size=1)
+        return engine.decode(
+            [p[-1] for p in prompts], opts, cache=cache,
+            start_step=PREFILL - 1, end_ids=(2,), capacity=capacity)
+
+    t0 = time.perf_counter()
+    run()
+    compile_s = time.perf_counter() - t0
+    print(f"# first call (compile) {compile_s:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    results = run()
+    elapsed = time.perf_counter() - t0
+    total = sum(len(r.hypotheses[0]) for r in results)
+    print(json.dumps({
+        "metric": "llama8b_int8_decode_tokens_per_sec",
+        "value": round(total / elapsed, 1),
+        "unit": "tokens/s/chip",
+        "batch": BATCH,
+        "prefill": PREFILL,
+        "decode": DECODE,
+        "layers": LAYERS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,7 +153,12 @@ def load_model(
     fuse_qkv: Optional[bool] = None,
     stack_layers: Optional[bool] = None,
 ) -> LoadedModel:
-    mf = load_model_file(path)
+    if isinstance(path, ModelFile):
+        # In-memory artifacts (benchmarks, tests).
+        mf = path
+        path = ""
+    else:
+        mf = load_model_file(path)
     _apply_v1_mapping(mf)
     _legacy_config(mf)
     arch = extract_arch(mf)
@@ -185,13 +190,13 @@ def load_model(
             eos_token=mf.config.get("eos_token", "</s>"),
         )
 
-    shared = Vocabulary.load(path, "shared_vocabulary", info)
+    shared = Vocabulary.load(path, "shared_vocabulary", info) if path else None
     source_vocabularies = []
     target_vocabulary = None
     if shared is not None:
         source_vocabularies = [shared]
         target_vocabulary = shared
-    else:
+    elif path:
         target_vocabulary = Vocabulary.load(path, "target_vocabulary", info)
         source = Vocabulary.load(path, "source_vocabulary", info)
         if source is not None:
@@ -209,7 +214,8 @@ def load_model(
             # "vocabulary".
             target_vocabulary = Vocabulary.load(path, "vocabulary", info)
 
-    vmap = os.path.join(path, "vmap.txt")
+    vmap = os.path.join(path, "vmap.txt") if path else ""
+
 
     return LoadedModel(
         mf=mf,

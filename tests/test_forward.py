@@ -162,3 +162,42 @@ def test_scan_layers_equivalence(tmp_path):
         outs.append(np.asarray(lg[:, 0]))
     np.testing.assert_allclose(np.stack(outs, 1), np.asarray(la),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_beam_chain_attention_op():
+    """beam_chain_attention == per-beam attention over gathered histories."""
+    import numpy as np
+    from ctranslate2_tpu.ops import attention as A
+
+    rng = np.random.default_rng(0)
+    B, K, Hq, Hkv, C, D = 2, 2, 4, 2, 8, 16
+    N = B * K
+    q = rng.standard_normal((N, Hq, 1, D)).astype(np.float32)
+    k = rng.standard_normal((N, Hkv, C, D)).astype(np.float32)
+    v = rng.standard_normal((N, Hkv, C, D)).astype(np.float32)
+    pos = 5  # slots 0..5 written
+    # random origin chains within each group; future slots invalid
+    chain = np.full((N, C), -1, np.int32)
+    for n in range(N):
+        chain[n, : pos + 1] = rng.integers(0, K, pos + 1)
+
+    out = np.asarray(A.beam_chain_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(chain),
+        beam_size=K, queries_scale=0.3))
+
+    # reference: materialize each logical beam's history then plain attention
+    g = Hq // Hkv
+    ref = np.zeros_like(out)
+    for b in range(B):
+        for kk in range(K):
+            n = b * K + kk
+            hist_k = np.stack([k[b * K + chain[n, j]][:, j]
+                               for j in range(pos + 1)], axis=1)
+            hist_v = np.stack([v[b * K + chain[n, j]][:, j]
+                               for j in range(pos + 1)], axis=1)
+            for h in range(Hq):
+                s = (q[n, h, 0] * 0.3) @ hist_k[h // g].T
+                p = np.exp(s - s.max())
+                p /= p.sum()
+                ref[n, h, 0] = p @ hist_v[h // g]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
