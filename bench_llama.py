@@ -25,7 +25,7 @@ D_MODEL = int(os.environ.get("LLAMA_D_MODEL", "4096"))
 D_FF = int(os.environ.get("LLAMA_FF", "14336"))
 VOCAB = int(os.environ.get("LLAMA_VOCAB", "128256"))
 HEADS, HEADS_KV = 32, 8
-SCAN = os.environ.get("CT2TPU_SCAN_LAYERS", "")
+QUANT = os.environ.get("LLAMA_QUANT", "int8")  # int8 | w4
 
 
 def build_llama_int8_modelfile():
@@ -37,17 +37,33 @@ def build_llama_int8_modelfile():
                    binary_version=6)
     mf.config = {"unk_token": "<unk>", "bos_token": "<s>",
                  "eos_token": "</s>", "layer_norm_epsilon": 1e-5}
+    if QUANT == "w4":
+        mf.config.update({"quantization_type": 1, "quantization_bits": 4,
+                          "quantization_group_size": 128})
 
     def add(name, value, dtype=None):
         mf.variables[name] = make_variable(name, value, dtype)
 
     def lin(scope, out_dim, in_dim, seed):
         r = np.random.default_rng(seed)
-        add(f"{scope}/weight",
-            r.integers(-127, 128, (out_dim, in_dim), dtype=np.int8),
-            "int8")
-        add(f"{scope}/weight_scale",
-            np.full((out_dim,), 127.0 / 0.05, np.float32))
+        if QUANT == "w4":
+            # AWQ on-disk layout: int32-packed nibbles [in, out/8]
+            # (values are random; only the memory/throughput shape matters).
+            G = 128
+            add(f"{scope}/weight",
+                r.integers(-2**31, 2**31 - 1, (in_dim, out_dim // 8),
+                           dtype=np.int64).astype(np.int32), "int32")
+            add(f"{scope}/weight_scale",
+                np.full((in_dim // G, out_dim), 0.01, np.float32))
+            add(f"{scope}/weight_zero",
+                np.full((in_dim // G, out_dim // 8), 0x77777777, np.int32),
+                "int32")
+        else:
+            add(f"{scope}/weight",
+                r.integers(-127, 128, (out_dim, in_dim), dtype=np.int8),
+                "int8")
+            add(f"{scope}/weight_scale",
+                np.full((out_dim,), 127.0 / 0.05, np.float32))
 
     sc = "decoder"
     add(f"{sc}/num_heads", HEADS, "int16")
@@ -130,13 +146,14 @@ def main():
     elapsed = time.perf_counter() - t0
     total = sum(len(r.hypotheses[0]) for r in results)
     print(json.dumps({
-        "metric": "llama8b_int8_decode_tokens_per_sec",
+        "metric": f"llama8b_{QUANT}_decode_tokens_per_sec",
         "value": round(total / elapsed, 1),
         "unit": "tokens/s/chip",
         "batch": BATCH,
         "prefill": PREFILL,
         "decode": DECODE,
         "layers": LAYERS,
+        "quant": QUANT,
     }))
 
 

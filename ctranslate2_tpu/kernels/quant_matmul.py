@@ -210,3 +210,109 @@ def matmul_w8a8(
 def w8a8_supported(q_shape, wq_shape) -> bool:
     K, N = wq_shape
     return K % 128 == 0 and N % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# Packed W4A16: TRUE 4-bit payload (two nibbles per byte, half-split rows).
+# ---------------------------------------------------------------------------
+
+
+def _w4p_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *,
+                group: int, groups_per_step: int, k_half_groups: int):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[:].astype(jnp.int32)
+    lo = (packed & 0xF).astype(jnp.float32)          # rows [0, K/2)
+    hi = ((packed >> 4) & 0xF).astype(jnp.float32)   # rows [K/2, K)
+
+    x_lo = x_lo_ref[:].astype(jnp.float32)
+    x_hi = x_hi_ref[:].astype(jnp.float32)
+
+    acc = acc_ref[:]
+    for gi in range(groups_per_step):  # static unroll
+        sl = slice(gi * group, (gi + 1) * group)
+        g_lo = k * groups_per_step + gi
+        g_hi = k_half_groups + g_lo
+        for x_g, w_g, g_idx in ((x_lo[:, sl], lo[sl], g_lo),
+                                (x_hi[:, sl], hi[sl], g_hi)):
+            part = jax.lax.dot_general(
+                x_g, w_g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s_ref[pl.ds(g_idx, 1), :].astype(jnp.float32)
+            zs = zs_ref[pl.ds(g_idx, 1), :].astype(jnp.float32)
+            xsum = jnp.sum(x_g, axis=1, keepdims=True)  # [M, 1]
+            # w = q * s - z*s  (zero-point GEMM identity).
+            acc = acc + part * s - xsum * zs
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def matmul_w4p(
+    x,  # [M, K] float
+    w4p,  # [K/2, N] int8: low nibbles rows [0,K/2), high rows [K/2,K)
+    g_scale,  # [K/G, N] f32
+    g_zs,  # [K/G, N] f32 (zero * scale)
+    *,
+    block_m: int = 256,
+    block_n: int = 1024,
+    block_k: int = 1024,  # packed rows per step
+    interpret: bool = False,
+):
+    """True-4-bit matmul: HBM reads half a byte per weight."""
+    M, K = x.shape
+    K2, N = w4p.shape
+    G = K // g_scale.shape[0]
+    k_half_groups = (K // 2) // G
+
+    x, true_m = _pad_rows(x, min(block_m, 8))
+    block_m = min(block_m, x.shape[0])
+    block_n = min(block_n, N)
+    block_k = max(G, min(block_k - block_k % G, K2))
+    while K2 % block_k:
+        block_k -= G
+    groups_per_step = block_k // G
+    Mp = x.shape[0]
+
+    grid = (pl.cdiv(Mp, block_m), pl.cdiv(N, block_n), K2 // block_k)
+    half = K // 2
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4p_kernel, group=G, groups_per_step=groups_per_step,
+            k_half_groups=k_half_groups),
+        grid=grid,
+        in_specs=[
+            # x columns for the lo and hi halves of this k-step.
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_m, block_k),
+                         lambda i, j, k, o=half // block_k: (i, k + o)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((K // G, block_n), lambda i, j, k: (0, j)),
+            pl.BlockSpec((K // G, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, x, w4p, g_scale, g_zs)
+    return out[:true_m]
+
+
+def w4p_supported(x_shape, w4p_shape, g_scale_shape) -> bool:
+    K = x_shape[-1]
+    K2, N = w4p_shape
+    if K != 2 * K2 or g_scale_shape[0] == 0 or K % g_scale_shape[0]:
+        return False
+    G = K // g_scale_shape[0]
+    return (G % 128 == 0 and N % 128 == 0 and (K // 2) % G == 0)

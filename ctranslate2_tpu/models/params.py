@@ -94,13 +94,27 @@ class ParamsBuilder:
             # AWQ 4-bit group quantization (reference:
             # python/ctranslate2/converters/transformers.py:237-248;
             # layouts: src/ops/awq/*). Kept quantized regardless of the
-            # requested compute type, as in the reference.
-            from ..ops.awq import AWQ_GEMM, build_awq_linear
+            # requested compute type, as in the reference. On TPU the
+            # payload stays truly 4-bit (two nibbles per byte, see
+            # ops/awq.py build_awq_linear_packed); CT2TPU_W4_PACKED
+            # overrides.
+            import os
+
+            import jax
+
+            from ..ops.awq import (AWQ_GEMM, build_awq_linear,
+                                   build_awq_linear_packed)
 
             quant_type = int(self.mf.config.get("quantization_type", AWQ_GEMM))
-            out = build_awq_linear(
-                var.array, scale.as_float32(), zero.array, quant_type
-            )
+            packed_env = os.environ.get("CT2TPU_W4_PACKED")
+            use_packed = (packed_env == "1" if packed_env is not None
+                          else jax.default_backend() == "tpu")
+            if use_packed and var.shape[0] % 2 == 0:
+                out = build_awq_linear_packed(
+                    var.array, scale.as_float32(), zero.array, quant_type)
+            else:
+                out = build_awq_linear(
+                    var.array, scale.as_float32(), zero.array, quant_type)
             out = {k: jnp.asarray(v) for k, v in out.items()}
         elif var.dtype_name in ("int8", "int16"):
             if self.policy.weight_dtype == "int8" and var.dtype_name == "int8":
@@ -180,7 +194,7 @@ class ParamsBuilder:
         """
         outs = []
         offset = 0
-        w_key = "w4" if "w4" in lin else ("wq" if "wq" in lin else "w")
+        w_key = next(k for k in ("w4p", "w4", "wq", "w") if k in lin)
         for size in sizes:
             part = {w_key: lin[w_key][:, offset:offset + size]}
             if "scale" in lin:
@@ -188,6 +202,8 @@ class ParamsBuilder:
                 part["scale"] = s[offset:offset + size] if s.ndim else s
             if "g_scale" in lin:
                 part["g_scale"] = lin["g_scale"][:, offset:offset + size]
+            if "g_zs" in lin:
+                part["g_zs"] = lin["g_zs"][:, offset:offset + size]
             if "b" in lin:
                 part["b"] = lin["b"][offset:offset + size]
             outs.append(part)

@@ -177,3 +177,43 @@ def quantize_awq(
             pack_awq_gemv(zt),
         )
     raise ValueError(f"unknown AWQ quantization type: {quant_type}")
+
+
+def build_awq_linear_packed(
+    qweight: np.ndarray,
+    scales: np.ndarray,
+    qzeros: np.ndarray,
+    quant_type: int = AWQ_GEMM,
+):
+    """Load-time conversion to the TRUE 4-bit runtime layout.
+
+    The in-dim is split in half and two 4-bit values pack into one byte:
+    low nibbles hold rows [0, K/2), high nibbles rows [K/2, K) — so a
+    kernel can unpack with two cheap bitwise ops and run two half-dots
+    without any row interleaving. Zero points fold into a per-group
+    correction ``zs = z * s`` applied as ``- rowsum(x_g) * zs[g]`` (the
+    standard zero-point GEMM identity), so the payload stays unsigned
+    4-bit.
+
+    Returns {"w4p": uint8 [K/2, N], "g_scale": f32 [K/G, N],
+    "g_zs": f32 [K/G, N]}.
+    """
+    w4, zeros, s = unpack_to_in_out(qweight, scales, qzeros, quant_type)
+    K, N = w4.shape
+    if K % 2:
+        raise ValueError("packed W4 needs an even in-dim")
+    lo = w4[: K // 2].astype(np.uint8)
+    hi = w4[K // 2:].astype(np.uint8)
+    return {
+        "w4p": (lo | (hi << 4)).astype(np.uint8).view(np.int8),
+        "g_scale": s.astype(np.float32),
+        "g_zs": (zeros.astype(np.float32) * s).astype(np.float32),
+    }
+
+
+def unpack_w4p(w4p: np.ndarray):
+    """[K/2, N] packed -> [K, N] uint8 values (host/XLA fallback)."""
+    u = w4p.view(np.uint8) if isinstance(w4p, np.ndarray) else w4p
+    lo = u & 0x0F
+    hi = (u >> 4) & 0x0F
+    return np.concatenate([lo, hi], axis=0)

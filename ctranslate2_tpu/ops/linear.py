@@ -79,7 +79,39 @@ def linear(
     out_dtype = x.dtype
     bias = params.get("b")
 
-    if "w4" in params:
+    if "w4p" in params:
+        # TRUE 4-bit AWQ payload: nibbles unpack in the Pallas kernel
+        # (half a byte of HBM per weight); the XLA fallback unpacks with
+        # shifts (correct everywhere, used on CPU / unsupported shapes).
+        w4p = params["w4p"]
+        gs = params["g_scale"]
+        gzs = params["g_zs"]
+        K2, N = w4p.shape
+        K = 2 * K2
+        lead = x.shape[:-1]
+        num_rows = 1
+        for d in lead:
+            num_rows *= d
+        from ..kernels.quant_matmul import matmul_w4p, w4p_supported
+
+        if _use_pallas_qmm(num_rows) and w4p_supported(
+            (num_rows, K), w4p.shape, gs.shape
+        ):
+            y = matmul_w4p(x.reshape(num_rows, K), w4p, gs, gzs)
+            y = y.reshape(lead + (N,))
+        else:
+            u = w4p.astype(jnp.int32) & 0xFF
+            q4 = jnp.concatenate([u & 0xF, (u >> 4) & 0xF], axis=0)
+            n_groups = gs.shape[0]
+            G = K // n_groups
+            w = (
+                q4.astype(jnp.float32).reshape(n_groups, G, N) * gs[:, None, :]
+                - jnp.repeat(gzs, G, axis=0).reshape(n_groups, G, N)
+            ).reshape(K, N)
+            y = jnp.dot(
+                x.astype(jnp.float32), w, preferred_element_type=jnp.float32
+            )
+    elif "w4" in params:
         # AWQ W4A16: group-dequant the (q - z) payload and run a float
         # matmul (reference dequant identity: src/ops/awq/dequantize_gpu.cu
         # sub + fma per nibble). XLA fuses the dequant into the dot's
@@ -154,7 +186,10 @@ def linear(
 
 
 def _weight(params: dict):
-    return params.get("w", params.get("wq", params.get("w4")))
+    for k in ("w", "wq", "w4", "w4p"):
+        if k in params:
+            return params[k]
+    raise KeyError("no weight in linear params")
 
 
 def output_size(params: dict) -> int:
@@ -162,4 +197,5 @@ def output_size(params: dict) -> int:
 
 
 def input_size(params: dict) -> int:
-    return _weight(params).shape[0]
+    n = _weight(params).shape[0]
+    return 2 * n if "w4p" in params else n
