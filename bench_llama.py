@@ -130,8 +130,11 @@ def main():
             jnp.int32(0), cache, None, None,
             quantize_acts=model.policy.quantize_activations,
             out_dtype=model.out_dtype, return_logits=False)
-        opts = DecodingOptions(max_length=DECODE, min_length=DECODE,
-                               beam_size=1)
+        sampling = int(os.environ.get("LLAMA_SAMPLING", "0"))
+        opts = DecodingOptions(
+            max_length=DECODE, min_length=DECODE, beam_size=1,
+            sampling_topk=40 if sampling else 1,
+            sampling_temperature=0.8 if sampling else 1.0)
         return engine.decode(
             [p[-1] for p in prompts], opts, cache=cache,
             start_step=PREFILL - 1, end_ids=(2,), capacity=capacity)

@@ -173,10 +173,16 @@ class Generator:
             static_len + max_prompt + options.max_length + 1, 64)
         model.ensure_consts(capacity)
 
-        cache = T.init_self_cache(
-            model.arch, B * options.beam_size
-            if options.beam_size > 1 else B,
-            capacity, dtype=model.kv_dtype, stacked=model.scan_layers)
+        # When nothing is prefilled the cache initializes INSIDE the
+        # jitted decode loop (no host upload; enables the chain-mask beam
+        # attention fast path).
+        cache = None
+
+        def ensure_cache():
+            return T.init_self_cache(
+                model.arch, B * options.beam_size
+                if options.beam_size > 1 else B,
+                capacity, dtype=model.kv_dtype, stacked=model.scan_layers)
 
         # Static prompt (reference: src/models/language_model.cc:186-215).
         if static_prompt:
@@ -212,7 +218,8 @@ class Generator:
                     base = self._prefill(prompt_chunk, base, start_step, capacity)
                     cache = T.cache_repeat_rows(base, options.beam_size)
                 else:
-                    cache = self._prefill(prompt_chunk, cache, start_step, capacity)
+                    cache = self._prefill(prompt_chunk, cache or ensure_cache(),
+                                          start_step, capacity)
                 start_step += forward_length
                 return_prefix = False
 
