@@ -41,22 +41,25 @@ def quantize_kv(x):
 
 def _decode_kernel(
     lengths_ref,  # scalar prefetch: [B] int32 valid KV lengths
-    q_ref,  # [1, G, D]  (query heads of this kv group)
-    k_ref,  # [1, BC, D] int8
-    ks_ref,  # [1, 1, BC] f32
-    v_ref,  # [1, BC, D] int8
-    vs_ref,  # [1, 1, BC] f32
-    o_ref,  # [1, G, D]
-    m_ref,  # [G, 1] f32
-    l_ref,  # [G, 1] f32
-    acc_ref,  # [G, D] f32
+    q_ref,  # [1, Hkv, G, D]  (all query heads of this batch row)
+    k_ref,  # [1, Hkv, BC, D] int8
+    ks_ref,  # [1, Hkv, 1, BC] f32
+    v_ref,  # [1, Hkv, BC, D] int8
+    vs_ref,  # [1, Hkv, 1, BC] f32
+    o_ref,  # [1, Hkv, G, D]
+    m_ref,  # [Hkv, G, 1] f32
+    l_ref,  # [Hkv, G, 1] f32
+    acc_ref,  # [Hkv, G, D] f32
     *,
     scale: float,
     block_c: int,
     num_kv_heads: int,
     window: int,
 ):
-    bh = pl.program_id(0)
+    # Grid = (batch rows, cache blocks): each step DMAs ALL kv heads' K/V
+    # for one row, keeping transfers large (a per-(row, head) grid moves
+    # tens of KB per step and is DMA-latency-bound).
+    b = pl.program_id(0)
     cj = pl.program_id(1)
     nc = pl.num_programs(1)
 
@@ -66,7 +69,6 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b = bh // num_kv_heads
     length = lengths_ref[b]
     c_start = cj * block_c
 
@@ -76,33 +78,34 @@ def _decode_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32) * scale  # [G, D]
-        k = k_ref[0].astype(jnp.float32)  # [BC, D] int8 values
-        # scores = (q . k8) / k_scale — exact rescaling because the scale
-        # is constant along the contraction (per cached vector).
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [G, BC]
-        s = s / ks_ref[0]
-
         pos = c_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_c), 1)
         mask = pos < length
         if window > 0:
             mask = mask & (pos >= length - window)
-        s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)  # [G, BC]
-        corr = jnp.exp(m_prev - m_new)  # [G, 1]
+        for h in range(num_kv_heads):  # static unroll over kv heads
+            q = q_ref[0, h].astype(jnp.float32) * scale  # [G, D]
+            k = k_ref[0, h].astype(jnp.float32)  # [BC, D]
+            # scores = (q . k8) / k_scale — exact rescaling (one scale per
+            # cached vector, constant along the contraction).
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, BC]
+            s = s / ks_ref[0, h]
+            s = jnp.where(mask, s, NEG_INF)
 
-        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        pv = p / vs_ref[0]  # fold the V dequant scale into the weights
-        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-            pv, v_ref[0].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:] = m_new
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+
+            l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = p / vs_ref[0, h]  # fold the V dequant scale into the weights
+            acc_ref[h] = acc_ref[h] * corr + jax.lax.dot_general(
+                pv, v_ref[0, h].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[h] = m_new
 
     @pl.when(cj == nc - 1)
     def _done():
@@ -136,7 +139,11 @@ def decode_attention_int8(
         v8 = jnp.pad(v8, ((0, 0), (0, 0), (0, 0), (0, pad)))
         D += pad
 
-    block_c = min(block_c, C)
+    # Keep the per-step K+V blocks (all kv heads) within ~2MB of VMEM so
+    # double buffering fits the 16MB scoped limit.
+    vmem_budget = 2 * 1024 * 1024
+    cap = max(128, (vmem_budget // (Hkv * D * 2)) // 128 * 128)
+    block_c = min(block_c, C, cap)
     nc = pl.cdiv(C, block_c)
     if C % block_c:
         pad_c = nc * block_c - C
@@ -148,28 +155,31 @@ def decode_attention_int8(
                           constant_values=1.0)
         C = nc * block_c
 
-    # Group queries by kv head: [B*Hkv, group, D].
-    qr = q.reshape(B, Hkv, group, D).reshape(B * Hkv, group, D)
-    kr = k8.reshape(B * Hkv, C, D)
-    vr = v8.reshape(B * Hkv, C, D)
-    ksr = k_scale.reshape(B * Hkv, 1, C)
-    vsr = v_scale.reshape(B * Hkv, 1, C)
+    # Group queries by kv head: [B, Hkv, group, D].
+    qr = q.reshape(B, Hkv, group, D)
+    ksr = k_scale.reshape(B, Hkv, 1, C)
+    vsr = v_scale.reshape(B, Hkv, 1, C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * Hkv, nc),
+        grid=(B, nc),
         in_specs=[
-            pl.BlockSpec((1, group, D), lambda bh, cj, lens: (bh, 0, 0)),
-            pl.BlockSpec((1, block_c, D), lambda bh, cj, lens: (bh, cj, 0)),
-            pl.BlockSpec((1, 1, block_c), lambda bh, cj, lens: (bh, 0, cj)),
-            pl.BlockSpec((1, block_c, D), lambda bh, cj, lens: (bh, cj, 0)),
-            pl.BlockSpec((1, 1, block_c), lambda bh, cj, lens: (bh, 0, cj)),
+            pl.BlockSpec((1, Hkv, group, D), lambda b, cj, lens: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, block_c, D),
+                         lambda b, cj, lens: (b, 0, cj, 0)),
+            pl.BlockSpec((1, Hkv, 1, block_c),
+                         lambda b, cj, lens: (b, 0, 0, cj)),
+            pl.BlockSpec((1, Hkv, block_c, D),
+                         lambda b, cj, lens: (b, 0, cj, 0)),
+            pl.BlockSpec((1, Hkv, 1, block_c),
+                         lambda b, cj, lens: (b, 0, 0, cj)),
         ],
-        out_specs=pl.BlockSpec((1, group, D), lambda bh, cj, lens: (bh, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, group, D),
+                               lambda b, cj, lens: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.VMEM((Hkv, group, 1), jnp.float32),
+            pltpu.VMEM((Hkv, group, 1), jnp.float32),
+            pltpu.VMEM((Hkv, group, D), jnp.float32),
         ],
     )
 
@@ -182,11 +192,11 @@ def decode_attention_int8(
             window=window,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * Hkv, group, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), jnp.float32),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), qr, kr, ksr, vr, vsr)
+    )(lengths.astype(jnp.int32), qr, k8, ksr, v8, vsr)
 
-    out = out.reshape(B, Hkv, group, D).reshape(B, Hq, 1, D)
+    out = out.reshape(B, Hq, 1, D)
     if out_d != D:
         out = out[..., :out_d]
     return out
