@@ -139,13 +139,8 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
              store_lens, store_scores, store_count, top_beam_finished,
              batch_active) = state
 
-            if use_chain:
-                # The slot being written this step belongs to each row
-                # itself.
-                self_ids = jnp.tile(jnp.arange(K, dtype=jnp.int32), B)
-                chain_st = jax.lax.dynamic_update_slice(
-                    chain_st, self_ids[:, None], (0, start_pos + step))
-
+            # (With the fresh-token chain attention the current slot stays
+            # -1 during the forward; its owner is recorded at selection.)
             fed = token_map[tokens] if has_token_map else tokens
             logits, cache, _ = T.decoder_forward(
                 arch, params, consts, fed[:, None], start_pos + step,
@@ -298,6 +293,14 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
                         for k, v in cache.items()}
                 else:
                     cache = jax.tree.map(reorder, cache)
+            elif use_chain:
+                rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
+                        + new_origins).reshape(N)
+                chain_st = chain_st[rows]
+                # Record who wrote slot `step`: the origin beam's row.
+                chain_st = jax.lax.dynamic_update_slice(
+                    chain_st, new_origins.reshape(N, 1).astype(jnp.int32),
+                    (0, start_pos + step))
             else:
                 rows = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
                         + new_origins).reshape(N)

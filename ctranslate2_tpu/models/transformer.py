@@ -304,19 +304,67 @@ def self_attention_block(
         # masked-attention path.
         k, v = _dequantize_cache(new_cache, q.dtype)
     elif cache is not None:
-        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0))
-        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
-        new_cache = {"k": ck, "v": cv}
-        k, v = ck, cv
+        if (q.shape[2] == 1 and beam_chain is None
+                and rel_positions is None and position_bias is None
+                and flash_lengths is None):
+            # Decode fast path: attend over [pre-update cache | fresh
+            # token] so the appends below are the LAST writers of the
+            # carried cache buffers (in-place under XLA's while-loop buffer
+            # assignment; appending first forces a staging copy of every
+            # cache array per step).
+            ctx = attn_ops.decode_step_attention(
+                q, cache["k"], cache["v"], k.astype(cache["k"].dtype),
+                v.astype(cache["v"].dtype), offset,
+                queries_scale=spec.queries_scale,
+                bias=bias, alibi_bias=alibi_bias)
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0)),
+            }
+            out = attn_ops.combine_heads(ctx)
+            res = residual if (wrap_norm and spec.has_layer_norm) else None
+            out = linear(ap["o"], out, residual=res,
+                         quantize_activations=quantize_acts)
+            if wrap_norm and not pre_norm and spec.has_layer_norm:
+                out = _norm(arch, ap.get("layer_norm"), out)
+            return out, new_cache
+        use_chain_attn = (beam_chain is not None and q.shape[2] == 1
+                          and rel_positions is None
+                          and position_bias is None)
+        if not use_chain_attn:
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
+            new_cache = {"k": ck, "v": cv}
+            k, v = ck, cv
 
-    if (beam_chain is not None and cache is not None
-            and "k_scale" not in cache and q.shape[2] == 1
+    if (cache is not None and "k_scale" not in cache
+            and beam_chain is not None and q.shape[2] == 1
             and rel_positions is None and position_bias is None):
+        # Chain attention over the PRE-append cache + the fresh token, so
+        # the appends below are the carried buffers' last writers (in-place
+        # under XLA; see decode_step_attention).
+        fresh_bias = None
+        if alibi_bias is not None:
+            fresh_bias = jax.lax.dynamic_slice_in_dim(
+                alibi_bias.astype(jnp.float32), offset, 1, axis=-1
+            ).reshape(1, 1, spec.num_heads_kv,
+                      spec.num_heads // spec.num_heads_kv, 1)
         ctx = attn_ops.beam_chain_attention(
-            q, k, v, beam_chain,
+            q, cache["k"], cache["v"], beam_chain,
             beam_size=beam_chain_size,
             queries_scale=spec.queries_scale,
-            bias=bias, alibi_bias=alibi_bias)
+            bias=bias, alibi_bias=alibi_bias,
+            k_new=k.astype(cache["k"].dtype),
+            v_new=v.astype(cache["v"].dtype),
+            fresh_bias=fresh_bias)
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0)),
+        }
         out = attn_ops.combine_heads(ctx)
         res = residual if (wrap_norm and spec.has_layer_norm) else None
         out = linear(ap["o"], out, residual=res,

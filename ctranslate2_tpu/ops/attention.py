@@ -209,6 +209,9 @@ def beam_chain_attention(
     queries_scale: float = 1.0,
     bias=None,  # additive, broadcastable over slots [.., 1, C]
     alibi_bias=None,  # [Hq, 1, C]
+    k_new=None,  # [N, Hkv, 1, D]: this step's fresh key (pre-append)
+    v_new=None,
+    fresh_bias=None,  # scalar/[Hq] additive for the fresh token
 ):
     """Beam attention without physical cache reordering.
 
@@ -249,8 +252,83 @@ def beam_chain_attention(
         logits = logits + ab
 
     flat = logits.reshape(B, K, Hkv, group, Tq, K * C)
-    weights = jax.nn.softmax(flat, axis=-1).reshape(logits.shape)
+    if k_new is not None:
+        # Fresh token attends through its own row (kept out of the cache so
+        # the append can be the loop body's last writer).
+        lf = jnp.einsum(
+            "bkhgqd,bkhd->bkhgq", qg, k_new.reshape(B, K, Hkv, D),
+            preferred_element_type=jnp.float32) * queries_scale
+        if fresh_bias is not None:
+            lf = lf + fresh_bias
+        flat = jnp.concatenate([flat, lf[..., None]], axis=-1)
+    weights = jax.nn.softmax(flat, axis=-1)
+    wc = weights[..., :K * C].reshape(
+        B, K, Hkv, group, Tq, K, C)
     out = jnp.einsum(
-        "bkhgqpc,bphcd->bkhgqd", weights.astype(v.dtype), vg,
+        "bkhgqpc,bphcd->bkhgqd", wc.astype(v.dtype), vg,
         preferred_element_type=jnp.float32)
+    if k_new is not None:
+        out = out + jnp.einsum(
+            "bkhgq,bkhd->bkhgqd", weights[..., K * C].astype(v.dtype),
+            v_new.reshape(B, K, Hkv, D),
+            preferred_element_type=jnp.float32)
     return out.reshape(N, Hq, Tq, D).astype(q.dtype)
+
+
+def decode_step_attention(
+    q,  # [B, Hq, 1, D]
+    k_pre,  # [B, Hkv, C, D] cache BEFORE this step's append
+    v_pre,
+    k_new,  # [B, Hkv, 1, D] this step's key/value
+    v_new,
+    pos,  # traced scalar: slot the fresh token occupies
+    *,
+    queries_scale: float = 1.0,
+    bias=None,  # additive over cache slots, broadcastable [.., 1, C]
+    alibi_bias=None,  # [Hq, 1, C]
+):
+    """Single-token decode attention over [pre-update cache | fresh token].
+
+    Mathematically identical to appending first and attending over the
+    updated cache, but lets the cache ``dynamic_update_slice`` be the LAST
+    op touching the carried buffers in a decode loop — XLA then updates
+    in place instead of staging a full copy of every cache array per step.
+    Slot ``pos`` of the pre-cache (stale data) is masked out explicitly.
+    """
+    B, Hq, Tq, D = q.shape
+    Hkv, C = k_pre.shape[1], k_pre.shape[2]
+    group = Hq // Hkv
+
+    qg = q.reshape(B, Hkv, group, Tq, D)
+    lc = jnp.einsum("bhgqd,bhcd->bhgqc", qg, k_pre,
+                    preferred_element_type=jnp.float32) * queries_scale
+    lf = jnp.einsum("bhgqd,bhd->bhgq", qg, k_new[:, :, 0],
+                    preferred_element_type=jnp.float32) * queries_scale
+
+    # Exclude the stale slot `pos` from the cache part (the fresh token is
+    # attended through lf).
+    excl = jnp.where(jnp.arange(C) == pos, -1e30, 0.0)
+    lc = lc + excl
+    if bias is not None:
+        b = bias.astype(jnp.float32)
+        if b.ndim == 3:
+            b = b.reshape(1, Hkv, group, *b.shape[1:])
+        elif b.ndim == 4:
+            b = b[:, :, None] if b.shape[1] == 1 else b.reshape(
+                B, Hkv, group, *b.shape[2:])
+        lc = lc + b
+    if alibi_bias is not None:
+        ab = alibi_bias.astype(jnp.float32).reshape(1, Hkv, group, Tq, C)
+        lc = lc + ab
+        lf = lf + jax.lax.dynamic_slice_in_dim(
+            alibi_bias.astype(jnp.float32), pos, 1, axis=-1
+        ).reshape(1, Hkv, group, Tq)
+
+    full = jnp.concatenate([lc, lf[..., None]], axis=-1)  # [..., C+1]
+    w = jax.nn.softmax(full, axis=-1)
+    ctx = jnp.einsum("bhgqc,bhcd->bhgqd", w[..., :C].astype(v_pre.dtype),
+                     v_pre, preferred_element_type=jnp.float32)
+    ctx = ctx + jnp.einsum(
+        "bhgq,bhd->bhgqd", w[..., C].astype(v_new.dtype), v_new[:, :, 0],
+        preferred_element_type=jnp.float32)
+    return ctx.reshape(B, Hq, Tq, D).astype(q.dtype)
