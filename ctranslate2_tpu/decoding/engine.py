@@ -161,7 +161,7 @@ class DecodingEngine:
                 B = N // sig.beam_size
                 flat = total.reshape(B, sig.beam_size * V)
                 topk_scores, topk_ids = small_top_k(flat, sig.num_candidates)
-                return topk_ids, topk_scores, cache, attn, log_probs
+                return topk_ids, topk_scores, cache, attn, log_probs, l
             else:
                 ids, s = sample_tokens(
                     log_probs, key,
@@ -170,7 +170,7 @@ class DecodingEngine:
                     temperature=sig.sampling_temperature,
                     greedy=sig.greedy_sampler,
                 )
-                return ids, s, cache, attn, log_probs
+                return ids, s, cache, attn, log_probs, l
 
         return jax.jit(step)
 
@@ -301,6 +301,10 @@ class DecodingEngine:
             [result.attention[i] for i in order]
             if return_attention and result.attention else []
         )
+        result.logits = (
+            [result.logits[i] for i in order if i < len(result.logits)]
+            if result.logits else []
+        )
         return result
 
     # ------------------------------------------------------------------
@@ -389,7 +393,7 @@ class DecodingEngine:
 
             gen_len = jnp.int32(step)
             fed = tokens if token_map is None else np.asarray(token_map)[tokens]
-            topk_ids_d, topk_scores_d, cache, attn_d, _ = step_fn(
+            topk_ids_d, topk_scores_d, cache, attn_d, _, l_d = step_fn(
                 params, model.consts, jnp.asarray(fed),
                 jnp.int32(start_step + step), cache, mem_kv, mem_bias,
                 jnp.asarray(scores), jnp.asarray(disable_end_np),
@@ -407,6 +411,8 @@ class DecodingEngine:
             attn_step = None
             if attn_d is not None:
                 attn_step = np.asarray(attn_d, np.float32)  # [N, 1, S]
+            logits_step = (np.asarray(l_d, np.float32)
+                           if options.return_logits_vocab else None)
 
             # Hard prefix override (reference: src/decoding.cc:21-67).
             if use_hard_prefix:
@@ -454,6 +460,11 @@ class DecodingEngine:
                             full_attn = attn_history[row] + [attn_step[row, 0]]
                             result.attention.append(
                                 [a.tolist() for a in full_attn[start:end]])
+                        if logits_step is not None:
+                            # Reference beam search keeps only the step that
+                            # finished the hypothesis
+                            # (src/decoding.cc:633-635).
+                            result.logits.append([logits_step[row].copy()])
                         # Promote a secondary candidate.
                         for j in range(secondary, K2):
                             if int(words[i, j]) not in end_set:
@@ -597,7 +608,7 @@ class DecodingEngine:
         tok = jnp.asarray(to_orig([start_tokens[-1]]), dtype=jnp.int32)
         disable_end = np.asarray(
             [pos - start_step < options.min_length])
-        _, _, cache, _, log_probs = step_fn(
+        _, _, cache, _, log_probs, _ = step_fn(
             params, model.consts, tok, jnp.int32(pos), cache,
             mem_kv, mem_bias, jnp.zeros(1, jnp.float32),
             jnp.asarray(disable_end), None, jnp.int32(0), None,
@@ -895,7 +906,8 @@ class DecodingEngine:
         # Fast path: whole-generation on-device loop (one dispatch) when no
         # per-step host interaction is needed.
         if (step_callback is None and not sig.return_attention
-                and options.coverage_penalty == 0):
+                and options.coverage_penalty == 0
+                and not options.return_logits_vocab):
             return self._greedy_device_loop(
                 start_ids, options, sig, end_ids, mem_kv, mem_bias, cache,
                 start_step, prefix_ids, max_step, B0, replicas, params,
@@ -948,7 +960,7 @@ class DecodingEngine:
 
             key, subkey = jax.random.split(key)
             fed = tokens if token_map is None else np.asarray(token_map)[tokens]
-            ids_d, scores_d, cache, attn_d, _ = step_fn(
+            ids_d, scores_d, cache, attn_d, _, l_d = step_fn(
                 params, model.consts, jnp.asarray(fed),
                 jnp.int32(start_step + step), cache, mem_kv, mem_bias,
                 jnp.zeros(N, jnp.float32), jnp.asarray(disable_end_np),
@@ -957,6 +969,8 @@ class DecodingEngine:
             ids = np.array(ids_d, np.int32)
             step_scores = np.array(scores_d, np.float32)
             attn_step = np.asarray(attn_d, np.float32) if attn_d is not None else None
+            logits_step = (np.asarray(l_d, np.float32)
+                           if options.return_logits_vocab else None)
 
             # Hard prefix forcing.
             if prefix_ids is not None:
@@ -972,6 +986,12 @@ class DecodingEngine:
                 word = int(ids[i])
                 plen = prefix_lengths[i]
                 result = results[i]
+                if logits_step is not None:
+                    # Greedy search stores every decoded step's vocab logits
+                    # (reference: src/decoding.cc:905-908).
+                    if not result.logits:
+                        result.logits.append([])
+                    result.logits[0].append(logits_step[i].copy())
                 if ((word not in end_set or options.return_end_token)
                         and (options.return_prefix or step >= plen)):
                     result.hypotheses[0].append(word)
@@ -1019,12 +1039,15 @@ class DecodingEngine:
                 m.scores.append(r.scores[0])
                 if options.return_attention:
                     m.attention.append(r.attention[0])
+                if options.return_logits_vocab and r.logits:
+                    m.logits.append(r.logits[0])
             for m in merged:
                 order = sorted(range(len(m.scores)), key=lambda i: -m.scores[i])
                 m.hypotheses = [m.hypotheses[i] for i in order]
                 m.scores = [m.scores[i] for i in order] if options.return_scores else []
                 m.attention = ([m.attention[i] for i in order]
                                if options.return_attention else [])
+                m.logits = ([m.logits[i] for i in order] if m.logits else [])
             return merged
 
         if not options.return_scores:

@@ -46,16 +46,18 @@ def _decode_kernel(
     ks_ref,  # [1, Hkv, 1, BC] f32
     v_ref,  # [1, Hkv, BC, D] int8
     vs_ref,  # [1, Hkv, 1, BC] f32
-    o_ref,  # [1, Hkv, G, D]
-    m_ref,  # [Hkv, G, 1] f32
-    l_ref,  # [Hkv, G, 1] f32
-    acc_ref,  # [Hkv, G, D] f32
-    *,
+    *rest,  # [fresh refs: kn, kns, vn, vns] + o_ref + scratch (m, l, acc)
     scale: float,
     block_c: int,
     num_kv_heads: int,
     window: int,
+    has_fresh: bool = False,
 ):
+    if has_fresh:
+        # kn_ref/vn_ref: [1, Hkv, 1, D] int8; kns_ref/vns_ref: [1, Hkv, 1, 1]
+        kn_ref, kns_ref, vn_ref, vns_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     # Grid = (batch rows, cache blocks): each step DMAs ALL kv heads' K/V
     # for one row, keeping transfers large (a per-(row, head) grid moves
     # tens of KB per step and is DMA-latency-bound).
@@ -109,6 +111,23 @@ def _decode_kernel(
 
     @pl.when(cj == nc - 1)
     def _done():
+        if has_fresh:
+            # Merge this step's fresh K/V (kept out of the cache so the
+            # cache append can be the decode loop body's LAST writer and
+            # run in place) into the online softmax as a 1-key block.
+            for h in range(num_kv_heads):
+                q = q_ref[0, h].astype(jnp.float32) * scale  # [G, D]
+                kn = kn_ref[0, h, 0].astype(jnp.float32)  # [D]
+                lf = jnp.sum(q * kn[None, :], axis=-1, keepdims=True)
+                lf = lf / kns_ref[0, h, 0, 0]  # [G, 1]
+                m_prev = m_ref[h]
+                m_new = jnp.maximum(m_prev, lf)
+                p = jnp.exp(lf - m_new)
+                corr = jnp.exp(m_prev - m_new)
+                l_ref[h] = l_ref[h] * corr + p
+                vn = vn_ref[0, h, 0].astype(jnp.float32)  # [D]
+                acc_ref[h] = acc_ref[h] * corr + (
+                    p / vns_ref[0, h, 0, 0]) * vn[None, :]
         denom = jnp.maximum(l_ref[:], 1e-20)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
@@ -121,15 +140,33 @@ def decode_attention_int8(
     v_scale,  # [B, Hkv, C] f32
     lengths,  # [B] int32 valid cache lengths
     *,
+    k_new8=None,  # [B, Hkv, 1, D] int8: this step's key (NOT yet in cache)
+    kn_scale=None,  # [B, Hkv, 1] f32
+    v_new8=None,
+    vn_scale=None,
     scale: float = 1.0,
     window: int = 0,
     block_c: int = 2048,
     interpret: bool = False,
 ):
-    """Single-step attention over the int8 cache; returns [B, Hq, 1, D]."""
+    """Single-step attention over the int8 cache; returns [B, Hq, 1, D].
+
+    When ``k_new8``/``v_new8`` are given, ``lengths`` are PRE-append
+    lengths and the fresh token is merged in-kernel, so the caller can
+    append to the cache AFTER attention (in-place carry update).
+    """
     B, Hq, Tq, D = q.shape
     Hkv, C = k8.shape[1], k8.shape[2]
     group = Hq // Hkv
+    has_fresh = k_new8 is not None
+    if has_fresh and window > 0:
+        # ``window`` is in post-append terms (fresh token counts as one of
+        # the window keys); the cache part therefore shows window-1 keys.
+        if window == 1:
+            lengths = jnp.zeros_like(lengths)  # fresh token only
+            window = 0
+        else:
+            window -= 1
 
     out_d = D
     if D % 128:
@@ -137,6 +174,9 @@ def decode_attention_int8(
         q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad)))
         k8 = jnp.pad(k8, ((0, 0), (0, 0), (0, 0), (0, pad)))
         v8 = jnp.pad(v8, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        if has_fresh:
+            k_new8 = jnp.pad(k_new8, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            v_new8 = jnp.pad(v_new8, ((0, 0), (0, 0), (0, 0), (0, pad)))
         D += pad
 
     # Keep the per-step K+V blocks (all kv heads) within ~2MB of VMEM so
@@ -160,20 +200,34 @@ def decode_attention_int8(
     ksr = k_scale.reshape(B, Hkv, 1, C)
     vsr = v_scale.reshape(B, Hkv, 1, C)
 
+    in_specs = [
+        pl.BlockSpec((1, Hkv, group, D), lambda b, cj, lens: (b, 0, 0, 0)),
+        pl.BlockSpec((1, Hkv, block_c, D),
+                     lambda b, cj, lens: (b, 0, cj, 0)),
+        pl.BlockSpec((1, Hkv, 1, block_c),
+                     lambda b, cj, lens: (b, 0, 0, cj)),
+        pl.BlockSpec((1, Hkv, block_c, D),
+                     lambda b, cj, lens: (b, 0, cj, 0)),
+        pl.BlockSpec((1, Hkv, 1, block_c),
+                     lambda b, cj, lens: (b, 0, 0, cj)),
+    ]
+    operands = [lengths.astype(jnp.int32), qr, k8, ksr, v8, vsr]
+    if has_fresh:
+        in_specs += [
+            pl.BlockSpec((1, Hkv, 1, D), lambda b, cj, lens: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, 1, 1), lambda b, cj, lens: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, 1, D), lambda b, cj, lens: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, 1, 1), lambda b, cj, lens: (b, 0, 0, 0)),
+        ]
+        operands += [
+            k_new8, kn_scale.reshape(B, Hkv, 1, 1).astype(jnp.float32),
+            v_new8, vn_scale.reshape(B, Hkv, 1, 1).astype(jnp.float32),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nc),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, group, D), lambda b, cj, lens: (b, 0, 0, 0)),
-            pl.BlockSpec((1, Hkv, block_c, D),
-                         lambda b, cj, lens: (b, 0, cj, 0)),
-            pl.BlockSpec((1, Hkv, 1, block_c),
-                         lambda b, cj, lens: (b, 0, 0, cj)),
-            pl.BlockSpec((1, Hkv, block_c, D),
-                         lambda b, cj, lens: (b, 0, cj, 0)),
-            pl.BlockSpec((1, Hkv, 1, block_c),
-                         lambda b, cj, lens: (b, 0, 0, cj)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, group, D),
                                lambda b, cj, lens: (b, 0, 0, 0)),
         scratch_shapes=[
@@ -190,11 +244,12 @@ def decode_attention_int8(
             block_c=block_c,
             num_kv_heads=Hkv,
             window=window,
+            has_fresh=has_fresh,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), jnp.float32),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), qr, k8, ksr, v8, vsr)
+    )(*operands)
 
     out = out.reshape(B, Hq, 1, D)
     if out_d != D:

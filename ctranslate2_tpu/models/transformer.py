@@ -279,20 +279,31 @@ def self_attention_block(
     new_cache = None
     if cache is not None and "k_scale" in cache:
         # INT8 KV cache (SURVEY kernel #4).
-        new_cache = _update_int8_cache(cache, k, v, offset)
         T = q.shape[2]
         extra_free = (alibi_bias is None and position_bias is None
                       and rel_positions is None)
-        if T == 1 and extra_free and jax.default_backend() == "tpu" \
+        if T == 1 and extra_free and spec.sliding_window != 1 \
+                and jax.default_backend() == "tpu" \
                 and int(os.environ.get("CT2TPU_DECODE_KERNEL", "1")):
-            from ..kernels.decode_attention import decode_attention_int8
+            from ..kernels.decode_attention import (
+                decode_attention_int8,
+                quantize_kv,
+            )
 
-            kv_lengths = jnp.full((q.shape[0],), offset + T, jnp.int32)
+            # Fresh-token ordering: attend over [pre-update cache | fresh
+            # K/V] so the cache appends below are the loop body's LAST
+            # writers (in-place while-carry update instead of a staging
+            # copy of every int8 cache array per step).
+            k8, ks = quantize_kv(k)
+            v8, vs = quantize_kv(v)
+            kv_lengths = jnp.full((q.shape[0],), offset, jnp.int32)
             ctx = decode_attention_int8(
-                q, new_cache["k"], new_cache["k_scale"][:, :, 0, :],
-                new_cache["v"], new_cache["v_scale"][:, :, 0, :],
-                kv_lengths, scale=spec.queries_scale,
+                q, cache["k"], cache["k_scale"][:, :, 0, :],
+                cache["v"], cache["v_scale"][:, :, 0, :],
+                kv_lengths, k_new8=k8, kn_scale=ks,
+                v_new8=v8, vn_scale=vs, scale=spec.queries_scale,
                 window=spec.sliding_window)
+            new_cache = _append_int8_cache(cache, k8, ks, v8, vs, offset)
             out = attn_ops.combine_heads(ctx.astype(x.dtype))
             res = residual if (wrap_norm and spec.has_layer_norm) else None
             out = linear(ap["o"], out, residual=res,
@@ -302,6 +313,7 @@ def self_attention_block(
             return out, new_cache
         # Prefill / CPU fallback: dequantize the whole cache for the XLA
         # masked-attention path.
+        new_cache = _update_int8_cache(cache, k, v, offset)
         k, v = _dequantize_cache(new_cache, q.dtype)
     elif cache is not None:
         if (q.shape[2] == 1 and beam_chain is None
@@ -866,6 +878,10 @@ def _update_int8_cache(cache: dict, k, v, offset):
 
     k8, ks = quantize_kv(k)
     v8, vs = quantize_kv(v)
+    return _append_int8_cache(cache, k8, ks, v8, vs, offset)
+
+
+def _append_int8_cache(cache: dict, k8, ks, v8, vs, offset):
     return {
         "k": jax.lax.dynamic_update_slice(cache["k"], k8, (0, 0, offset, 0)),
         "v": jax.lax.dynamic_update_slice(cache["v"], v8, (0, 0, offset, 0)),

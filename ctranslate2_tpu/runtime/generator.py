@@ -76,6 +76,7 @@ class Generator:
         sampling_topp: float = 1.0,
         sampling_temperature: float = 1.0,
         return_scores: bool = False,
+        return_logits_vocab: bool = False,
         return_alternatives: bool = False,
         min_alternative_expansion_prob: float = 0.0,
         static_prompt: Optional[Sequence[str]] = None,
@@ -110,6 +111,7 @@ class Generator:
             sampling_temperature=sampling_temperature,
             num_hypotheses=num_hypotheses,
             return_scores=return_scores,
+            return_logits_vocab=return_logits_vocab,
             return_prefix=True,
             return_alternatives=return_alternatives,
             min_alternative_expansion_prob=min_alternative_expansion_prob,
@@ -271,6 +273,7 @@ class Generator:
                 sequences=[[v.to_token(t) for t in h] for h in hyps],
                 sequences_ids=[list(h) for h in hyps],
                 scores=dr.scores,
+                logits=dr.logits if options.return_logits_vocab else [],
             ))
         return out
 

@@ -13,6 +13,11 @@ class TranslationResult:
     hypotheses: List[List[str]] = field(default_factory=list)
     scores: List[float] = field(default_factory=list)
     attention: List[List[List[float]]] = field(default_factory=list)
+    # Vocab logits per hypothesis (reference `return_logits_vocab`:
+    # python/cpp/translation_result.cc:20-21). Beam search keeps the
+    # finishing step only (reference src/decoding.cc:633-635); greedy
+    # keeps every decoded step.
+    logits: List[List[object]] = field(default_factory=list)
 
     def output(self) -> List[str]:
         if not self.hypotheses:
@@ -46,6 +51,9 @@ class GenerationResult:
     sequences: List[List[str]] = field(default_factory=list)
     sequences_ids: List[List[int]] = field(default_factory=list)
     scores: List[float] = field(default_factory=list)
+    # Vocab logits per sequence (reference `return_logits_vocab`:
+    # python/cpp/generation_result.cc:52-53).
+    logits: List[List[object]] = field(default_factory=list)
 
     @property
     def num_sequences(self) -> int:

@@ -100,6 +100,7 @@ class Translator:
         min_decoding_length: int = 1,
         use_vmap: bool = False,
         return_scores: bool = False,
+        return_logits_vocab: bool = False,
         return_attention: bool = False,
         return_alternatives: bool = False,
         min_alternative_expansion_prob: float = 0.0,
@@ -145,6 +146,7 @@ class Translator:
             sampling_temperature=sampling_temperature,
             num_hypotheses=num_hypotheses,
             return_scores=return_scores,
+            return_logits_vocab=return_logits_vocab,
             return_attention=return_attention or replace_unknowns,
             return_prefix=True,
             return_alternatives=return_alternatives,
@@ -398,6 +400,7 @@ class Translator:
                 hypotheses=hyps,
                 scores=dr.scores if options.return_scores else [],
                 attention=attention if return_attention else [],
+                logits=dr.logits if options.return_logits_vocab else [],
             )
             out.append(r)
         return out

@@ -175,3 +175,21 @@ def test_int8_kv_cache(gpt_dir, monkeypatch):
     # 8-bit per-vector quantization: greedy argmax chain should match on a
     # tiny random model.
     assert out == ref
+
+
+def test_generate_return_logits_vocab(generator):
+    import numpy as np
+
+    r = generator.generate_batch([["tok3", "tok4"]], max_length=5,
+                                 include_prompt_in_result=False,
+                                 return_logits_vocab=True)[0]
+    assert len(r.logits) == 1
+    assert len(r.logits[0]) >= len(r.sequences_ids[0])
+    step0 = np.asarray(r.logits[0][0])
+    assert step0.ndim == 1 and step0.shape[0] == 32
+    # Greedy argmax chain must reproduce the generated ids.
+    plain = generator.generate_batch([["tok3", "tok4"]], max_length=5,
+                                     include_prompt_in_result=False)[0]
+    toks = [int(np.argmax(np.asarray(s)))
+            for s in r.logits[0][:len(plain.sequences_ids[0])]]
+    assert toks == plain.sequences_ids[0]

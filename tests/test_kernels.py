@@ -228,3 +228,50 @@ def test_fused_norm_kernel():
     ref_rms = rms_norm(jnp.asarray(x), jnp.asarray(g), 1e-6)
     np.testing.assert_allclose(np.asarray(out_rms), np.asarray(ref_rms),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_int8_fresh_token():
+    """Fresh-token variant == append-then-attend, incl. window and a row
+    whose pre-update cache is empty."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels.decode_attention import (
+        decode_attention_int8, quantize_kv)
+
+    rng = np.random.default_rng(2)
+    B, Hq, Hkv, C, D = 3, 4, 2, 64, 32
+    q = rng.standard_normal((B, Hq, 1, D)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, C, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, C, D)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, 1, D)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, 1, D)).astype(np.float32)
+    pre_lengths = np.array([40, 64 - 1, 0], np.int32)
+    scale = 1 / np.sqrt(D)
+
+    k8, ks = quantize_kv(jnp.asarray(k))
+    v8, vs = quantize_kv(jnp.asarray(v))
+    kn8, kns = quantize_kv(jnp.asarray(kn))
+    vn8, vns = quantize_kv(jnp.asarray(vn))
+
+    for window in (0, 16):
+        out = decode_attention_int8(
+            jnp.asarray(q), k8, ks, v8, vs, jnp.asarray(pre_lengths),
+            k_new8=kn8, kn_scale=kns, v_new8=vn8, vn_scale=vns,
+            scale=scale, window=window, block_c=32, interpret=True)
+
+        # Reference: physically append the fresh token then attend.
+        k8u, ksu, v8u, vsu = (np.asarray(a).copy() for a in (k8, ks, v8, vs))
+        for b in range(B):
+            p = pre_lengths[b]
+            k8u[b, :, p] = np.asarray(kn8)[b, :, 0]
+            ksu[b, :, p] = np.asarray(kns)[b, :, 0]
+            v8u[b, :, p] = np.asarray(vn8)[b, :, 0]
+            vsu[b, :, p] = np.asarray(vns)[b, :, 0]
+        ref = decode_attention_int8(
+            jnp.asarray(q), jnp.asarray(k8u), jnp.asarray(ksu),
+            jnp.asarray(v8u), jnp.asarray(vsu),
+            jnp.asarray(pre_lengths + 1),
+            scale=scale, window=window, block_c=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

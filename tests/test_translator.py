@@ -260,3 +260,35 @@ def test_beam_chain_equals_gather(tmp_path, monkeypatch):
     hyp_b, sc_b = run()
     assert hyp_a == hyp_b
     assert np.allclose(sc_a, sc_b, atol=1e-4)
+
+
+def test_return_logits_vocab(tiny_model_path):
+    import numpy as np
+    import ctranslate2_tpu
+
+    t = ctranslate2_tpu.Translator(tiny_model_path)
+    src = [["آ", "ت", "ز", "م", "و", "ن"]]
+
+    # Greedy: one logits vector per decoded step.
+    r = t.translate_batch(src, beam_size=1, return_logits_vocab=True)[0]
+    assert len(r.logits) == 1
+    steps = r.logits[0]
+    assert len(steps) >= len(r.hypotheses[0])  # includes the EOS step
+    v = np.asarray(steps[0])
+    assert v.ndim == 1 and v.shape[0] > 20  # full vocab
+    # The argmax of each step's logits reproduces the greedy tokens.
+    ref = t.translate_batch(src, beam_size=1)[0]
+    toks = [int(np.argmax(np.asarray(s))) for s in steps[:len(ref.hypotheses[0])]]
+    got = [t._target_vocab.to_id(x) for x in ref.hypotheses[0]]
+    assert toks == got
+
+    # Beam: finishing-step logits per hypothesis (reference semantics).
+    r = t.translate_batch(src, beam_size=4, num_hypotheses=2,
+                          return_logits_vocab=True)[0]
+    assert len(r.logits) == 2
+    assert all(len(h) == 1 for h in r.logits)
+    assert np.asarray(r.logits[0][0]).shape == v.shape
+
+    # Off by default.
+    r = t.translate_batch(src, beam_size=1)[0]
+    assert r.logits == []
