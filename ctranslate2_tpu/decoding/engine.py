@@ -1010,6 +1010,8 @@ class DecodingEngine:
                         hypothesis_id=i % replicas,
                         score=float(step_scores[i]) if options.return_scores else None,
                         is_last=finished,
+                        log_probs=(logits_step[i].copy()
+                                   if logits_step is not None else None),
                     )
                     if step_callback(sr):
                         finished = True

@@ -240,7 +240,7 @@ class Generator:
                     step=sr.step, batch_id=sr.batch_id, token_id=sr.token_id,
                     hypothesis_id=sr.hypothesis_id,
                     token=v.to_token(sr.token_id),
-                    score=sr.score, is_last=sr.is_last))
+                    score=sr.score, logits=sr.log_probs, is_last=sr.is_last))
 
         if options.return_alternatives:
             import jax as _jax

@@ -91,6 +91,9 @@ class GenerationStepResult:
     hypothesis_id: int
     token: str
     score: Optional[float] = None
+    # Full-vocab logits for this step (reference `return_logits_vocab`:
+    # generation.h:102).
+    logits: Optional[object] = None
     is_last: bool = False
 
 
