@@ -240,6 +240,11 @@ def _flash_eligible(spec: AttentionSpec, q, k, alibi_bias, position_bias,
     return q.shape[2] >= threshold and k.shape[2] >= threshold
 
 
+def _decode_chunk() -> int:
+    """Chunk size for length-adaptive decode attention (0 disables)."""
+    return int(os.environ.get("CT2TPU_DECODE_CHUNK", "128"))
+
+
 def self_attention_block(
     arch: ArchSpec,
     spec: AttentionSpec,
@@ -258,6 +263,9 @@ def self_attention_block(
     wrap_norm: bool = True,
     causal: bool = False,
     flash_lengths=None,  # [B] valid lengths enabling the flash kernel path
+    causal_only=False,  # True when ``bias`` is exactly the T==1 causal mask
+    # (no padding-length rows, no sliding window) — unlocks chunked decode
+    # attention, which reads only the written cache prefix
     beam_chain=None,  # [N, C] int32 origin chain (beam loop, see
     # attn_ops.beam_chain_attention) — replaces physical beam reordering
     beam_chain_size: int = 1,
@@ -324,11 +332,22 @@ def self_attention_block(
             # carried cache buffers (in-place under XLA's while-loop buffer
             # assignment; appending first forces a staging copy of every
             # cache array per step).
-            ctx = attn_ops.decode_step_attention(
-                q, cache["k"], cache["v"], k.astype(cache["k"].dtype),
-                v.astype(cache["v"].dtype), offset,
-                queries_scale=spec.queries_scale,
-                bias=bias, alibi_bias=alibi_bias)
+            chunk = _decode_chunk()
+            if (causal_only and alibi_bias is None and chunk
+                    and cache["k"].shape[2] >= 2 * chunk
+                    and cache["k"].shape[2] % chunk == 0):
+                # Length-adaptive cache read: the causal mask is subsumed
+                # by the valid-prefix mask, so `bias` can be dropped.
+                ctx = attn_ops.chunked_decode_attention(
+                    q, cache["k"], cache["v"], k.astype(cache["k"].dtype),
+                    v.astype(cache["v"].dtype), offset,
+                    queries_scale=spec.queries_scale, chunk=chunk)
+            else:
+                ctx = attn_ops.decode_step_attention(
+                    q, cache["k"], cache["v"], k.astype(cache["k"].dtype),
+                    v.astype(cache["v"].dtype), offset,
+                    queries_scale=spec.queries_scale,
+                    bias=bias, alibi_bias=alibi_bias)
             new_cache = {
                 "k": jax.lax.dynamic_update_slice(
                     cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0)),
@@ -363,14 +382,26 @@ def self_attention_block(
                 alibi_bias.astype(jnp.float32), offset, 1, axis=-1
             ).reshape(1, 1, spec.num_heads_kv,
                       spec.num_heads // spec.num_heads_kv, 1)
-        ctx = attn_ops.beam_chain_attention(
-            q, cache["k"], cache["v"], beam_chain,
-            beam_size=beam_chain_size,
-            queries_scale=spec.queries_scale,
-            bias=bias, alibi_bias=alibi_bias,
-            k_new=k.astype(cache["k"].dtype),
-            v_new=v.astype(cache["v"].dtype),
-            fresh_bias=fresh_bias)
+        chunk = _decode_chunk()
+        if (causal_only and alibi_bias is None and chunk
+                and cache["k"].shape[2] >= 2 * chunk
+                and cache["k"].shape[2] % chunk == 0):
+            # Unwritten slots are -1 in the chain (match no beam), so the
+            # causal `bias` is subsumed; read only the written prefix.
+            ctx = attn_ops.chunked_beam_chain_attention(
+                q, cache["k"], cache["v"], beam_chain,
+                k.astype(cache["k"].dtype), v.astype(cache["v"].dtype),
+                offset, beam_size=beam_chain_size,
+                queries_scale=spec.queries_scale, chunk=chunk)
+        else:
+            ctx = attn_ops.beam_chain_attention(
+                q, cache["k"], cache["v"], beam_chain,
+                beam_size=beam_chain_size,
+                queries_scale=spec.queries_scale,
+                bias=bias, alibi_bias=alibi_bias,
+                k_new=k.astype(cache["k"].dtype),
+                v_new=v.astype(cache["v"].dtype),
+                fresh_bias=fresh_bias)
         new_cache = {
             "k": jax.lax.dynamic_update_slice(
                 cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0)),
@@ -932,7 +963,7 @@ def precompute_memory(arch: ArchSpec, params: dict, memory, quantize_acts: bool 
 def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                          rel_positions, position_bias, rot, pos, self_cache,
                          mem_kv, memory_bias, beam_size, lengths,
-                         quantize_acts):
+                         quantize_acts, causal_only=False):
     """lax.scan over a uniform decoder layer stack.
 
     One compiled layer body serves all layers: weights, caches and memory
@@ -968,7 +999,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                     pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                     alibi_bias=alibi_bias, rel_positions=rel_positions,
                     position_bias=position_bias, wrap_norm=False,
-                    causal=True, flash_lengths=lengths)
+                    causal=True, flash_lengths=lengths,
+                    causal_only=causal_only and not aspec.sliding_window)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch,
@@ -999,7 +1031,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias, wrap_norm=False,
-                causal=True, flash_lengths=lengths)
+                causal=True, flash_lengths=lengths,
+                    causal_only=causal_only and not aspec.sliding_window)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -1021,7 +1054,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias,
-                causal=True, flash_lengths=lengths)
+                causal=True, flash_lengths=lengths,
+                    causal_only=causal_only and not aspec.sliding_window)
             if layer.cross_attention is not None:
                 x, _ = cross_attention_block(
                     arch, layer.cross_attention, lp["attention"], x,
@@ -1092,8 +1126,13 @@ def decoder_forward(
         bias = causal
         if lengths is not None:
             bias = bias + attn_ops.length_mask_bias(lengths, C)
+        # Single-token decode with no padding rows: `bias` carries no
+        # information beyond "slots >= pos are unwritten", which the
+        # chunked decode paths express via their valid-prefix mask.
+        causal_only = (T == 1 and lengths is None)
     else:
         C = T
+        causal_only = False
         bias = attn_ops.causal_mask_bias(T, T, offset=0)
         if lengths is not None:
             bias = bias + attn_ops.length_mask_bias(lengths, T)
@@ -1163,7 +1202,7 @@ def decoder_forward(
             rel_positions=rel_positions, position_bias=position_bias,
             rot=rot, pos=pos, self_cache=self_cache, mem_kv=mem_kv,
             memory_bias=memory_bias, beam_size=beam_size, lengths=lengths,
-            quantize_acts=quantize_acts)
+            quantize_acts=quantize_acts, causal_only=causal_only)
         if spec.has_output_norm:
             x = _norm(arch, dp.get("layer_norm"), x)
         if spec.has_project_out:
@@ -1214,6 +1253,7 @@ def decoder_forward(
                     alibi_bias=alibi_bias, rel_positions=rel_positions,
                     position_bias=position_bias, wrap_norm=False,
                     causal=True, flash_lengths=lengths,
+                    causal_only=causal_only and not aspec.sliding_window,
                     beam_chain=beam_chain, beam_chain_size=beam_size)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
@@ -1253,6 +1293,7 @@ def decoder_forward(
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias, wrap_norm=False,
                 causal=True, flash_lengths=lengths,
+                causal_only=causal_only and not aspec.sliding_window,
                 beam_chain=beam_chain, beam_chain_size=beam_size)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
@@ -1277,6 +1318,7 @@ def decoder_forward(
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias,
                 causal=True, flash_lengths=lengths,
+                causal_only=causal_only and not aspec.sliding_window,
                 beam_chain=beam_chain, beam_chain_size=beam_size)
             if layer.cross_attention is not None:
                 want_w = (

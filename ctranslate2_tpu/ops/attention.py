@@ -275,6 +275,74 @@ def beam_chain_attention(
     return out.reshape(N, Hq, Tq, D).astype(q.dtype)
 
 
+def chunked_beam_chain_attention(
+    q,  # [N, Hq, 1, D], N = B*beam row-major
+    k,  # [N, Hkv, C, D]
+    v,
+    chain,  # [N, C] int32 origin chain
+    k_new,  # [N, Hkv, 1, D]
+    v_new,
+    pos,  # traced scalar: number of valid cached slots
+    *,
+    beam_size: int,
+    queries_scale: float = 1.0,
+    chunk: int = 128,
+):
+    """``beam_chain_attention`` (fresh-token form) reading only the written
+    cache prefix, via an online-softmax loop over ``ceil(pos/chunk)``
+    dynamic-slice chunks (see ``chunked_decode_attention``)."""
+    N, Hq, Tq, D = q.shape
+    Hkv, C = k.shape[1], k.shape[2]
+    K = beam_size
+    B = N // K
+    group = Hq // Hkv
+
+    qg = q.reshape(B, K, Hkv, group, D)
+    kg = k.reshape(B, K, Hkv, C, D)
+    vg = v.reshape(B, K, Hkv, C, D)
+    ch = chain.reshape(B, K, C)
+
+    lf = jnp.einsum("bkhgd,bkhd->bkhg", qg, k_new.reshape(B, K, Hkv, D),
+                    preferred_element_type=jnp.float32) * queries_scale
+    m0 = lf
+    l0 = jnp.ones_like(lf)
+    acc0 = jnp.broadcast_to(
+        v_new.reshape(B, K, Hkv, 1, D).astype(jnp.float32),
+        (B, K, Hkv, group, D))
+
+    nchunks = (pos + chunk - 1) // chunk
+    beam_ids = jnp.arange(K, dtype=chain.dtype)
+
+    def body(i, carry):
+        m, l, acc = carry
+        start = i * chunk
+        kc = jax.lax.dynamic_slice(
+            kg, (0, 0, 0, start, 0), (B, K, Hkv, chunk, D))
+        vc = jax.lax.dynamic_slice(
+            vg, (0, 0, 0, start, 0), (B, K, Hkv, chunk, D))
+        chc = jax.lax.dynamic_slice(ch, (0, 0, start), (B, K, chunk))
+        s = jnp.einsum("bkhgd,bphcd->bkhgpc", qg, kc,
+                       preferred_element_type=jnp.float32) * queries_scale
+        # Slot (p, c) visible to query beam k iff chain[b, k, c] == p (an
+        # unwritten slot is -1, matching no beam).
+        valid = chc[:, :, None, :] == beam_ids[None, None, :, None]
+        s = s + jnp.where(valid, 0.0, -1e30)[:, :, None, None, :, :]
+        s = s.reshape(B, K, Hkv, group, K * chunk)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        pw = p.reshape(B, K, Hkv, group, K, chunk).astype(vc.dtype)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bkhgpc,bphcd->bkhgd", pw, vc,
+            preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    _, l, acc = jax.lax.fori_loop(0, nchunks, body, (m0, l0, acc0))
+    ctx = acc / l[..., None]
+    return ctx.reshape(N, Hq, Tq, D).astype(q.dtype)
+
+
 def decode_step_attention(
     q,  # [B, Hq, 1, D]
     k_pre,  # [B, Hkv, C, D] cache BEFORE this step's append
@@ -331,4 +399,65 @@ def decode_step_attention(
     ctx = ctx + jnp.einsum(
         "bhgq,bhd->bhgqd", w[..., C].astype(v_new.dtype), v_new[:, :, 0],
         preferred_element_type=jnp.float32)
+    return ctx.reshape(B, Hq, Tq, D).astype(q.dtype)
+
+
+def chunked_decode_attention(
+    q,  # [B, Hq, 1, D]
+    k_pre,  # [B, Hkv, C, D] cache BEFORE this step's append
+    v_pre,
+    k_new,  # [B, Hkv, 1, D]
+    v_new,
+    pos,  # traced scalar: number of valid cached slots (< pos)
+    *,
+    queries_scale: float = 1.0,
+    chunk: int = 128,
+):
+    """``decode_step_attention`` that only READS the written cache prefix.
+
+    The plain path contracts the full fixed capacity every step (masked,
+    but the HBM reads still happen). Here an online-softmax ``fori_loop``
+    with a data-dependent trip count ``ceil(pos/chunk)`` walks
+    ``dynamic_slice`` chunks, so per-step traffic scales with the actual
+    length — ~2x less cache bandwidth averaged over a generation. No
+    rel-position/ALiBi/window support; callers fall back for those.
+    """
+    B, Hq, Tq, D = q.shape
+    Hkv, C = k_pre.shape[1], k_pre.shape[2]
+    group = Hq // Hkv
+
+    qg = q.reshape(B, Hkv, group, D)
+    # Seed the accumulators with the fresh token (its logit is the running
+    # max, weight exp(0)=1).
+    lf = jnp.einsum("bhgd,bhd->bhg", qg, k_new[:, :, 0],
+                    preferred_element_type=jnp.float32) * queries_scale
+    m0 = lf  # [B, Hkv, G]
+    l0 = jnp.ones_like(lf)
+    acc0 = jnp.broadcast_to(
+        v_new[:, :, None, 0].astype(jnp.float32), (B, Hkv, group, D))
+
+    nchunks = (pos + chunk - 1) // chunk
+
+    def body(i, carry):
+        m, l, acc = carry
+        start = i * chunk
+        kc = jax.lax.dynamic_slice(
+            k_pre, (0, 0, start, 0), (B, Hkv, chunk, D))
+        vc = jax.lax.dynamic_slice(
+            v_pre, (0, 0, start, 0), (B, Hkv, chunk, D))
+        s = jnp.einsum("bhgd,bhcd->bhgc", qg, kc,
+                       preferred_element_type=jnp.float32) * queries_scale
+        valid = (start + jnp.arange(chunk)) < pos
+        s = jnp.where(valid[None, None, None, :], s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhgc,bhcd->bhgd", p.astype(vc.dtype), vc,
+            preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    _, l, acc = jax.lax.fori_loop(0, nchunks, body, (m0, l0, acc0))
+    ctx = acc / l[..., None]
     return ctx.reshape(B, Hq, Tq, D).astype(q.dtype)

@@ -201,3 +201,62 @@ def test_beam_chain_attention_op():
                 p /= p.sum()
                 ref[n, h, 0] = p @ hist_v[h // g]
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_decode_attention_matches_plain():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ctranslate2_tpu.ops import attention as attn_ops
+
+    with jax.default_matmul_precision("highest"):
+        rng = np.random.default_rng(5)
+        B, Hq, Hkv, C, D = 2, 8, 4, 96, 32
+        q = jnp.asarray(rng.standard_normal((B, Hq, 1, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((B, Hkv, C, D)), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((B, Hkv, C, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+        scale = 1 / np.sqrt(D)
+
+        for pos in (0, 1, 31, 32, 65, 95):
+            ref = attn_ops.decode_step_attention(
+                q, kc, vc, kn, vn, jnp.int32(pos), queries_scale=scale,
+                bias=attn_ops.causal_mask_bias(1, C, offset=pos))
+            out = attn_ops.chunked_decode_attention(
+                q, kc, vc, kn, vn, jnp.int32(pos), queries_scale=scale,
+                chunk=32)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_beam_chain_attention_matches_plain():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ctranslate2_tpu.ops import attention as attn_ops
+
+    with jax.default_matmul_precision("highest"):
+        rng = np.random.default_rng(6)
+        B, K, Hq, Hkv, C, D = 2, 3, 4, 2, 64, 16
+        N = B * K
+        q = jnp.asarray(rng.standard_normal((N, Hq, 1, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((N, Hkv, C, D)), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((N, Hkv, C, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((N, Hkv, 1, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((N, Hkv, 1, D)), jnp.float32)
+        scale = 1 / np.sqrt(D)
+
+        for pos in (0, 7, 16, 33, 63):
+            chain_np = np.full((N, C), -1, np.int32)
+            for r in range(N):
+                chain_np[r, :pos] = rng.integers(0, K, pos)
+            chain = jnp.asarray(chain_np)
+            ref = attn_ops.beam_chain_attention(
+                q, kc, vc, chain, beam_size=K, queries_scale=scale,
+                k_new=kn, v_new=vn)
+            out = attn_ops.chunked_beam_chain_attention(
+                q, kc, vc, chain, kn, vn, jnp.int32(pos), beam_size=K,
+                queries_scale=scale, chunk=16)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
