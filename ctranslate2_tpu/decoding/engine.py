@@ -70,9 +70,14 @@ class DecodingEngine:
     """Owns jitted step functions for one loaded model."""
 
     def __init__(self, model: LoadedModel):
+        import threading
+
         self.model = model
         self._step_fns = {}
         self._loop_fns = {}
+        # Guards the jit caches when worker-pool threads decode
+        # concurrently (duplicate trace+compile is correct but wasteful).
+        self._fns_lock = threading.Lock()
         self._reorder_fn = jax.jit(self._reorder)
         self._append_fn = jax.jit(self._append)
 
@@ -175,11 +180,12 @@ class DecodingEngine:
         return jax.jit(step)
 
     def _get_step(self, sig: StepSig):
-        fn = self._step_fns.get(sig)
-        if fn is None:
-            fn = self._build_step(sig)
-            self._step_fns[sig] = fn
-        return fn
+        with self._fns_lock:
+            fn = self._step_fns.get(sig)
+            if fn is None:
+                fn = self._build_step(sig)
+                self._step_fns[sig] = fn
+            return fn
 
     # ------------------------------------------------------------------
     # Public entry.
@@ -710,7 +716,8 @@ class DecodingEngine:
                options.return_end_token, options.max_length,
                allow_early_exit, token_map is not None,
                encoder_inputs is not None, capacity)
-        loop_fn = self._loop_fns.get(key)
+        with self._fns_lock:
+            loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
             loop_fn = build_beam_loop(
                 model.arch, sig, model.policy.quantize_activations,
@@ -727,7 +734,8 @@ class DecodingEngine:
                 init_cache=(model.arch, capacity, model.kv_dtype,
                             model.scan_layers)
                 if capacity is not None else None)
-            self._loop_fns[key] = loop_fn
+            with self._fns_lock:
+                self._loop_fns[key] = loop_fn
 
         # Single packed control upload: prefix_len | min_steps | pad |
         # start tokens (K) | prefix rows.
@@ -804,7 +812,8 @@ class DecodingEngine:
 
         key = (sig, max_step, P > 0, token_map is not None,
                encoder_inputs is not None, capacity)
-        loop_fn = self._loop_fns.get(key)
+        with self._fns_lock:
+            loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
             loop_fn = build_greedy_loop(
                 model.arch, sig, model.policy.quantize_activations,
@@ -814,7 +823,8 @@ class DecodingEngine:
                             model.scan_layers)
                 if capacity is not None else None,
                 has_prefix=P > 0)
-            self._loop_fns[key] = loop_fn
+            with self._fns_lock:
+                self._loop_fns[key] = loop_fn
 
         control = np.zeros((B, 3 + max(prefix_arr.shape[1], 1)), np.int32)
         control[:, 0] = prefix_lengths

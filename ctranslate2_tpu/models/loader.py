@@ -39,6 +39,8 @@ class LoadedModel:
     source_vocabularies: List[Vocabulary] = field(default_factory=list)
     target_vocabulary: Optional[Vocabulary] = None
     vmap_path: Optional[str] = None
+    _consts_lock: object = field(default_factory=__import__("threading").Lock,
+                                 repr=False, compare=False)
 
     @property
     def config(self) -> dict:
@@ -72,10 +74,13 @@ class LoadedModel:
         return self.policy.activation_jnp
 
     def ensure_consts(self, max_positions: int) -> dict:
-        if max_positions > self.consts.get("max_positions", 0):
-            grown = 1 << max(11, (max_positions - 1).bit_length())
-            self.consts = transformer.make_consts(self.arch, self.params, grown)
-        return self.consts
+        # Serialized: worker-pool threads may request growth concurrently.
+        with self._consts_lock:
+            if max_positions > self.consts.get("max_positions", 0):
+                grown = 1 << max(11, (max_positions - 1).bit_length())
+                self.consts = transformer.make_consts(
+                    self.arch, self.params, grown)
+            return self.consts
 
 
 def _map_v1_name(name: str) -> str:
@@ -146,12 +151,46 @@ def _legacy_config(mf: ModelFile) -> None:
         cfg.setdefault("eos_token", "</s>")
 
 
+def resolve_device(device: str, device_index=0):
+    """Map a reference device string to a ``jax.Device``
+    (reference: str_to_device, src/devices.cc:1-60).
+
+    ``auto`` keeps JAX's default placement (returns None). ``cpu``/``tpu``
+    select that backend explicitly; ``cuda`` is rejected — this framework
+    targets TPU (plus the CPU backend for tests). ``device_index`` may be
+    an int or a list of ints; replica-per-device data parallelism uses the
+    mesh path instead (parallel/sharding.py), so a list selects its first
+    entry for placement.
+    """
+    import jax
+
+    device = (device or "auto").lower()
+    if isinstance(device_index, (list, tuple)):
+        device_index = device_index[0] if device_index else 0
+    if device == "auto":
+        return None
+    if device not in ("cpu", "tpu"):
+        raise ValueError(
+            f"unsupported device {device!r} (this runtime supports "
+            "'auto', 'cpu' and 'tpu')")
+    try:
+        devices = jax.devices(device)
+    except RuntimeError as e:
+        raise ValueError(f"no {device} device is available: {e}") from None
+    if device_index >= len(devices):
+        raise ValueError(
+            f"device index {device_index} is out of range "
+            f"({len(devices)} {device} device(s) available)")
+    return devices[device_index]
+
+
 def load_model(
     path: str,
     compute_type: str = "default",
     max_positions: int = 2048,
     fuse_qkv: Optional[bool] = None,
     stack_layers: Optional[bool] = None,
+    device=None,
 ) -> LoadedModel:
     if isinstance(path, ModelFile):
         # In-memory artifacts (benchmarks, tests).
@@ -174,6 +213,10 @@ def load_model(
             and fuse_qkv
     params = build_params(mf, arch, policy, fuse_qkv=fuse_qkv,
                           stack_layers=stack_layers)
+    if device is not None:
+        import jax
+
+        params = jax.device_put(params, device)
     consts = transformer.make_consts(arch, params, max_positions)
 
     if mf.spec_name == "WhisperSpec":

@@ -25,15 +25,36 @@ class EncoderForwardOutput:
 
 class Encoder:
     def __init__(self, model_path: str, device: str = "auto",
-                 compute_type: str = "default", **kwargs):
+                 compute_type: str = "default", device_index=0,
+                 inter_threads: int = 1, intra_threads: int = 0,
+                 max_queue_size: int = 0, **kwargs):
+        from ..models.loader import resolve_device
+        from .pool import WorkerPool
+
         # tensor_parallel loads head-aligned (unfused) QKV shards
         # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
-            fuse_qkv=not kwargs.get("tensor_parallel", False))
+            fuse_qkv=not kwargs.get("tensor_parallel", False),
+            device=jax_device)
         if self.model.arch.encoder is None:
             raise ValueError(
                 f"The model at {model_path} does not have an encoder")
+        self.device = device if device != "auto" else (
+            jax_device.platform if jax_device is not None else "auto")
+        self.device_index = device_index
+        self.intra_threads = intra_threads
+        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+                                max_queue_size=max_queue_size)
+
+    def forward_batch_async(self, inputs, token_type_ids=None):
+        """Future-backed encoder forward (reference:
+        include/ctranslate2/encoder.h:9-25 forward_batch_async)."""
+        from .results import AsyncResult
+
+        return AsyncResult(
+            self._pool.submit(self.forward_batch, inputs, token_type_ids))
 
     def forward_batch(self, inputs: Sequence[Sequence[str]],
                       token_type_ids: Optional[Sequence[Sequence[int]]] = None

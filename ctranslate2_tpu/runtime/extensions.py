@@ -27,39 +27,80 @@ def _batch_iterator(iterables, max_batch_size: int):
         yield [list(streams) for streams in zip(*batch)]
 
 
+def _pipelined(submit, batch_stream, lookahead: int) -> Iterator:
+    """Overlap submission of batch N+1..N+lookahead with consumption of
+    batch N (reference futures-queue pipeline: extensions.py:527-560).
+    ``submit`` returns a list of AsyncResult for one batch."""
+    import collections
+
+    pending = collections.deque()
+    stream = iter(batch_stream)
+    exhausted = False
+    while True:
+        while not exhausted and len(pending) <= max(1, lookahead):
+            try:
+                pending.append(submit(next(stream)))
+            except StopIteration:
+                exhausted = True
+        if not pending:
+            return
+        for r in pending.popleft():
+            yield r.result()
+
+
+def _lookahead_for(obj) -> int:
+    pool = getattr(obj, "_pool", None)
+    return (pool.num_workers if pool is not None else 1) + 1
+
+
 def translate_iterable(translator, source: Iterable[List[str]],
                        target_prefix: Optional[Iterable[List[str]]] = None,
                        max_batch_size: int = 32, batch_type: str = "examples",
                        **kwargs) -> Iterator:
-    """Translate an iterable of tokenized examples
-    (reference: extensions.py:20-83)."""
+    """Translate an iterable of tokenized examples, pipelined
+    (reference: extensions.py:20-83 + the futures queue at 527-560)."""
     streams = [source] if target_prefix is None else [source, target_prefix]
-    for batch in _batch_iterator(streams, max_batch_size):
-        src = batch[0]
-        prefix = batch[1] if len(batch) > 1 else None
-        yield from translator.translate_batch(
-            src, prefix, max_batch_size=0, batch_type=batch_type, **kwargs)
+
+    def submit(batch):
+        return translator.translate_batch(
+            batch[0], batch[1] if len(batch) > 1 else None,
+            max_batch_size=0, batch_type=batch_type,
+            asynchronous=True, **kwargs)
+
+    yield from _pipelined(submit, _batch_iterator(streams, max_batch_size),
+                          _lookahead_for(translator))
 
 
 def generate_iterable(generator, start_tokens: Iterable[List[str]],
                       max_batch_size: int = 32, batch_type: str = "examples",
                       **kwargs) -> Iterator:
-    """Generate from an iterable of prompts (reference: extensions.py:86-137)."""
-    for batch in _batch_iterator([start_tokens], max_batch_size):
-        yield from generator.generate_batch(
-            batch[0], max_batch_size=0, batch_type=batch_type, **kwargs)
+    """Generate from an iterable of prompts, pipelined
+    (reference: extensions.py:86-137)."""
+
+    def submit(batch):
+        return generator.generate_batch(
+            batch[0], max_batch_size=0, batch_type=batch_type,
+            asynchronous=True, **kwargs)
+
+    yield from _pipelined(submit, _batch_iterator([start_tokens], max_batch_size),
+                          _lookahead_for(generator))
 
 
 def score_iterable(scorer, source: Iterable[List[str]],
                    target: Optional[Iterable[List[str]]] = None,
                    max_batch_size: int = 64, **kwargs) -> Iterator:
-    """Score an iterable of examples (reference: extensions.py:140-196)."""
-    if target is not None:
-        for batch in _batch_iterator([source, target], max_batch_size):
-            yield from scorer.score_batch(batch[0], batch[1], **kwargs)
-    else:
-        for batch in _batch_iterator([source], max_batch_size):
-            yield from scorer.score_batch(batch[0], **kwargs)
+    """Score an iterable of examples, pipelined
+    (reference: extensions.py:140-196)."""
+    streams = [source] if target is None else [source, target]
+
+    def submit(batch):
+        if len(batch) > 1:
+            return scorer.score_batch(batch[0], batch[1],
+                                      asynchronous=True, **kwargs)
+        return scorer.score_batch(batch[0], asynchronous=True, **kwargs)
+
+    yield from _pipelined(submit, _batch_iterator(streams, max_batch_size),
+                          _lookahead_for(scorer))
 
 
 class _StepResultIterator:

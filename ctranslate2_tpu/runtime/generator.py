@@ -15,8 +15,9 @@ import jax.numpy as jnp
 from ..decoding.engine import DecodingEngine, _round_up
 from ..decoding.options import DecodingOptions
 from ..models import transformer as T
-from ..models.loader import LoadedModel, load_model
+from ..models.loader import LoadedModel, load_model, resolve_device
 from .batching import pad_batch, rebatch_input
+from .pool import WorkerPool
 from .results import (
     AsyncResult,
     GenerationResult,
@@ -31,21 +32,46 @@ class Generator:
         model_path: str,
         device: str = "auto",
         compute_type: str = "default",
+        device_index=0,
+        inter_threads: int = 1,
+        intra_threads: int = 0,
+        max_queue_size: int = 0,
         **kwargs,
     ):
         # tensor_parallel loads head-aligned (unfused) QKV shards
         # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
-            fuse_qkv=not kwargs.get("tensor_parallel", False))
+            fuse_qkv=not kwargs.get("tensor_parallel", False),
+            device=jax_device)
         if not self.model.is_decoder_only:
             raise ValueError(
                 f"The model at {model_path} is not a decoder-only model "
                 "that can be used with Generator")
+        self.device = device if device != "auto" else (
+            jax_device.platform if jax_device is not None else "auto")
+        self.device_index = device_index
+        self.intra_threads = intra_threads
+        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+                                max_queue_size=max_queue_size)
         self.engine = DecodingEngine(self.model)
         # Static-prompt state cache
         # (reference: include/ctranslate2/layers/decoder.h:102-110).
         self._static_prompt_cache: Dict[Tuple[int, ...], tuple] = {}
+        self._static_prompt_lock = __import__("threading").Lock()
+
+    @property
+    def num_generators(self) -> int:
+        return self._pool.num_workers
+
+    @property
+    def num_queued_batches(self) -> int:
+        return self._pool.num_queued_batches
+
+    @property
+    def num_active_batches(self) -> int:
+        return self._pool.num_active_batches
 
     @property
     def _vocab(self):
@@ -123,15 +149,22 @@ class Generator:
             [len(s) for s in start_tokens], max_batch_size, batch_type)
         if not batches:
             batches = [list(range(len(start_tokens)))]
+        async_results: List[Optional[AsyncResult]] = [None] * len(start_tokens)
+        futures = []
         for batch in batches:
-            batch_results = self._generate(
+            future = self._pool.submit(
+                self._generate,
                 [start_tokens[i] for i in batch], options, end_ids,
                 static_prompt, cache_static_prompt,
                 include_prompt_in_result, callback)
-            for i, r in zip(batch, batch_results):
-                results[i] = r
+            futures.append((batch, future))
+            for pos, i in enumerate(batch):
+                async_results[i] = AsyncResult(future, pos)
         if asynchronous:
-            return [AsyncResult(r) for r in results]
+            return async_results
+        for batch, future in futures:
+            for pos, i in enumerate(batch):
+                results[i] = future.result()[pos]
         return results
 
     def _resolve_end_token(self, end_token) -> tuple:
@@ -189,7 +222,9 @@ class Generator:
         # Static prompt (reference: src/models/language_model.cc:186-215).
         if static_prompt:
             sp_ids = tuple(v.to_id(t) for t in static_prompt)
-            cached = self._static_prompt_cache.get(sp_ids) if cache_static_prompt else None
+            with self._static_prompt_lock:
+                cached = (self._static_prompt_cache.get(sp_ids)
+                          if cache_static_prompt else None)
             if cached is not None and cached[1] <= capacity:
                 sp_cache, _ = cached
             else:
@@ -198,7 +233,8 @@ class Generator:
                                            stacked=model.scan_layers)
                 sp_cache = self._prefill([list(sp_ids)], single, 0, capacity)
                 if cache_static_prompt:
-                    self._static_prompt_cache[sp_ids] = (sp_cache, capacity)
+                    with self._static_prompt_lock:
+                        self._static_prompt_cache[sp_ids] = (sp_cache, capacity)
             N = B * options.beam_size if options.beam_size > 1 else B
             cache = T.cache_repeat_rows(sp_cache, N)
             start_step += len(sp_ids)
@@ -324,10 +360,7 @@ class Generator:
             if len(t) < 2:
                 results[i] = ScoringResult()
 
-        batches = rebatch_input(
-            [len(tokens[i]) for i in compute_idx], max_batch_size, batch_type)
-        for batch in batches:
-            idx = [compute_idx[j] for j in batch]
+        def score_rows(idx):
             ids = [
                 [v.to_id(t) for t in tokens[i]][:max_input_length] for i in idx
             ]
@@ -345,15 +378,33 @@ class Generator:
             token_scores = np.asarray(jnp.take_along_axis(
                 log_probs, ids_arr[:, 1:, None], axis=-1)[..., 0])
 
-            for row, i in enumerate(idx):
+            out = []
+            for row in range(len(idx)):
                 n = lengths[row] - 1
                 r = ScoringResult()
                 for t in range(offset if offset > 0 else 0, n):
                     r.tokens.append(v.to_token(ids[row][t + 1]))
                     r.tokens_score.append(float(token_scores[row, t]))
-                results[i] = r
+                out.append(r)
+            return out
+
+        batches = rebatch_input(
+            [len(tokens[i]) for i in compute_idx], max_batch_size, batch_type)
+        async_results: List[Optional[AsyncResult]] = [
+            None if r is None else AsyncResult(r) for r in results
+        ]
+        futures = []
+        for batch in batches:
+            idx = [compute_idx[j] for j in batch]
+            future = self._pool.submit(score_rows, idx)
+            futures.append((idx, future))
+            for pos, i in enumerate(idx):
+                async_results[i] = AsyncResult(future, pos)
         if asynchronous:
-            return [AsyncResult(r) for r in results]
+            return async_results
+        for idx, future in futures:
+            for pos, i in enumerate(idx):
+                results[i] = future.result()[pos]
         return results
 
     def forward_batch(self, inputs: Sequence[Sequence[str]],

@@ -1,0 +1,106 @@
+"""Worker pool: bounded job queue + worker threads backing the async APIs.
+
+TPU-native reinterpretation of the reference's replica pool
+(reference: include/ctranslate2/thread_pool.h:16-115,
+include/ctranslate2/replica_pool.h:19-300). The reference binds one model
+replica per worker because CUDA replicas each own streams/handles; under
+JAX a single set of device arrays is shared by every thread and the XLA
+runtime serializes device execution, so workers here overlap *host* work
+(tokenization, batch assembly, result unpacking, beam bookkeeping) with
+device compute and with each other. ``inter_threads`` maps to the number
+of workers, matching the reference constructor semantics.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+from typing import Callable, List, Optional, Sequence
+
+
+class WorkerPool:
+    """Fixed set of worker threads draining a bounded FIFO job queue.
+
+    Mirrors the blocking-put semantics of the reference JobQueue
+    (reference: include/ctranslate2/thread_pool.h:16-60): when
+    ``max_queue_size`` jobs are pending, ``submit`` blocks, providing
+    back-pressure for streaming producers.
+    """
+
+    def __init__(self, num_workers: int = 1, max_queue_size: int = 0):
+        import queue
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(0, max_queue_size))
+        self._closed = False
+        self._active = 0
+        self._lock = threading.Lock()
+        self._workers = [
+            threading.Thread(target=self._run, daemon=True,
+                             name=f"ct2tpu-worker-{i}")
+            for i in range(max(1, num_workers))
+        ]
+        for w in self._workers:
+            w.start()
+
+    @property
+    def num_workers(self) -> int:
+        return len(self._workers)
+
+    @property
+    def num_queued_batches(self) -> int:
+        return self._queue.qsize()
+
+    @property
+    def num_active_batches(self) -> int:
+        with self._lock:
+            return self._active + self._queue.qsize()
+
+    def submit(self, fn: Callable, /, *args, **kwargs) -> Future:
+        """Queue ``fn(*args, **kwargs)``; the Future resolves with its
+        return value or exception (reference promise/future plumbing:
+        replica_pool.h:262-293)."""
+        if self._closed:
+            raise RuntimeError("The worker pool is closed")
+        future: Future = Future()
+        self._queue.put((future, fn, args, kwargs))
+        return future
+
+    def map_ordered(self, fn: Callable, items: Sequence) -> List:
+        """Submit one job per item and wait; results keep input order."""
+        futures = [self.submit(fn, item) for item in items]
+        return [f.result() for f in futures]
+
+    def close(self, timeout: Optional[float] = 5.0):
+        if self._closed:
+            return
+        self._closed = True
+        for _ in self._workers:
+            self._queue.put(None)
+        for w in self._workers:
+            w.join(timeout=timeout)
+
+    def __del__(self):
+        try:
+            self.close(timeout=0.1)
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+
+    def _run(self):
+        while True:
+            job = self._queue.get()
+            if job is None:
+                return
+            future, fn, args, kwargs = job
+            if not future.set_running_or_notify_cancel():
+                continue
+            with self._lock:
+                self._active += 1
+            try:
+                future.set_result(fn(*args, **kwargs))
+            except BaseException as e:  # noqa: BLE001
+                future.set_exception(e)
+            finally:
+                with self._lock:
+                    self._active -= 1

@@ -4,6 +4,7 @@ scoring.h:8-40)."""
 
 from __future__ import annotations
 
+from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -109,15 +110,31 @@ class ExecutionStats:
                 f"total_time_in_ms={self.total_time_in_ms})")
 
 
-@dataclass
 class AsyncResult:
-    """Synchronous stand-in for the reference's future-based API; the
-    continuous-batching scheduler makes this truly async."""
+    """Future-backed async handle (reference: the pybind AsyncTranslation /
+    AsyncGeneration wrappers over std::future,
+    python/cpp/translator.cc + include/ctranslate2/replica_pool.h:173-189).
 
-    _result: object
+    Wraps either a plain value (already-computed results, e.g. empty
+    sources) or a ``concurrent.futures.Future`` whose value is a list of
+    results, of which this handle selects ``index``.
+    """
 
-    def result(self):
-        return self._result
+    __slots__ = ("_source", "_index")
+
+    def __init__(self, source, index: Optional[int] = None):
+        self._source = source
+        self._index = index
+
+    def result(self, timeout: Optional[float] = None):
+        src = self._source
+        if isinstance(src, Future):
+            src = src.result(timeout=timeout)
+        return src if self._index is None else src[self._index]
 
     def done(self) -> bool:
-        return True
+        src = self._source
+        return not isinstance(src, Future) or src.done()
+
+    def __repr__(self):
+        return f"AsyncResult(done={self.done()})"

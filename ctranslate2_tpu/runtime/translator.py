@@ -15,9 +15,10 @@ from ..decoding.engine import DecodingEngine
 from ..decoding.options import DecodingOptions
 from ..formats.vocabulary_map import VocabularyMap
 from ..models import transformer as T
-from ..models.loader import LoadedModel, load_model
+from ..models.loader import LoadedModel, load_model, resolve_device
 from ..ops import attention as attn_ops
 from .batching import bucket_length, pad_batch, rebatch_input
+from .pool import WorkerPool
 from .results import AsyncResult, ExecutionStats, ScoringResult, TranslationResult
 
 
@@ -27,24 +28,50 @@ class Translator:
         model_path: str,
         device: str = "auto",
         compute_type: str = "default",
+        device_index=0,
         inter_threads: int = 1,
         intra_threads: int = 0,
+        max_queue_size: int = 0,
         **kwargs,
     ):
         # tensor_parallel loads head-aligned (unfused) QKV shards
         # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
-            fuse_qkv=not kwargs.get("tensor_parallel", False))
+            fuse_qkv=not kwargs.get("tensor_parallel", False),
+            device=jax_device)
         if not self.model.is_sequence_to_sequence:
             raise ValueError(
                 f"The model at {model_path} is not an encoder-decoder model "
                 "that can be used with Translator")
+        self.device = device if device != "auto" else (
+            jax_device.platform if jax_device is not None else "auto")
+        self.device_index = device_index
+        # intra-op parallelism is owned by XLA on every backend; the
+        # reference flag controls OpenMP threads (docs/parallel.md:3-13).
+        self.intra_threads = intra_threads
+        # Worker pool backing the async/batched APIs
+        # (reference: inter_threads replicas, replica_pool.h:19-300).
+        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+                                max_queue_size=max_queue_size)
         self.engine = DecodingEngine(self.model)
         self._vmap = None
         if self.model.vmap_path:
             self._vmap = VocabularyMap.load(
                 self.model.vmap_path, self.model.target_vocabulary)
+
+    @property
+    def num_translators(self) -> int:
+        return self._pool.num_workers
+
+    @property
+    def num_queued_batches(self) -> int:
+        return self._pool.num_queued_batches
+
+    @property
+    def num_active_batches(self) -> int:
+        return self._pool.num_active_batches
 
     # ------------------------------------------------------------------
     # Vocabulary helpers (reference: src/models/sequence_to_sequence.cc:97-233).
@@ -169,6 +196,10 @@ class Translator:
 
         batches = rebatch_input(
             [len(source[i]) for i in compute_idx], max_batch_size, batch_type)
+        async_results: List[Optional[AsyncResult]] = [
+            None if r is None else AsyncResult(r) for r in results
+        ]
+        futures = []
         for batch in batches:
             idx = [compute_idx[j] for j in batch]
             batch_source = [source[i] for i in idx]
@@ -176,15 +207,20 @@ class Translator:
                 [target_prefix[i] if target_prefix else None for i in idx]
                 if target_prefix else None
             )
-            batch_results = self._translate_padded(
+            future = self._pool.submit(
+                self._translate_padded,
                 batch_source, batch_prefix, options, max_input_length,
                 replace_unknowns, return_attention, callback, end_ids,
                 use_vmap=use_vmap)
-            for i, r in zip(idx, batch_results):
-                results[i] = r
+            futures.append((idx, future))
+            for pos, i in enumerate(idx):
+                async_results[i] = AsyncResult(future, pos)
 
         if asynchronous:
-            return [AsyncResult(r) for r in results]
+            return async_results
+        for idx, future in futures:
+            for pos, i in zip(range(len(idx)), idx):
+                results[i] = future.result()[pos]
         return results
 
     def _resolve_end_token(self, end_token) -> tuple:
@@ -459,14 +495,24 @@ class Translator:
 
         batches = rebatch_input(
             [len(source[i]) for i in compute_idx], max_batch_size, batch_type)
+        async_results: List[Optional[AsyncResult]] = [
+            None if r is None else AsyncResult(r) for r in results
+        ]
+        futures = []
         for batch in batches:
             idx = [compute_idx[j] for j in batch]
-            for i, r in zip(idx, self._score_padded(
-                    [source[i] for i in idx], [target[i] for i in idx],
-                    max_input_length, start_id)):
-                results[i] = r
+            future = self._pool.submit(
+                self._score_padded,
+                [source[i] for i in idx], [target[i] for i in idx],
+                max_input_length, start_id)
+            futures.append((idx, future))
+            for pos, i in enumerate(idx):
+                async_results[i] = AsyncResult(future, pos)
         if asynchronous:
-            return [AsyncResult(r) for r in results]
+            return async_results
+        for idx, future in futures:
+            for pos, i in enumerate(idx):
+                results[i] = future.result()[pos]
         return results
 
     def _score_padded(self, source, target, max_input_length, start_id):

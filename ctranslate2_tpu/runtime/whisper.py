@@ -24,6 +24,9 @@ class WhisperGenerationResult:
     sequences: List[List[str]] = field(default_factory=list)
     sequences_ids: List[List[int]] = field(default_factory=list)
     scores: List[float] = field(default_factory=list)
+    # Per-step vocab logits (reference `return_logits_vocab`:
+    # include/ctranslate2/models/whisper.h:46,64).
+    logits: List[List[object]] = field(default_factory=list)
     no_speech_prob: float = 0.0
 
     @property
@@ -92,12 +95,25 @@ def median_filter(x: np.ndarray, width: int) -> np.ndarray:
 
 class Whisper:
     def __init__(self, model_path: str, device: str = "auto",
-                 compute_type: str = "default", **kwargs):
+                 compute_type: str = "default", device_index=0,
+                 inter_threads: int = 1, intra_threads: int = 0,
+                 max_queue_size: int = 0, **kwargs):
+        from ..models.loader import resolve_device
+        from .pool import WorkerPool
+
         # tensor_parallel loads head-aligned (unfused) QKV shards
         # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
-            fuse_qkv=not kwargs.get("tensor_parallel", False))
+            fuse_qkv=not kwargs.get("tensor_parallel", False),
+            device=jax_device)
+        self.device = device if device != "auto" else (
+            jax_device.platform if jax_device is not None else "auto")
+        self.device_index = device_index
+        self.intra_threads = intra_threads
+        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+                                max_queue_size=max_queue_size)
         if self.model.arch.encoder is None or not self.model.arch.encoder.num_conv_layers:
             raise ValueError(
                 f"The model at {model_path} is not a Whisper model")
@@ -159,6 +175,22 @@ class Whisper:
         prompts: Sequence[Sequence],
         *,
         asynchronous: bool = False,
+        **options,
+    ) -> List[WhisperGenerationResult]:
+        """Generate from audio features (reference: whisper.cc:717-740;
+        options: include/ctranslate2/models/whisper.h:11-59). With
+        ``asynchronous=True`` returns future-backed AsyncResults."""
+        future = self._pool.submit(self._generate_impl, features, prompts,
+                                   **options)
+        if asynchronous:
+            return [AsyncResult(future, i) for i in range(len(prompts))]
+        return future.result()
+
+    def _generate_impl(
+        self,
+        features,
+        prompts: Sequence[Sequence],
+        *,
         beam_size: int = 5,
         patience: float = 1.0,
         num_hypotheses: int = 1,
@@ -167,11 +199,13 @@ class Whisper:
         no_repeat_ngram_size: int = 0,
         max_length: int = 448,
         return_scores: bool = False,
+        return_logits_vocab: bool = False,
         return_no_speech_prob: bool = False,
         max_initial_timestamp_index: int = 50,
         suppress_blank: bool = True,
         suppress_tokens: Sequence[int] = (-1,),
         sampling_topk: int = 1,
+        sampling_topp: float = 1.0,
         sampling_temperature: float = 1.0,
     ) -> List[WhisperGenerationResult]:
         v = self._vocab
@@ -286,9 +320,11 @@ class Whisper:
             max_length=min(total_max_length // 2,
                            max(total_max_length - start_step, 1)),
             sampling_topk=sampling_topk,
+            sampling_topp=sampling_topp,
             sampling_temperature=sampling_temperature,
             num_hypotheses=num_hypotheses,
             return_scores=return_scores,
+            return_logits_vocab=return_logits_vocab,
             return_end_token=False,
             suppress_tokens=tuple(suppress_ids),
             suppress_tokens_begin=tuple(begin_ids),
@@ -317,12 +353,11 @@ class Whisper:
                 sequences=[[v.to_token(t) for t in h] for h in dr.hypotheses],
                 sequences_ids=[list(h) for h in dr.hypotheses],
                 scores=dr.scores,
+                logits=dr.logits if return_logits_vocab else [],
             )
             if no_speech_probs is not None:
                 r.no_speech_prob = float(no_speech_probs[i])
             results.append(r)
-        if asynchronous:
-            return [AsyncResult(r) for r in results]
         return results
 
     # ------------------------------------------------------------------
