@@ -365,8 +365,10 @@ def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
         if init_cache is not None:
             from ..models.transformer import init_self_cache
             arch_, capacity_, dtype_, stacked_ = init_cache
+            # Greedy decodes one token at a time — windowed layers can use
+            # O(window) ring buffers (beam chain attention cannot).
             cache = init_self_cache(arch_, N, capacity_, dtype=dtype_,
-                                    stacked=stacked_)
+                                    stacked=stacked_, ring=True)
 
         if encoder_ids is not None:
             memory = T.encoder_forward(

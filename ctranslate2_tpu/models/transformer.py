@@ -154,6 +154,10 @@ def _apply_positions(side_params, side_consts, spec, x, offset):
         table = side_consts["sinusoidal"]
     else:
         return x
+    if getattr(offset, "ndim", 0) > 0:
+        # Per-row positions (continuous batching, T == 1).
+        pe = jnp.take(table, offset, axis=0)[:, None, :]
+        return x + pe.astype(x.dtype)
     pe = jax.lax.dynamic_slice_in_dim(table, offset, T, axis=0)
     return x + pe.astype(x.dtype)[None]
 
@@ -204,8 +208,14 @@ def _maybe_rotary(spec: AttentionSpec, rot_consts, q, k, offset):
         return q, k
     T = q.shape[2]
     dim = spec.rotary.dim if spec.rotary.dim else spec.head_dim
-    sin = jax.lax.dynamic_slice_in_dim(rot_consts["sin"], offset, T, axis=0)
-    cos = jax.lax.dynamic_slice_in_dim(rot_consts["cos"], offset, T, axis=0)
+    if getattr(offset, "ndim", 0) > 0:
+        # Per-row positions (continuous batching, T == 1): gather each
+        # row's phase; [B, 1, 1, dim] broadcasts over heads.
+        sin = jnp.take(rot_consts["sin"], offset, axis=0)[:, None, None, :]
+        cos = jnp.take(rot_consts["cos"], offset, axis=0)[:, None, None, :]
+    else:
+        sin = jax.lax.dynamic_slice_in_dim(rot_consts["sin"], offset, T, axis=0)
+        cos = jax.lax.dynamic_slice_in_dim(rot_consts["cos"], offset, T, axis=0)
     q = apply_rotary(q, sin, cos, spec.rotary.interleave, dim)
     k = apply_rotary(k, sin, cos, spec.rotary.interleave, dim)
     return q, k
@@ -245,6 +255,55 @@ def _decode_chunk() -> int:
     return int(os.environ.get("CT2TPU_DECODE_CHUNK", "128"))
 
 
+def ring_block(arch: ArchSpec) -> int:
+    """Sliding-window ring granularity Wr for this model, or 0 when ring
+    caches don't apply (no windows, mixed window sizes, or disabled via
+    CT2TPU_WINDOW_RING=0).
+
+    Windowed layers store only ``2*Wr`` KV slots (written at
+    ``position % (2*Wr)``) instead of the full sequence capacity — the
+    O(window) memory behavior of the reference's cache eviction
+    (reference src/layers/attention.cc:536-557) without any data movement.
+    Prefill chunks must align to multiples of Wr (see
+    split_prefill_chunks)."""
+    if os.environ.get("CT2TPU_WINDOW_RING", "1") == "0":
+        return 0
+    if arch.decoder is None:
+        return 0
+    windows = set()
+    for layer in arch.decoder.layers:
+        a = layer.self_attention
+        if a.sliding_window and a.sliding_window > 1 and not a.has_memory_kv:
+            windows.add(a.sliding_window)
+    if len(windows) != 1:
+        return 0
+    (w,) = windows
+    return ((w + 127) // 128) * 128
+
+
+def ring_capacity(arch: ArchSpec) -> int:
+    """Per-layer ring buffer capacity (0 = no ring)."""
+    wr = ring_block(arch)
+    return 2 * wr if wr else 0
+
+
+def split_prefill_chunks(start: int, length: int, block: int):
+    """Split the absolute position range [start, start+length) at every
+    multiple of ``block`` (the reference's chunked prefill over
+    window-size pieces: src/layers/transformer.cc:735-792). Returns a
+    list of (offset, size); the whole range when block == 0."""
+    if block <= 0 or length <= 0:
+        return [(start, length)]
+    out = []
+    p = start
+    end = start + length
+    while p < end:
+        nxt = min(((p // block) + 1) * block, end)
+        out.append((p, nxt - p))
+        p = nxt
+    return out
+
+
 def self_attention_block(
     arch: ArchSpec,
     spec: AttentionSpec,
@@ -269,20 +328,29 @@ def self_attention_block(
     beam_chain=None,  # [N, C] int32 origin chain (beam loop, see
     # attn_ops.beam_chain_attention) — replaces physical beam reordering
     beam_chain_size: int = 1,
+    ring: int = 0,  # ring KV buffer size R (0 = linear cache). Writes land
+    # at ``offset % R``; ``bias`` must then be a ring_window_bias over R.
 ):
     """Self-attention with optional fixed-capacity KV cache.
 
     Returns (output, new_cache). ``cache`` holds {"k","v"} of shape
-    [B, Hkv, C, D]; new entries are written at ``offset``.
+    [B, Hkv, C, D]; new entries are written at ``offset`` (modulo ``ring``
+    when the layer uses a sliding-window ring buffer).
     """
     residual = x
     h = x
     if wrap_norm and pre_norm and spec.has_layer_norm:
         h = _norm(arch, ap.get("layer_norm"), h)
+    if ring:
+        assert beam_chain is None, \
+            "ring KV caches are incompatible with chain-mask beam attention"
 
     q, k, v = _project_qkv(ap, spec, h, quantize_acts)
     q, k, v = _qk_norms(arch, ap, spec, q, k, v)
     q, k = _maybe_rotary(spec, rot_consts, q, k, offset)
+    # Cache write slot: absolute position for linear caches, wrapped for
+    # ring buffers (RoPE phases above always use the absolute position).
+    w_off = jnp.mod(offset, ring) if ring else offset
 
     new_cache = None
     if cache is not None and "k_scale" in cache:
@@ -291,6 +359,7 @@ def self_attention_block(
         extra_free = (alibi_bias is None and position_bias is None
                       and rel_positions is None)
         if T == 1 and extra_free and spec.sliding_window != 1 \
+                and not ring \
                 and jax.default_backend() == "tpu" \
                 and int(os.environ.get("CT2TPU_DECODE_KERNEL", "1")):
             from ..kernels.decode_attention import (
@@ -304,7 +373,10 @@ def self_attention_block(
             # copy of every int8 cache array per step).
             k8, ks = quantize_kv(k)
             v8, vs = quantize_kv(v)
-            kv_lengths = jnp.full((q.shape[0],), offset, jnp.int32)
+            if getattr(offset, "ndim", 0) > 0:
+                kv_lengths = offset  # per-row positions (continuous batching)
+            else:
+                kv_lengths = jnp.full((q.shape[0],), offset, jnp.int32)
             ctx = decode_attention_int8(
                 q, cache["k"], cache["k_scale"][:, :, 0, :],
                 cache["v"], cache["v_scale"][:, :, 0, :],
@@ -321,7 +393,7 @@ def self_attention_block(
             return out, new_cache
         # Prefill / CPU fallback: dequantize the whole cache for the XLA
         # masked-attention path.
-        new_cache = _update_int8_cache(cache, k, v, offset)
+        new_cache = _update_int8_cache(cache, k, v, w_off)
         k, v = _dequantize_cache(new_cache, q.dtype)
     elif cache is not None:
         if (q.shape[2] == 1 and beam_chain is None
@@ -345,14 +417,12 @@ def self_attention_block(
             else:
                 ctx = attn_ops.decode_step_attention(
                     q, cache["k"], cache["v"], k.astype(cache["k"].dtype),
-                    v.astype(cache["v"].dtype), offset,
+                    v.astype(cache["v"].dtype), w_off,
                     queries_scale=spec.queries_scale,
                     bias=bias, alibi_bias=alibi_bias)
             new_cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0)),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0)),
+                "k": _cache_write(cache["k"], k, w_off),
+                "v": _cache_write(cache["v"], v, w_off),
             }
             out = attn_ops.combine_heads(ctx)
             res = residual if (wrap_norm and spec.has_layer_norm) else None
@@ -365,8 +435,8 @@ def self_attention_block(
                           and rel_positions is None
                           and position_bias is None)
         if not use_chain_attn:
-            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
+            ck = _cache_write(cache["k"], k, w_off)
+            cv = _cache_write(cache["v"], v, w_off)
             new_cache = {"k": ck, "v": cv}
             k, v = ck, cv
 
@@ -822,28 +892,53 @@ def cache_slice_rows(cache, start: int, size: int):
     return jax.tree.map(lambda a: a[start:start + size], cache)
 
 
-def cache_grow(cache, n_rows: int, capacity: int):
+def cache_insert_row(cache, sub_cache, slot):
+    """Write a 1-row ``sub_cache`` into ``cache`` at batch row ``slot``.
+
+    The sub-cache may have a SMALLER capacity (a prompt-length prefill
+    cache): only its slots are written; stale data beyond them in the
+    target row is never readable because decode masks exclude unwritten
+    positions. Used by the continuous-batching scheduler to admit a
+    prefilled request into a free slot."""
+    stacked = cache_is_stacked(cache)
+
+    def ins(buf, sub):
+        start = [0] * buf.ndim
+        start[1 if stacked else 0] = slot
+        return jax.lax.dynamic_update_slice(
+            buf, sub.astype(buf.dtype), tuple(start))
+
+    return jax.tree.map(ins, cache, sub_cache)
+
+
+def cache_grow(cache, n_rows: int, capacity: int, arch: ArchSpec = None):
     """Grow a cache to ``n_rows`` batch rows and ``capacity`` positions.
 
-    INT8 scale arrays pad with 1 to keep dequantization finite.
-    """
+    INT8 scale arrays pad with 1 to keep dequantization finite. Ring
+    buffers (windowed layers at exactly ``ring_capacity`` slots; needs
+    ``arch`` to detect) keep their size — growing one would break the
+    ``position % ring`` slot mapping."""
     if cache is None:
         return None
     baxis, paxis, saxis = _cache_axes(cache)
+    rc = ring_capacity(arch) if arch is not None else 0
 
-    def grow_one(a, axis, fill):
+    def grow_one(a, axis, fill, cap):
         if a.shape[baxis] != n_rows:
             a = jnp.repeat(a, n_rows // a.shape[baxis], axis=baxis)
-        if a.shape[axis] < capacity:
+        if a.shape[axis] < cap:
             pad = [(0, 0)] * a.ndim
-            pad[axis] = (0, capacity - a.shape[axis])
+            pad[axis] = (0, cap - a.shape[axis])
             a = jnp.pad(a, pad, constant_values=fill)
         return a
 
     def grow_layer(d):
+        cap = capacity
+        if rc and d["k"].shape[paxis] == rc:
+            cap = rc  # ring buffer: size is part of the slot mapping
         return {
             k: grow_one(v, saxis if k.endswith("_scale") else paxis,
-                        1.0 if k.endswith("_scale") else 0.0)
+                        1.0 if k.endswith("_scale") else 0.0, cap)
             for k, v in d.items()
         }
 
@@ -875,20 +970,41 @@ def stack_layer_list(layers):
         return None
 
 
+def layer_cache_capacity(arch: ArchSpec, aspec, capacity: int,
+                         ring: bool) -> int:
+    """KV capacity for one layer: windowed layers under ring mode store
+    only ``2*Wr`` slots (O(window) memory); everything else stores the
+    full logical ``capacity``."""
+    if not ring:
+        return capacity
+    if not (aspec.sliding_window and aspec.sliding_window > 1) \
+            or aspec.has_memory_kv:
+        return capacity
+    rc = ring_capacity(arch)
+    if not rc:
+        return capacity
+    return min(capacity, rc)
+
+
 def init_self_cache(arch: ArchSpec, batch: int, capacity: int,
-                    dtype=jnp.float32, stacked: bool = False):
+                    dtype=jnp.float32, stacked: bool = False,
+                    ring: bool = False):
     """Fixed-capacity self-attention KV cache for every decoder layer.
 
     ``dtype=jnp.int8`` selects the quantized cache layout: int8 payloads
     plus one float scale per cached vector (SURVEY kernel #4; halves cache
     memory and decode-read bandwidth vs bf16). ``stacked`` produces the
-    layer-stacked layout used with scan-over-layers params."""
+    layer-stacked layout used with scan-over-layers params. ``ring=True``
+    allocates windowed layers as 2*Wr-slot ring buffers (O(window)
+    memory; see ring_block) — use for single-token decode paths; beam
+    chain-mask attention requires ``ring=False``."""
     spec = arch.decoder
 
     def layer_cache(a, lead=()):
-        shape = lead + (batch, a.num_heads_kv, capacity, a.head_dim)
+        cap = layer_cache_capacity(arch, a, capacity, ring)
+        shape = lead + (batch, a.num_heads_kv, cap, a.head_dim)
         if dtype == jnp.int8:
-            sshape = lead + (batch, a.num_heads_kv, 1, capacity)
+            sshape = lead + (batch, a.num_heads_kv, 1, cap)
             return {
                 "k": jnp.zeros(shape, jnp.int8),
                 "v": jnp.zeros(shape, jnp.int8),
@@ -903,6 +1019,18 @@ def init_self_cache(arch: ArchSpec, batch: int, capacity: int,
     return [layer_cache(layer.self_attention) for layer in spec.layers]
 
 
+def _cache_write(buf, new, offset):
+    """Write ``new`` [B, H, T, D] into ``buf`` [B, H, C, D] at time slot
+    ``offset`` — scalar (uniform positions) or [B] vector (continuous
+    batching; requires T == 1, lowers to a scatter)."""
+    if getattr(offset, "ndim", 0) > 0:
+        B = buf.shape[0]
+        return buf.at[jnp.arange(B), :, offset].set(
+            new[:, :, 0].astype(buf.dtype))
+    return jax.lax.dynamic_update_slice(
+        buf, new.astype(buf.dtype), (0, 0, offset, 0))
+
+
 def _update_int8_cache(cache: dict, k, v, offset):
     """Quantize and append new K/V vectors at ``offset``."""
     from ..kernels.decode_attention import quantize_kv
@@ -913,6 +1041,18 @@ def _update_int8_cache(cache: dict, k, v, offset):
 
 
 def _append_int8_cache(cache: dict, k8, ks, v8, vs, offset):
+    if getattr(offset, "ndim", 0) > 0:
+        # Per-row write positions (continuous batching, T == 1).
+        B = cache["k"].shape[0]
+        rows = jnp.arange(B)
+        return {
+            "k": cache["k"].at[rows, :, offset].set(k8[:, :, 0]),
+            "v": cache["v"].at[rows, :, offset].set(v8[:, :, 0]),
+            "k_scale": cache["k_scale"].at[rows, :, :, offset].set(
+                ks[:, :, None, 0] if ks.ndim == 3 else ks[:, :, None]),
+            "v_scale": cache["v_scale"].at[rows, :, :, offset].set(
+                vs[:, :, None, 0] if vs.ndim == 3 else vs[:, :, None]),
+        }
     return {
         "k": jax.lax.dynamic_update_slice(cache["k"], k8, (0, 0, offset, 0)),
         "v": jax.lax.dynamic_update_slice(cache["v"], v8, (0, 0, offset, 0)),
@@ -963,7 +1103,7 @@ def precompute_memory(arch: ArchSpec, params: dict, memory, quantize_acts: bool 
 def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                          rel_positions, position_bias, rot, pos, self_cache,
                          mem_kv, memory_bias, beam_size, lengths,
-                         quantize_acts, causal_only=False):
+                         quantize_acts, causal_only=False, ring=0):
     """lax.scan over a uniform decoder layer stack.
 
     One compiled layer body serves all layers: weights, caches and memory
@@ -1000,7 +1140,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                     alibi_bias=alibi_bias, rel_positions=rel_positions,
                     position_bias=position_bias, wrap_norm=False,
                     causal=True, flash_lengths=lengths,
-                    causal_only=causal_only and not aspec.sliding_window)
+                    causal_only=causal_only and not aspec.sliding_window,
+                    ring=ring)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch,
@@ -1032,7 +1173,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias, wrap_norm=False,
                 causal=True, flash_lengths=lengths,
-                    causal_only=causal_only and not aspec.sliding_window)
+                    causal_only=causal_only and not aspec.sliding_window,
+                    ring=ring)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -1055,7 +1197,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                 alibi_bias=alibi_bias, rel_positions=rel_positions,
                 position_bias=position_bias,
                 causal=True, flash_lengths=lengths,
-                    causal_only=causal_only and not aspec.sliding_window)
+                    causal_only=causal_only and not aspec.sliding_window,
+                    ring=ring)
             if layer.cross_attention is not None:
                 x, _ = cross_attention_block(
                     arch, layer.cross_attention, lp["attention"], x,
@@ -1102,12 +1245,27 @@ def decoder_forward(
     dc = consts.get("decoder", {})
     T = ids.shape[-1]
 
+    pos_vec = getattr(pos, "ndim", 0) > 0
+    if pos_vec:
+        # Per-row decode positions (continuous batching). Restricted to
+        # single-token steps; positional schemes that build shared
+        # [Tq, Tk] structures per step are not supported in this mode.
+        if T != 1:
+            raise ValueError("per-row positions require single-token steps")
+        if spec.alibi:
+            raise NotImplementedError(
+                "ALiBi models are not supported by the continuous-batching "
+                "step (per-row positions)")
+
     x = embed(dp, spec, ids, out_dtype, spec.embeddings.merge)
     if spec.start_from_zero_embedding:
         # Zero the embedding of the BOS timestep at step 0
         # (reference: src/layers/transformer.cc:637-640).
-        t_idx = jnp.arange(T, dtype=jnp.int32) + pos
-        x = jnp.where((t_idx == 0)[None, :, None], 0.0, x)
+        if pos_vec:
+            x = jnp.where((pos == 0)[:, None, None], 0.0, x)
+        else:
+            t_idx = jnp.arange(T, dtype=jnp.int32) + pos
+            x = jnp.where((t_idx == 0)[None, :, None], 0.0, x)
     if spec.embeddings.scale:
         x = x * jnp.asarray(spec.embeddings.scale, dtype=x.dtype)
     if spec.has_project_in:
@@ -1146,13 +1304,30 @@ def decoder_forward(
             pair_layers.setdefault(li, []).append(hi)
     new_cache = [] if self_cache is not None else None
 
-    def layer_extras(i, layer, lp):
-        """Per-layer sliding-window / ALiBi / relative-position biases."""
+    def layer_extras(i, layer, lp, cache_i=None):
+        """Per-layer sliding-window / ALiBi / relative-position biases.
+
+        Returns (bias, alibi, rel_positions, t5_bias, ring): ``ring`` is
+        the ring-buffer size when this layer's cache is a sliding-window
+        ring (O(window) memory; see ring_block), else 0."""
         aspec = layer.self_attention
         layer_bias = bias
+        layer_ring = 0
         if aspec.sliding_window and self_cache is not None:
-            layer_bias = layer_bias + attn_ops.sliding_window_bias(
-                T, C, aspec.sliding_window, offset=pos)
+            rc = ring_capacity(arch)
+            cap_l = cache_i["k"].shape[-2] if cache_i is not None else C
+            if (rc and cap_l == rc and aspec.sliding_window > 1
+                    and not aspec.has_memory_kv):
+                # Ring KV buffer: this bias REPLACES the causal+window
+                # masks (it encodes both in ring-slot space). Padded-row
+                # caveat: per-row `lengths` prefill is safe only while
+                # total positions stay <= ring (see ring_window_bias).
+                layer_ring = rc
+                layer_bias = attn_ops.ring_window_bias(
+                    T, rc, aspec.sliding_window, offset=pos)
+            else:
+                layer_bias = layer_bias + attn_ops.sliding_window_bias(
+                    T, cap_l, aspec.sliding_window, offset=pos)
         elif aspec.sliding_window:
             layer_bias = layer_bias + attn_ops.sliding_window_bias(
                 T, T, aspec.sliding_window, offset=0)
@@ -1172,18 +1347,31 @@ def decoder_forward(
 
         rel_positions = None
         if aspec.has_rel_position_keys:
+            if pos_vec:
+                raise NotImplementedError(
+                    "relative-position models are not supported by the "
+                    "continuous-batching step (per-row positions)")
             Tk = C if self_cache is not None else T
             rel_positions = attn_ops.make_relative_positions(
                 T, Tk, aspec.max_relative_position,
                 query_offset=pos if self_cache is not None else None)
         pbias = None
         if aspec.has_rel_attention_bias:
+            if pos_vec:
+                raise NotImplementedError(
+                    "relative-bias (T5) models are not supported by the "
+                    "continuous-batching step (per-row positions)")
             Tk = C if self_cache is not None else T
             pbias = attn_ops.t5_position_bias(
                 lp["self_attention"]["relative_attention_bias"],
                 T, Tk, aspec.rel_max_distance, bidirectional=False,
                 query_offset=pos if self_cache is not None else 0)
-        return layer_bias, alibi_bias, rel_positions, pbias
+        if layer_ring and (alibi_bias is not None or rel_positions is not None
+                           or pbias is not None):
+            raise NotImplementedError(
+                "ring KV caches do not support ALiBi/relative-position "
+                "layers (set CT2TPU_WINDOW_RING=0)")
+        return layer_bias, alibi_bias, rel_positions, pbias, layer_ring
 
     # Fast path: one scanned layer body for uniform stacks (weights, cache
     # and memory K/V stream through scan xs — per-step op count drops
@@ -1193,8 +1381,10 @@ def decoder_forward(
             and not isinstance(mem_kv, list)):
         layer0 = spec.layers[0]
         lp0 = _layer_slice(dp["layers"], 0)
-        layer_bias, alibi_bias, rel_positions, position_bias = layer_extras(
-            0, layer0, lp0)
+        layer_bias, alibi_bias, rel_positions, position_bias, layer_ring = \
+            layer_extras(0, layer0, lp0,
+                         _layer_slice(self_cache, 0)
+                         if self_cache is not None else None)
         rot = dc.get("rotary", {}).get("0")
         x, new_cache = _scan_decoder_layers(
             arch, spec, dp["layers"], x,
@@ -1202,7 +1392,8 @@ def decoder_forward(
             rel_positions=rel_positions, position_bias=position_bias,
             rot=rot, pos=pos, self_cache=self_cache, mem_kv=mem_kv,
             memory_bias=memory_bias, beam_size=beam_size, lengths=lengths,
-            quantize_acts=quantize_acts, causal_only=causal_only)
+            quantize_acts=quantize_acts, causal_only=causal_only,
+            ring=layer_ring)
         if spec.has_output_norm:
             x = _norm(arch, dp.get("layer_norm"), x)
         if spec.has_project_out:
@@ -1224,12 +1415,11 @@ def decoder_forward(
         aspec = layer.self_attention
         rot = dc.get("rotary", {}).get(str(i))
 
-        layer_bias, alibi_bias, rel_positions, pbias = layer_extras(
-            i, layer, lp)
+        cache_i = _layer_slice(self_cache, i) if self_cache is not None else None
+        layer_bias, alibi_bias, rel_positions, pbias, layer_ring = \
+            layer_extras(i, layer, lp, cache_i)
         if pbias is not None and position_bias is None:
             position_bias = pbias
-
-        cache_i = _layer_slice(self_cache, i) if self_cache is not None else None
 
         layer_attention = None
 
@@ -1254,7 +1444,8 @@ def decoder_forward(
                     position_bias=position_bias, wrap_norm=False,
                     causal=True, flash_lengths=lengths,
                     causal_only=causal_only and not aspec.sliding_window,
-                    beam_chain=beam_chain, beam_chain_size=beam_size)
+                    beam_chain=beam_chain, beam_chain_size=beam_size,
+                    ring=layer_ring)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch, lp["external_pre_encoder_attention_layer_norm"], x) \
@@ -1294,7 +1485,8 @@ def decoder_forward(
                 position_bias=position_bias, wrap_norm=False,
                 causal=True, flash_lengths=lengths,
                 causal_only=causal_only and not aspec.sliding_window,
-                beam_chain=beam_chain, beam_chain_size=beam_size)
+                beam_chain=beam_chain, beam_chain_size=beam_size,
+                    ring=layer_ring)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -1319,7 +1511,8 @@ def decoder_forward(
                 position_bias=position_bias,
                 causal=True, flash_lengths=lengths,
                 causal_only=causal_only and not aspec.sliding_window,
-                beam_chain=beam_chain, beam_chain_size=beam_size)
+                beam_chain=beam_chain, beam_chain_size=beam_size,
+                    ring=layer_ring)
             if layer.cross_attention is not None:
                 want_w = (
                     ("logits" if raw_attention else True)

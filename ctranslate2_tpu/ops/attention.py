@@ -36,7 +36,18 @@ def length_mask_bias(lengths, num_keys: int):
 
 
 def causal_mask_bias(num_queries: int, num_keys: int, offset=0):
-    """[1, 1, Tq, Tk] causal bias; query i attends keys <= i + offset."""
+    """[1, 1, Tq, Tk] causal bias; query i attends keys <= i + offset.
+
+    ``offset`` may be a [B] vector of per-row positions (continuous
+    batching: each slot decodes at its own position); then Tq must be 1
+    and the result is [B, 1, 1, Tk].
+    """
+    if getattr(offset, "ndim", 0) > 0:
+        assert num_queries == 1
+        k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
+        valid = k_pos <= offset[:, None]
+        return jnp.where(valid, 0.0, NEG_INF).astype(
+            jnp.float32)[:, None, None, :]
     q_pos = jnp.arange(num_queries, dtype=jnp.int32)[:, None] + offset
     k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
     valid = k_pos <= q_pos
@@ -44,10 +55,57 @@ def causal_mask_bias(num_queries: int, num_keys: int, offset=0):
 
 
 def sliding_window_bias(num_queries: int, num_keys: int, window: int, offset=0):
-    """Restrict attention to the last ``window`` keys (inclusive of self)."""
+    """Restrict attention to the last ``window`` keys (inclusive of self).
+
+    ``offset`` may be a [B] vector (per-row decode positions); then Tq
+    must be 1 and the result is [B, 1, 1, Tk].
+    """
+    if getattr(offset, "ndim", 0) > 0:
+        assert num_queries == 1
+        k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
+        valid = k_pos > offset[:, None] - window
+        return jnp.where(valid, 0.0, NEG_INF).astype(
+            jnp.float32)[:, None, None, :]
     q_pos = jnp.arange(num_queries, dtype=jnp.int32)[:, None] + offset
     k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
     valid = k_pos > q_pos - window
+    return jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+
+
+def ring_window_bias(num_queries: int, ring: int, window: int, offset=0):
+    """Attention bias for a RING KV buffer of ``ring`` slots holding a
+    sliding window of ``window`` positions (TPU-native replacement for the
+    reference's cache Slide/truncate eviction:
+    reference src/layers/attention.cc:536-557,587-595).
+
+    Keys are written at ``position % ring``. For a query at absolute
+    position q, slot j holds absolute position ``q - d`` where
+    ``d = (q - j) mod ring`` (the latest write at or before q); the slot
+    is valid iff that position is inside the window (``d < window``) and
+    has actually been written (``d <= q``). With ``ring >= 2*window`` and
+    prefill chunks of at most ``window`` tokens, same-chunk future keys
+    wrap to ``d >= window`` and are masked — so the one formula covers
+    chunked prefill and decode.
+
+    The slot with d == 0 is the query's own slot: valid for
+    write-then-attend callers (prefill); decode-step callers attend the
+    fresh token separately and must exclude the stale slot themselves
+    (decode_step_attention's ``pos`` exclusion).
+
+    ``offset`` may be a [B] vector (per-row decode positions, Tq == 1);
+    then the result is [B, 1, 1, ring], else [1, 1, Tq, ring].
+    """
+    j = jnp.arange(ring, dtype=jnp.int32)
+    if getattr(offset, "ndim", 0) > 0:
+        assert num_queries == 1
+        q = offset[:, None]
+        d = jnp.mod(q - j[None, :], ring)
+        valid = (d < window) & (d <= q)
+        return jnp.where(valid, 0.0, NEG_INF).astype(
+            jnp.float32)[:, None, None, :]
+    q = jnp.arange(num_queries, dtype=jnp.int32)[:, None] + offset
+    d = jnp.mod(q - j[None, :], ring)
+    valid = (d < window) & (d <= q)
     return jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, None]
 
 
@@ -374,8 +432,12 @@ def decode_step_attention(
                     preferred_element_type=jnp.float32) * queries_scale
 
     # Exclude the stale slot `pos` from the cache part (the fresh token is
-    # attended through lf).
-    excl = jnp.where(jnp.arange(C) == pos, -1e30, 0.0)
+    # attended through lf). `pos` may be per-row ([B], continuous batching).
+    if getattr(pos, "ndim", 0) > 0:
+        excl = jnp.where(jnp.arange(C)[None, :] == pos[:, None], -1e30,
+                         0.0).reshape(B, 1, 1, 1, C)
+    else:
+        excl = jnp.where(jnp.arange(C) == pos, -1e30, 0.0)
     lc = lc + excl
     if bias is not None:
         b = bias.astype(jnp.float32)
@@ -436,7 +498,10 @@ def chunked_decode_attention(
     acc0 = jnp.broadcast_to(
         v_new[:, :, None, 0].astype(jnp.float32), (B, Hkv, group, D))
 
-    nchunks = (pos + chunk - 1) // chunk
+    # `pos` may be per-row ([B], continuous batching): walk to the longest
+    # row's prefix, masking each row at its own length.
+    pos_vec = getattr(pos, "ndim", 0) > 0
+    nchunks = ((jnp.max(pos) if pos_vec else pos) + chunk - 1) // chunk
 
     def body(i, carry):
         m, l, acc = carry
@@ -447,8 +512,12 @@ def chunked_decode_attention(
             v_pre, (0, 0, start, 0), (B, Hkv, chunk, D))
         s = jnp.einsum("bhgd,bhcd->bhgc", qg, kc,
                        preferred_element_type=jnp.float32) * queries_scale
-        valid = (start + jnp.arange(chunk)) < pos
-        s = jnp.where(valid[None, None, None, :], s, -1e30)
+        if pos_vec:
+            valid = (start + jnp.arange(chunk))[None, :] < pos[:, None]
+            s = jnp.where(valid[:, None, None, :], s, -1e30)
+        else:
+            valid = (start + jnp.arange(chunk)) < pos
+            s = jnp.where(valid[None, None, None, :], s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)

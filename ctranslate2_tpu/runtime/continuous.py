@@ -1,0 +1,394 @@
+"""Iteration-level (continuous) batching engine for decoder-only models.
+
+This is the TPU-native answer to the serving capability the reference
+approximates with a replica pool + buffered batcher (reference:
+include/ctranslate2/replica_pool.h:19-300,
+src/buffered_translation_wrapper.cc:68-111): instead of grouping whole
+requests into batches that run to completion, a persistent jitted
+``decode_step`` advances a FIXED set of slots one token per dispatch, and
+between steps the host harvests finished slots and admits queued requests
+into the freed rows (prefill writes the prompt KV into the slot's cache
+rows). A request submitted mid-decode of another starts on the very next
+step — no waiting for the running request's full generation.
+
+TPU-first design points:
+- static shapes everywhere: ``num_slots`` rows x ``capacity`` KV slots,
+  so ONE executable serves the whole serving lifetime;
+- per-slot positions: every slot decodes at its own ``pos`` (vector
+  positions thread through rotary/position encodings, causal masks and
+  cache scatters — see models/transformer.py);
+- donated cache: the step function donates the KV cache buffers, so XLA
+  updates them in place across dispatches;
+- the only host<->device traffic per step is the sampled token row
+  ([num_slots] int32) plus tiny control vectors.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..decoding import processors as proc
+from ..decoding.sampling import sample_tokens
+from ..models import transformer as T
+from .results import GenerationResult
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class _Request:
+    prompt_ids: List[int]
+    max_length: int
+    min_length: int
+    future: Future = field(default_factory=Future)
+    # Filled while decoding:
+    generated: List[int] = field(default_factory=list)
+    score: float = 0.0
+
+
+class ContinuousBatcher:
+    """Continuous batching front-end over a ``Generator``'s model.
+
+    One options signature per batcher (same restriction the reference
+    applies per batch): sampling settings, end tokens and suppressions are
+    fixed at construction; ``max_length``/``min_length`` are per request.
+
+    Restrictions (clear errors otherwise): decoder-only models without
+    ALiBi / T5 relative bias / Shaw relative positions — i.e. the
+    rotary / learned / sinusoidal position families that dominate serving
+    workloads.
+    """
+
+    def __init__(
+        self,
+        generator,
+        *,
+        num_slots: int = 8,
+        capacity: int = 1024,
+        end_token=None,
+        suppress_tokens: Sequence[str] = (),
+        sampling_topk: int = 1,
+        sampling_topp: float = 1.0,
+        sampling_temperature: float = 1.0,
+        seed: int = 0,
+        prefill_bucket: int = 16,
+        steps_per_sync: int = 8,
+    ):
+        model = generator.model
+        if not model.is_decoder_only:
+            raise ValueError("ContinuousBatcher requires a decoder-only model")
+        if model.arch.decoder.alibi:
+            raise NotImplementedError(
+                "ContinuousBatcher does not support ALiBi models")
+        self.model = model
+        self._vocab = model.target_vocabulary
+        self._num_slots = num_slots
+        self._capacity = capacity
+        self._prefill_bucket = prefill_bucket
+        # Steps per device dispatch: an in-jit lax.scan advances all slots
+        # `block` tokens between host syncs, amortizing dispatch overhead;
+        # harvest/admit happen at block boundaries. 1 = per-token control.
+        self._block = max(1, steps_per_sync)
+        self._greedy = sampling_topk == 1 and sampling_topp >= 1.0
+        self._topk = sampling_topk
+        self._topp = sampling_topp
+        self._temperature = sampling_temperature
+        v = self._vocab
+        if end_token is None or end_token == "":
+            self._end_ids = (v.eos_id,)
+        elif isinstance(end_token, str):
+            self._end_ids = (v.to_id(end_token, allow_unk=False),)
+        else:
+            self._end_ids = tuple(
+                t if isinstance(t, int) else v.to_id(t, allow_unk=False)
+                for t in end_token)
+        self._suppress_ids = tuple(
+            v.to_id(t, allow_unk=False) for t in suppress_tokens)
+        self._key = jax.random.PRNGKey(seed)
+
+        model.ensure_consts(capacity)
+
+        # Device state (owned by the scheduler thread after start).
+        # Windowed layers use O(window) ring buffers (single-token decode).
+        self._ring = T.ring_capacity(model.arch)
+        self._cache = T.init_self_cache(
+            model.arch, num_slots, capacity, dtype=model.kv_dtype,
+            stacked=model.scan_layers, ring=True)
+        self._step_fn = self._build_step()
+        self._prefill_fns = {}
+        self._insert_fn = jax.jit(
+            T.cache_insert_row, donate_argnums=(0,))
+
+        # Host slot state.
+        self._slots: List[Optional[_Request]] = [None] * num_slots
+        self._pos = np.zeros(num_slots, np.int32)
+        self._tokens = np.zeros(num_slots, np.int32)
+        self._step_count = 0
+        self._steps_while_pending = 0
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._closed = False
+        self._wake = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="ct2tpu-continuous")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # Public API.
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt: Sequence[str], *, max_length: int = 256,
+               min_length: int = 0) -> Future:
+        """Queue one prompt; the Future resolves to a GenerationResult
+        holding the GENERATED continuation (prompt not included)."""
+        if self._closed:
+            raise RuntimeError("The batcher is closed")
+        if not prompt:
+            raise ValueError("The prompt must contain at least one token")
+        ids = [self._vocab.to_id(t) if isinstance(t, str) else int(t)
+               for t in prompt]
+        if len(ids) + max_length + self._block > self._capacity:
+            raise ValueError(
+                f"prompt ({len(ids)}) + max_length ({max_length}) + "
+                f"steps_per_sync ({self._block}) exceeds the slot "
+                f"capacity ({self._capacity})")
+        if self._ring and len(ids) > self._ring:
+            raise ValueError(
+                f"prompt ({len(ids)}) exceeds the sliding-window ring "
+                f"capacity ({self._ring}); chunk the prompt or use "
+                "Generator.generate_batch")
+        req = _Request(prompt_ids=ids, max_length=max_length,
+                       min_length=min_length)
+        self._queue.put(req)
+        self._wake.set()
+        return req.future
+
+    @property
+    def num_active_slots(self) -> int:
+        return sum(1 for s in self._slots if s is not None)
+
+    @property
+    def num_queued_requests(self) -> int:
+        return self._queue.qsize()
+
+    @property
+    def num_steps(self) -> int:
+        """Total decode steps dispatched (each advances every active slot)."""
+        return self._step_count
+
+    def close(self):
+        self._closed = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------
+    # Jitted pieces.
+    # ------------------------------------------------------------------
+
+    def _sample_logits(self, l, disable_end, key):
+        l = l.astype(jnp.float32)
+        l = proc.disable_tokens(l, self._suppress_ids)
+        l = proc.disable_tokens_if(l, self._end_ids, disable_end)
+        log_probs = jax.nn.log_softmax(l, axis=-1)
+        return sample_tokens(
+            log_probs, key, topk=self._topk, topp=self._topp,
+            temperature=self._temperature, greedy=self._greedy)
+
+    def _build_step(self):
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+
+        block = self._block
+
+        def step(params, consts, cache, tokens, pos, gen_len, min_len,
+                 key, n):
+            def body(carry, i):
+                tokens, pos, gen_len, cache = carry
+                logits, cache, _ = T.decoder_forward(
+                    arch, params, consts, tokens[:, None], pos, cache,
+                    None, None, quantize_acts=quantize_acts,
+                    out_dtype=out_dtype)
+                disable_end = gen_len < min_len
+                ids, scores = self._sample_logits(
+                    logits[:, -1], disable_end,
+                    jax.random.fold_in(key, n * block + i))
+                return (ids, pos + 1, gen_len + 1, cache), (ids, scores)
+
+            (tokens, pos, gen_len, cache), (ids_k, scores_k) = jax.lax.scan(
+                body, (tokens, pos, gen_len, cache),
+                jnp.arange(block, dtype=jnp.int32))
+            return ids_k, scores_k, cache
+
+        return jax.jit(step, donate_argnums=(2,))
+
+    def _get_prefill(self, padded_len: int):
+        fn = self._prefill_fns.get(padded_len)
+        if fn is not None:
+            return fn
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+        kv_dtype = model.kv_dtype
+        stacked = model.scan_layers
+
+        def prefill(params, consts, ids, length, disable_end, key, n):
+            # ids [1, P] padded; real prompt occupies [0, length). The
+            # prefill cache is prompt-sized (O(P^2) attention, not O(P*C));
+            # cache_insert_row pads it into the full-capacity slot row.
+            cache = T.init_self_cache(arch, 1, padded_len, dtype=kv_dtype,
+                                      stacked=stacked, ring=True)
+            logits, cache, _ = T.decoder_forward(
+                arch, params, consts, ids, jnp.int32(0), cache,
+                None, None, lengths=length[None],
+                quantize_acts=quantize_acts, out_dtype=out_dtype)
+            last = jnp.take(logits[0], length - 1, axis=0)
+            ids_out, scores = self._sample_logits(
+                last[None], disable_end[None], jax.random.fold_in(key, n))
+            return ids_out[0], scores[0], cache
+
+        fn = jax.jit(prefill)
+        self._prefill_fns[padded_len] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Scheduler loop.
+    # ------------------------------------------------------------------
+
+    def _loop(self):
+        try:
+            while True:
+                self._harvest()
+                self._admit()
+                active = [i for i, s in enumerate(self._slots) if s is not None]
+                if not active:
+                    if self._closed:
+                        self._fail_pending(RuntimeError("Batcher closed"))
+                        return
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+                    continue
+                self._decode_step(active)
+        except BaseException as e:  # noqa: BLE001
+            self._fail_pending(e)
+            for s in self._slots:
+                if s is not None and not s.future.done():
+                    s.future.set_exception(e)
+
+    def _fail_pending(self, exc):
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            req.future.set_exception(exc)
+
+    def _harvest(self):
+        for i, req in enumerate(self._slots):
+            if req is None:
+                continue
+            done = False
+            if req.generated and req.generated[-1] in self._end_ids \
+                    and len(req.generated) > req.min_length:
+                req.generated.pop()  # drop the end token (reference strips it)
+                done = True
+            elif len(req.generated) >= req.max_length:
+                done = True
+            elif int(self._pos[i]) + self._block > self._capacity:
+                done = True  # slot capacity exhausted
+            if done:
+                self._finish(i, req)
+
+    def _finish(self, slot: int, req: _Request):
+        v = self._vocab
+        self._slots[slot] = None
+        result = GenerationResult(
+            sequences=[[v.to_token(t) for t in req.generated]],
+            sequences_ids=[list(req.generated)],
+            scores=[req.score],
+        )
+        if not req.future.done():
+            req.future.set_result(result)
+
+    def _admit(self):
+        free = [i for i, s in enumerate(self._slots) if s is None]
+        while free:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            slot = free.pop(0)
+            self._prefill_into_slot(slot, req)
+
+    def _prefill_into_slot(self, slot: int, req: _Request):
+        model = self.model
+        ids = req.prompt_ids
+        P = _round_up(len(ids), self._prefill_bucket)
+        padded = np.zeros((1, P), np.int32)
+        padded[0, : len(ids)] = ids
+        fn = self._get_prefill(P)
+        tok, score, sub_cache = fn(
+            model.params, model.consts, jnp.asarray(padded),
+            jnp.int32(len(ids)),
+            jnp.asarray(req.min_length > 0),
+            self._key, jnp.int32(self._step_count))
+        self._cache = self._insert_fn(
+            self._cache, sub_cache, jnp.int32(slot))
+        first = int(tok)
+        req.generated.append(first)
+        req.score += float(score)
+        self._slots[slot] = req
+        self._pos[slot] = len(ids)
+        self._tokens[slot] = first
+
+    def _decode_step(self, active: List[int]):
+        model = self.model
+        min_len = np.zeros(self._num_slots, np.int32)
+        gen_len = np.zeros(self._num_slots, np.int32)
+        for i in active:
+            req = self._slots[i]
+            min_len[i] = req.min_length
+            gen_len[i] = len(req.generated)
+        # Clamp inactive slots' positions inside the buffer (their writes
+        # land on rows that the next admit fully overwrites).
+        pos = np.minimum(self._pos, self._capacity - self._block)
+
+        ids_d, scores_d, self._cache = self._step_fn(
+            model.params, model.consts, self._cache,
+            jnp.asarray(self._tokens), jnp.asarray(pos),
+            jnp.asarray(gen_len), jnp.asarray(min_len), self._key,
+            jnp.int32((self._step_count // max(1, self._block))
+                      + 0x40000000))
+        self._step_count += self._block
+        if not self._queue.empty():
+            self._steps_while_pending += 1
+        ids = np.asarray(ids_d)          # [block, S]
+        scores = np.asarray(scores_d, np.float32)
+        for i in active:
+            req = self._slots[i]
+            for j in range(self._block):
+                tok = int(ids[j, i])
+                req.generated.append(tok)
+                req.score += float(scores[j, i])
+                self._tokens[i] = tok
+                self._pos[i] += 1
+                # Stop consuming once this request is done (its remaining
+                # block tokens are a discarded speculative continuation);
+                # _harvest frees the slot right after.
+                if (tok in self._end_ids
+                        and len(req.generated) > req.min_length):
+                    break
+                if len(req.generated) >= req.max_length:
+                    break

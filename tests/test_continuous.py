@@ -1,0 +1,142 @@
+"""Continuous (iteration-level) batching tests.
+
+The key property the reference's serving runtime lacks and this engine
+provides: a request submitted mid-decode of another joins the running
+batch at the next step and completes WITHOUT waiting for the first
+request's full generation."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ctranslate2_tpu import ContinuousBatcher, Generator
+from ctranslate2_tpu.converters.builder import build_decoder_only_model
+
+
+@pytest.fixture(scope="module")
+def gen_model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ctsmodel")
+    path = build_decoder_only_model(str(d / "m"), quantization=None)
+    return Generator(path)
+
+
+def _batcher(gen, **kw):
+    kw.setdefault("num_slots", 4)
+    kw.setdefault("capacity", 256)
+    return ContinuousBatcher(gen, **kw)
+
+
+def test_single_request_matches_generate_batch(gen_model):
+    prompt = ["tok1", "tok2", "tok3"]
+    expected = gen_model.generate_batch(
+        [prompt], max_length=16, include_prompt_in_result=False,
+        return_scores=True)[0]
+    cb = _batcher(gen_model)
+    try:
+        result = cb.submit(prompt, max_length=16).result(timeout=300)
+        assert result.sequences_ids[0] == expected.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+def test_parallel_requests_match_sequential(gen_model):
+    prompts = [["tok1"], ["tok2", "tok3"], ["tok4", "tok1", "tok2"],
+               ["tok3", "tok4"], ["tok2"], ["tok1", "tok4"]]
+    expected = [
+        gen_model.generate_batch([p], max_length=12,
+                                 include_prompt_in_result=False)[0]
+        for p in prompts
+    ]
+    cb = _batcher(gen_model, num_slots=3)
+    try:
+        futures = [cb.submit(p, max_length=12) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=300).sequences_ids[0] == e.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+def test_join_mid_decode(gen_model):
+    """A short request submitted while a long one is decoding finishes
+    first — iteration-level batching, not run-to-completion."""
+    cb = _batcher(gen_model, num_slots=2)
+    try:
+        long_f = cb.submit(["tok1"], max_length=120)
+        # Wait until the long request is actually decoding.
+        deadline = time.time() + 120
+        while cb.num_steps < 5 and time.time() < deadline:
+            time.sleep(0.01)
+        assert cb.num_steps >= 5 and not long_f.done()
+        steps_before = cb.num_steps
+        short_f = cb.submit(["tok2"], max_length=3)
+        short = short_f.result(timeout=300)
+        assert len(short.sequences_ids[0]) <= 3
+        # The short request completed while the long one was still running.
+        assert not long_f.done()
+        assert cb.num_steps > steps_before
+        long_r = long_f.result(timeout=600)
+        assert len(long_r.sequences_ids[0]) <= 120
+    finally:
+        cb.close()
+
+
+def test_more_requests_than_slots(gen_model):
+    cb = _batcher(gen_model, num_slots=2)
+    try:
+        futures = [cb.submit([f"tok{1 + i % 4}"], max_length=8)
+                   for i in range(7)]
+        results = [f.result(timeout=600) for f in futures]
+        assert all(len(r.sequences_ids[0]) <= 8 for r in results)
+    finally:
+        cb.close()
+
+
+def test_min_length_and_end_token(gen_model):
+    cb = _batcher(gen_model)
+    try:
+        r = cb.submit(["tok1"], max_length=10, min_length=6).result(timeout=300)
+        assert len(r.sequences_ids[0]) >= 6
+    finally:
+        cb.close()
+
+
+def test_capacity_validation(gen_model):
+    cb = _batcher(gen_model, capacity=32)
+    try:
+        with pytest.raises(ValueError, match="capacity"):
+            cb.submit(["tok1"] * 20, max_length=100)
+        with pytest.raises(ValueError):
+            cb.submit([])
+    finally:
+        cb.close()
+
+
+def test_close_rejects_new_requests(gen_model):
+    cb = _batcher(gen_model)
+    cb.close()
+    with pytest.raises(RuntimeError):
+        cb.submit(["tok1"])
+
+
+def test_sampled_mode_runs(gen_model):
+    cb = _batcher(gen_model, sampling_topk=5, sampling_temperature=0.8, seed=7)
+    try:
+        r = cb.submit(["tok1", "tok2"], max_length=10).result(timeout=300)
+        assert 0 < len(r.sequences_ids[0]) <= 10
+    finally:
+        cb.close()
+
+
+def test_int8_model_continuous(tmp_path):
+    path = build_decoder_only_model(str(tmp_path / "m8"), quantization="int8")
+    gen = Generator(path)
+    expected = gen.generate_batch(
+        [["tok1", "tok2"]], max_length=8,
+        include_prompt_in_result=False)[0]
+    cb = _batcher(gen)
+    try:
+        r = cb.submit(["tok1", "tok2"], max_length=8).result(timeout=300)
+        assert r.sequences_ids[0] == expected.sequences_ids[0]
+    finally:
+        cb.close()

@@ -1,0 +1,149 @@
+"""Serving benchmark: continuous batching vs run-to-completion batching.
+
+Simulates online traffic with mixed generation lengths — the workload
+where iteration-level batching wins: short requests joining mid-decode
+don't wait for the longest request in a batch.
+
+Usage:
+    python tools/bench_serving.py [--model DIR] [--requests N]
+        [--slots S] [--max-new MAX] [--seed K]
+
+Without --model, a synthetic Llama-style decoder is fabricated in memory.
+Prints one JSON line per engine with tokens/s and per-request latency.
+"""
+
+import argparse
+import json
+import random
+import time
+
+
+def make_model(args):
+    if args.model:
+        return args.model
+    import tempfile
+
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+
+    d = tempfile.mkdtemp(prefix="ct2tpu_serving_")
+    return build_decoder_only_model(
+        d, vocab_size=256, num_layers=args.layers, num_heads=8,
+        d_model=args.d_model, d_ff=4 * args.d_model, num_heads_kv=4,
+        rotary_dim=args.d_model // 8, glu=True, rms_norm=True,
+        quantization=args.quantization)
+
+
+def gen_traffic(vocab, n, max_new, seed):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        plen = rng.randint(1, 12)
+        prompt = [vocab[rng.randrange(len(vocab))] for _ in range(plen)]
+        # Bimodal: mostly short replies, some long — the continuous-batching
+        # sweet spot.
+        new = rng.randint(4, 16) if rng.random() < 0.7 else rng.randint(
+            max_new // 2, max_new)
+        out.append((prompt, new))
+    return out
+
+
+def bench_continuous(gen, traffic, slots, capacity):
+    from ctranslate2_tpu import ContinuousBatcher
+
+    cb = ContinuousBatcher(gen, num_slots=slots, capacity=capacity)
+    try:
+        # Warmup compile.
+        cb.submit(traffic[0][0], max_length=4).result(timeout=600)
+        t0 = time.time()
+        futures = [cb.submit(prompt, max_length=new)
+                   for prompt, new in traffic]
+        tokens = 0
+        done_at = [None] * len(futures)
+
+        def watch(i, f):
+            f.result(timeout=1200)
+            done_at[i] = time.time() - t0
+
+        import threading
+        watchers = [threading.Thread(target=watch, args=(i, f))
+                    for i, f in enumerate(futures)]
+        for w in watchers:
+            w.start()
+        for w in watchers:
+            w.join()
+        for f in futures:
+            tokens += len(f.result().sequences_ids[0])
+        dt = time.time() - t0
+        latencies = done_at
+    finally:
+        cb.close()
+    return tokens, dt, latencies
+
+
+def bench_sequential(gen, traffic, slots):
+    """Run-to-completion dynamic batching: groups of `slots` requests,
+    each group decodes to its LONGEST member before the next starts."""
+    # Warmup compile path.
+    gen.generate_batch([traffic[0][0]], max_length=4,
+                       include_prompt_in_result=False)
+    t0 = time.time()
+    tokens = 0
+    latencies = []
+    for i in range(0, len(traffic), slots):
+        group = traffic[i:i + slots]
+        results = gen.generate_batch(
+            [p for p, _ in group],
+            max_length=max(n for _, n in group),
+            include_prompt_in_result=False)
+        # All requests were available at t0; a group's members finish when
+        # the group does (run-to-completion semantics).
+        done = time.time() - t0
+        for r, (_, new) in zip(results, group):
+            tokens += min(len(r.sequences_ids[0]), new)
+            latencies.append(done)
+    dt = time.time() - t0
+    return tokens, dt, latencies
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--capacity", type=int, default=512)
+    ap.add_argument("--max-new", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--d-model", type=int, default=256)
+    ap.add_argument("--quantization", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from ctranslate2_tpu import Generator
+
+    path = make_model(args)
+    gen = Generator(path)
+    tv = gen.model.target_vocabulary
+    vocab = [tv.to_token(i) for i in range(len(tv))]
+    vocab = [t for t in vocab if not t.startswith("<")][:200]
+    traffic = gen_traffic(vocab, args.requests, args.max_new, args.seed)
+
+    for name, fn in [
+        ("sequential", lambda: bench_sequential(gen, traffic, args.slots)),
+        ("continuous", lambda: bench_continuous(
+            gen, traffic, args.slots, args.capacity)),
+    ]:
+        tokens, dt, lat = fn()
+        lat.sort()
+        print(json.dumps({
+            "engine": name,
+            "requests": len(traffic),
+            "tokens": tokens,
+            "tokens_per_s": round(tokens / dt, 1),
+            "total_s": round(dt, 2),
+            "p50_latency_s": round(lat[len(lat) // 2], 3),
+            "p95_latency_s": round(lat[int(len(lat) * 0.95)], 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()
