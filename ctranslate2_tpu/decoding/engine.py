@@ -160,7 +160,7 @@ class DecodingEngine:
                 use = (bias_tokens >= 0)[:, None]
                 log_probs = jnp.where(use, jnp.log(jnp.maximum(biased, 1e-20)), log_probs)
 
-            if sig.beam_size > 1:
+            if sig.num_candidates > 1:  # beam strategy (incl. beam_size=1 biased)
                 total = log_probs + scores[:, None]
                 N, V = total.shape
                 B = N // sig.beam_size
@@ -210,7 +210,11 @@ class DecodingEngine:
     ) -> List[DecodingResult]:
         if params is None:
             params = self.model.params
-        if options.beam_size > 1:
+        # Prefix-biased decoding always runs the beam strategy, even at
+        # beam_size=1 (reference: make_search_strategy,
+        # src/decoding.cc:1076-1088).
+        if options.beam_size > 1 or (
+                options.prefix_bias_beta > 0 and prefix_ids is not None):
             return self._beam_search(
                 start_ids, options, memory=memory, memory_lengths=memory_lengths,
                 cache=cache, start_step=start_step, prefix_ids=prefix_ids,
@@ -250,13 +254,15 @@ class DecodingEngine:
         if cache is None:
             pass  # fast paths initialize the cache inside the jit
         else:
-            # Grow/replicate an existing cache to N rows / `capacity` cols.
-            cache = T.cache_grow(cache, N, capacity)
+            # Grow/replicate an existing cache to N rows / `capacity` cols
+            # (ring-buffer leaves keep their size).
+            cache = T.cache_grow(cache, N, capacity, arch=model.arch)
 
         return N, max_step, capacity, mem_kv, mem_bias, cache, use_hard_prefix
 
     def _make_sig(self, options: DecodingOptions, beam, num_candidates,
-                  end_ids, has_memory, greedy_sampler) -> StepSig:
+                  end_ids, has_memory, greedy_sampler,
+                  use_bias: bool = False) -> StepSig:
         whisper_ts = getattr(options, "whisper_ts", None)
         use_alive = (
             options.repetition_penalty != 1.0
@@ -281,7 +287,8 @@ class DecodingEngine:
             sampling_topk=options.sampling_topk,
             sampling_topp=options.sampling_topp,
             sampling_temperature=options.sampling_temperature,
-            use_bias_token=False,
+            use_bias_token=use_bias,
+            prefix_bias_beta=options.prefix_bias_beta if use_bias else 0.0,
             whisper_ts=whisper_ts,
         )
 
@@ -334,11 +341,18 @@ class DecodingEngine:
             self._common_setup(B, K, options, memory, memory_lengths, cache,
                                start_step, prefix_ids, end_ids, capacity))
 
-        sig = self._make_sig(options, K, K2, end_ids, has_memory, True)
+        # Prefix-biased decoding (reference: src/decoding.cc:476-483): the
+        # prefix is not hard-forced; the softmax is interpolated toward it
+        # until a beam diverges.
+        use_bias = (prefix_ids is not None
+                    and any(p for p in prefix_ids)
+                    and options.prefix_bias_beta > 0)
+        sig = self._make_sig(options, K, K2, end_ids, has_memory, True,
+                             use_bias=use_bias)
 
         # Fast path: whole-generation on-device beam loop.
         if (not sig.return_attention and options.coverage_penalty == 0
-                and not options.return_logits_vocab):
+                and not options.return_logits_vocab and not use_bias):
             return self._beam_device_loop(
                 start_ids, options, sig, end_ids, mem_kv, mem_bias, cache,
                 start_step, prefix_ids if use_hard_prefix else None,
@@ -386,6 +400,14 @@ class DecodingEngine:
         if use_hard_prefix and prefix_ids is not None:
             prefix_lengths = [len(p) if p else 0 for p in prefix_ids]
 
+        # Divergence tracking for prefix-biased decoding, indexed by beam
+        # SLOT as the reference does (src/decoding.cc:326-345).
+        bias_prefix = None
+        diverged = None
+        if use_bias:
+            bias_prefix = [list(p) if p else [] for p in prefix_ids]
+            diverged = np.zeros((B, K), bool)
+
         def is_last_step(step, prefix_length):
             return step + 1 == options.max_length + (
                 0 if options.return_prefix else prefix_length)
@@ -399,11 +421,21 @@ class DecodingEngine:
 
             gen_len = jnp.int32(step)
             fed = tokens if token_map is None else np.asarray(token_map)[tokens]
+            bias_tokens_arr = None
+            if use_bias:
+                bt = np.full(N, -1, np.int32)
+                for i in range(B):
+                    p = bias_prefix[i]
+                    if step < len(p):
+                        for k in range(K):
+                            if not diverged[i, k]:
+                                bt[i * K + k] = p[step]
+                bias_tokens_arr = jnp.asarray(bt)
             topk_ids_d, topk_scores_d, cache, attn_d, _, l_d = step_fn(
                 params, model.consts, jnp.asarray(fed),
                 jnp.int32(start_step + step), cache, mem_kv, mem_bias,
                 jnp.asarray(scores), jnp.asarray(disable_end_np),
-                alive_seq, gen_len, None, key)
+                alive_seq, gen_len, bias_tokens_arr, key)
 
             topk_flat = np.array(topk_ids_d)      # [B, 2K] flat beam*V ids
             topk_scores = np.array(topk_scores_d, np.float32)  # [B, 2K]
@@ -499,6 +531,16 @@ class DecodingEngine:
                 else:
                     any_active = True
 
+            # Divergence update from the SELECTED beam tokens (reference:
+            # get_beams_divergence_from_prefix, src/decoding.cc:326-345).
+            if use_bias:
+                for i in range(B):
+                    p = bias_prefix[i]
+                    for k in range(K):
+                        diverged[i, k] = (
+                            step >= len(p) or diverged[i, k]
+                            or int(new_tokens[i * K + k]) != p[step])
+
             if not any_active:
                 break
 
@@ -582,7 +624,7 @@ class DecodingEngine:
             rows = (cache["k"] if T.cache_is_stacked(cache)
                     else cache[0]["k"]).shape[
                         1 if T.cache_is_stacked(cache) else 0]
-            cache = T.cache_grow(cache, rows, capacity)
+            cache = T.cache_grow(cache, rows, capacity, arch=model.arch)
 
         pos = start_step
         if prefix_length > 0:
@@ -937,7 +979,7 @@ class DecodingEngine:
         if cache is None:
             cache = T.init_self_cache(
                 self.model.arch, N, capacity, dtype=self.model.kv_dtype,
-                stacked=self.model.scan_layers)
+                stacked=self.model.scan_layers, ring=True)
 
         step_fn = self._get_step(sig)
 

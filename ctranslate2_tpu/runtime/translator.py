@@ -146,9 +146,15 @@ class Translator:
             raise ValueError("max_decoding_length must be > 0")
         if return_alternatives and (len(source) > 1 or beam_size > 1):
             pass  # handled per example below
-        if prefix_bias_beta > 0:
-            raise NotImplementedError(
-                "prefix_bias_beta (biased decoding) is not implemented yet")
+        # Biased-decoding validation (reference: src/decoding.cc:1042-1054).
+        if prefix_bias_beta >= 1:
+            raise ValueError("The beta value in biased decoding must be < 1")
+        if prefix_bias_beta > 0 and return_alternatives:
+            raise ValueError("Biased decoding is not compatible with the "
+                             "return_alternatives mode")
+        if callback is not None and prefix_bias_beta > 0:
+            raise ValueError("The callback function is not compatible with "
+                             "prefix_bias_beta > 0")
 
         tv = self._target_vocab
         end_ids = self._resolve_end_token(end_token)

@@ -292,3 +292,43 @@ def test_return_logits_vocab(tiny_model_path):
     # Off by default.
     r = t.translate_batch(src, beam_size=1)[0]
     assert r.logits == []
+
+
+@pytest.mark.parametrize("beam_size", [1, 2])
+def test_strongly_biased_target_prefix(translator, beam_size):
+    # Reference: python/tests/test_translator.py test_strongly_biased_target_prefix.
+    output = translator.translate_batch(
+        [SRC1, SRC2],
+        target_prefix=[["a", "t", "s"], None],
+        beam_size=beam_size,
+        prefix_bias_beta=0.9999999,
+    )
+    assert output[0].hypotheses[0][:3] == ["a", "t", "s"]
+    assert output[1].hypotheses[0] == ["a", "c", "h", "i", "s", "o", "n"]
+
+
+@pytest.mark.parametrize("beam_size", [1, 2])
+def test_weakly_biased_target_prefix(translator, beam_size):
+    # Reference: python/tests/test_translator.py test_weakly_biased_target_prefix.
+    unconstrained = translator.translate_batch(
+        [SRC1, SRC2], beam_size=beam_size, return_scores=True)
+    weakly_biased = translator.translate_batch(
+        [SRC1, SRC2],
+        target_prefix=[["a", "t", "s"], ["s", "i", "o"]],
+        beam_size=beam_size,
+        prefix_bias_beta=0.0000001,
+        return_scores=True,
+    )
+    for u, w in zip(unconstrained, weakly_biased):
+        assert u.hypotheses[0] == w.hypotheses[0]
+        assert abs(u.scores[0] - w.scores[0]) < 0.00001
+
+
+def test_biased_decoding_validation(translator):
+    with pytest.raises(ValueError):
+        translator.translate_batch(
+            [SRC1], target_prefix=[["a"]], prefix_bias_beta=1.0)
+    with pytest.raises(ValueError):
+        translator.translate_batch(
+            [SRC1], target_prefix=[["a"]], prefix_bias_beta=0.5,
+            return_alternatives=True, num_hypotheses=2)
