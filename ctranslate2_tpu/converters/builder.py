@@ -240,6 +240,11 @@ def build_decoder_only_model(
             self_attention=True, num_heads_kv=num_heads_kv,
             rotary_dim=rotary_dim, rms_norm=rms_norm,
             with_norm=not (parallel_residual and shared_layer_norm))
+        if sliding_window:
+            # Per-layer attr, matching the HF converter / reference
+            # attention_spec serialization.
+            b.add_attr(f"{ls}/self_attention/sliding_window",
+                       sliding_window, "int32")
         if parallel_residual:
             norm_scope = ("shared_layer_norm" if shared_layer_norm
                           else "input_layer_norm")

@@ -181,15 +181,24 @@ class Generator:
 
     def _prefill(self, ids_list: List[List[int]], cache, start_step: int,
                  capacity: int):
-        """Forward a uniform-length prompt chunk into the cache."""
+        """Forward a uniform-length prompt chunk into the cache.
+
+        Sliding-window models run the prompt through Wr-aligned chunks
+        (reference chunked prefill: src/layers/transformer.cc:735-792) so
+        ring KV buffers only ever see window-aligned writes."""
         model = self.model
-        ids_arr = jnp.asarray(ids_list, dtype=jnp.int32)
-        _, cache, _ = T.decoder_forward_jit(
-            model.arch, model.params, model.consts,
-            ids_arr, jnp.int32(start_step), cache, None, None,
-            quantize_acts=model.policy.quantize_activations,
-            out_dtype=model.out_dtype,
-            return_logits=False)
+        length = len(ids_list[0])
+        for off, size in T.split_prefill_chunks(
+                start_step, length, T.ring_block(model.arch)):
+            rel = off - start_step
+            ids_arr = jnp.asarray(
+                [row[rel: rel + size] for row in ids_list], dtype=jnp.int32)
+            _, cache, _ = T.decoder_forward_jit(
+                model.arch, model.params, model.consts,
+                ids_arr, jnp.int32(off), cache, None, None,
+                quantize_acts=model.policy.quantize_activations,
+                out_dtype=model.out_dtype,
+                return_logits=False)
         return cache
 
     def _generate(self, start_tokens, options, end_ids, static_prompt,
@@ -213,28 +222,35 @@ class Generator:
         # attention fast path).
         cache = None
 
+        # Ring KV buffers (O(window) memory) apply to single-token decode;
+        # beam search uses chain-mask attention which needs linear caches.
+        use_ring = options.beam_size == 1
+
         def ensure_cache():
             return T.init_self_cache(
                 model.arch, B * options.beam_size
                 if options.beam_size > 1 else B,
-                capacity, dtype=model.kv_dtype, stacked=model.scan_layers)
+                capacity, dtype=model.kv_dtype, stacked=model.scan_layers,
+                ring=use_ring)
 
         # Static prompt (reference: src/models/language_model.cc:186-215).
         if static_prompt:
             sp_ids = tuple(v.to_id(t) for t in static_prompt)
+            sp_key = (sp_ids, use_ring)  # ring caches can't serve beam runs
             with self._static_prompt_lock:
-                cached = (self._static_prompt_cache.get(sp_ids)
+                cached = (self._static_prompt_cache.get(sp_key)
                           if cache_static_prompt else None)
             if cached is not None and cached[1] <= capacity:
                 sp_cache, _ = cached
             else:
                 single = T.init_self_cache(model.arch, 1, capacity,
                                            dtype=model.kv_dtype,
-                                           stacked=model.scan_layers)
+                                           stacked=model.scan_layers,
+                                           ring=use_ring)
                 sp_cache = self._prefill([list(sp_ids)], single, 0, capacity)
                 if cache_static_prompt:
                     with self._static_prompt_lock:
-                        self._static_prompt_cache[sp_ids] = (sp_cache, capacity)
+                        self._static_prompt_cache[sp_key] = (sp_cache, capacity)
             N = B * options.beam_size if options.beam_size > 1 else B
             cache = T.cache_repeat_rows(sp_cache, N)
             start_step += len(sp_ids)
@@ -250,7 +266,8 @@ class Generator:
                 if options.beam_size > 1:
                     base = T.init_self_cache(model.arch, B, capacity,
                                              dtype=model.kv_dtype,
-                                             stacked=model.scan_layers)
+                                             stacked=model.scan_layers,
+                                             ring=False)
                     if static_prompt:
                         base = T.cache_repeat_rows(sp_cache, B)
                     base = self._prefill(prompt_chunk, base, start_step, capacity)
