@@ -899,7 +899,13 @@ class TransformersConverter:
         b.quantize(quantization)
         os.makedirs(output_dir, exist_ok=True)
         b.save(output_dir, config=model_config)
-        with open(os.path.join(output_dir, "vocabulary.json"), "w",
+        # Sequence-to-sequence specs need the shared vocabulary under the
+        # name the runtime maps to BOTH source and target
+        # (reference: model dir layout, src/models/sequence_to_sequence.cc:13-77).
+        vocab_name = ("shared_vocabulary.json"
+                      if b.spec_name == "TransformerSpec"
+                      else "vocabulary.json")
+        with open(os.path.join(output_dir, vocab_name), "w",
                   encoding="utf-8") as f:
             json.dump(tokens, f, ensure_ascii=False)
         return output_dir
@@ -1598,5 +1604,334 @@ def load_t5gemma(b: ConvBuilder, model, config, tokenizer):
     b.set_linear("decoder/projection", module.decoder.embed_tokens)
     return {
         "layer_norm_epsilon": float(enc_cfg.rms_norm_eps),
+        "decoder_start_token": getattr(tokenizer, "bos_token", "<s>") or "<s>",
+    }
+
+
+@register("Gemma4Config", "Gemma4TextConfig", "Gemma4UnifiedConfig",
+          "Gemma4UnifiedTextConfig")
+def load_gemma4(b: ConvBuilder, model, config, tokenizer):
+    """Gemma 4 (31B layout): sandwich norms, learnable QK norms + pure-RMS
+    V norm, interleaved sliding/full attention with per-layer head dims,
+    KV head counts and RoPE bases, proportional partial RoPE on full
+    layers, queries_scale 1.0, optional k==v weight sharing, per-layer
+    output scalars (reference: transformers.py:2063-2375).
+    KV-shared layers (E2B/E4B) are rejected, matching the reference."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    cfg = getattr(config, "text_config", config)
+
+    num_kv_shared = getattr(cfg, "num_kv_shared_layers", 0)
+    if num_kv_shared:
+        raise NotImplementedError(
+            "Gemma 4 KV-shared layers (num_kv_shared_layers=%d) are not "
+            "yet supported. Use the 31B model which has no KV sharing."
+            % num_kv_shared)
+
+    num_heads = cfg.num_attention_heads
+    num_heads_kv = getattr(cfg, "num_key_value_heads", num_heads)
+    head_dim = cfg.head_dim
+    global_head_dim = getattr(cfg, "global_head_dim", head_dim)
+    num_global_kv = getattr(cfg, "num_global_key_value_heads", None)
+    k_eq_v = bool(getattr(cfg, "attention_k_eq_v", False))
+
+    b.add_attr(f"{sc}/num_heads", num_heads, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    act = getattr(cfg, "hidden_activation", "gelu_pytorch_tanh")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS["gelu" if act == "gelu" else "gelu_tanh"],
+               "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 1, "int8")
+
+    # RoPE parameters nested per layer type; proportional partial RoPE on
+    # full-attention layers maps to CT2-style rotary by rescaling the base
+    # (reference: transformers.py:2110-2128).
+    rope_params = getattr(cfg, "rope_parameters", None) or {}
+    rope_local = float(rope_params.get("sliding_attention", {})
+                       .get("rope_theta", 10_000))
+    rope_theta = float(rope_params.get("full_attention", {})
+                       .get("rope_theta", 1_000_000))
+    g_partial = float(rope_params.get("full_attention", {})
+                      .get("partial_rotary_factor", 1.0))
+    g_rotary_dim = int(global_head_dim * g_partial)
+    if 0 < g_rotary_dim < global_head_dim:
+        rope_global = rope_theta ** (g_rotary_dim / global_head_dim)
+    else:
+        rope_global = rope_theta
+        g_rotary_dim = 0  # 0 = full head_dim
+
+    sliding_window = int(getattr(cfg, "sliding_window", 512) or 0)
+    layer_types = getattr(cfg, "layer_types", None)
+    if layer_types is None:
+        layer_types = [
+            "sliding_attention" if (i + 1) % 6 else "full_attention"
+            for i in range(cfg.num_hidden_layers)]
+
+    # HF proportional partial RoPE pairs channels [0:R/2] with
+    # [HD/2:HD/2+R/2]; CT2 half-split rotary pairs [0:R/2] with [R/2:R].
+    # Permute Q/K head channels (and QK norm gammas) to translate
+    # (reference: transformers.py:2273-2283, 2338-2351).
+    partial_perm = None
+    if 0 < g_rotary_dim < global_head_dim:
+        ghd, grd = global_head_dim, g_rotary_dim
+        partial_perm = (
+            list(range(0, grd // 2))
+            + list(range(ghd // 2, ghd // 2 + grd // 2))
+            + list(range(grd // 2, ghd // 2))
+            + list(range(ghd // 2 + grd // 2, ghd)))
+
+    module = getattr(model.model, "language_model", model.model)
+    b.set_embeddings(f"{sc}/embeddings", module.embed_tokens)
+    # Gemma4 RMSNorm multiplies by gamma directly (not 1+gamma).
+    b.set_layer_norm(f"{sc}/layer_norm", module.norm, rms=True)
+    b.set_linear(f"{sc}/projection", model.lm_head)
+
+    import torch as _torch
+
+    for i, layer in enumerate(module.layers):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        full = layer_types[i] == "full_attention"
+        b.set_layer_norm(f"{ls}/input_layer_norm", layer.input_layernorm,
+                         rms=True)
+        b.set_layer_norm(f"{ls}/post_attention_layer_norm",
+                         layer.post_attention_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/pre_feedforward_layer_norm",
+                         layer.pre_feedforward_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/post_feedforward_layer_norm",
+                         layer.post_feedforward_layernorm, rms=True)
+
+        q_gamma = _np(layer.self_attn.q_norm.weight)
+        k_gamma = _np(layer.self_attn.k_norm.weight)
+        if full and partial_perm is not None:
+            q_gamma = q_gamma[partial_perm]
+            k_gamma = k_gamma[partial_perm]
+        b.add(f"{asc}/q_norm/gamma", q_gamma)
+        b.add(f"{asc}/k_norm/gamma", k_gamma)
+        # V norm has no learnable scale: pure RMS via all-ones gamma.
+        b.add(f"{asc}/v_norm/gamma",
+              np.ones_like(_np(layer.self_attn.k_norm.weight)))
+
+        v_proj = (layer.self_attn.k_proj if (k_eq_v and full)
+                  else layer.self_attn.v_proj)
+        qw = _np(layer.self_attn.q_proj.weight)
+        kw = _np(layer.self_attn.k_proj.weight)
+        vw = _np(v_proj.weight)
+        if full and partial_perm is not None:
+            hd = global_head_dim
+            qw = qw.reshape(-1, hd, qw.shape[1])[:, partial_perm, :].reshape(
+                qw.shape)
+            kw = kw.reshape(-1, hd, kw.shape[1])[:, partial_perm, :].reshape(
+                kw.shape)
+        b.add(f"{asc}/linear_0/weight",
+              np.ascontiguousarray(np.concatenate([qw, kw, vw], axis=0)))
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.o_proj)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.gate_proj)
+        b.set_linear(f"{ls}/ffn/linear_0_noact", layer.mlp.up_proj)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.down_proj)
+
+        # Gemma4 disables the default 1/sqrt(d_head) query scaling.
+        b.add_attr(f"{asc}/queries_scale", 1.0, "float32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        if full:
+            b.add_attr(f"{asc}/rotary_dim", g_rotary_dim, "int32")
+            b.add_attr(f"{asc}/rotary_base", rope_global, "float32")
+            b.add_attr(f"{asc}/head_dim", global_head_dim, "int32")
+            hkv = num_global_kv if num_global_kv is not None else num_heads_kv
+            if hkv != num_heads:
+                b.add_attr(f"{asc}/num_heads_kv", int(hkv), "int32")
+        else:
+            b.add_attr(f"{asc}/rotary_dim", 0, "int32")
+            b.add_attr(f"{asc}/rotary_base", rope_local, "float32")
+            if head_dim != cfg.hidden_size // num_heads:
+                b.add_attr(f"{asc}/head_dim", head_dim, "int32")
+            if num_heads_kv != num_heads:
+                b.add_attr(f"{asc}/num_heads_kv", int(num_heads_kv), "int32")
+            if sliding_window:
+                b.add_attr(f"{asc}/sliding_window", sliding_window, "int32")
+
+        lscalar = getattr(layer, "layer_scalar", None)
+        if lscalar is not None:
+            b.add_attr(f"{ls}/layer_scalar",
+                       float(_torch.as_tensor(lscalar).float().item()),
+                       "float32")
+
+    out = {"layer_norm_epsilon": float(getattr(cfg, "rms_norm_eps", 1e-6))}
+    softcap = getattr(cfg, "final_logit_softcapping", None)
+    if softcap:
+        b.add_attr(f"{sc}/final_logit_softcapping", float(softcap), "float32")
+    # EOS from the chat template (reference: transformers.py:2245-2258).
+    tmpl = getattr(tokenizer, "chat_template", None)
+    if isinstance(tmpl, str) and tmpl.strip():
+        out["eos_token"] = "<turn|>" if "<turn|>" in tmpl else "<end_of_turn>"
+    return out
+
+
+@register("MixFormerSequentialConfig")
+def load_mixformer(b: ConvBuilder, model, config, tokenizer):
+    """MixFormerSequential (phi-1/phi-1.5): GPT-J-style parallel residual
+    with a shared layer norm, fused Wqkv, partial rotary
+    (reference: transformers.py:2805-2855)."""
+    b.spec_name, b.revision = "TransformerDecoderSpec", 8
+    sc = "decoder"
+    blocks = model.layers  # Sequential: [embedding, block..., causal head]
+
+    b.add_attr(f"{sc}/num_heads", config.n_head, "int16")
+    b.add_attr(f"{sc}/pre_norm", 1, "int8")
+    b.add_attr(f"{sc}/activation",
+               ACTIVATION_IDS[_HF_ACTIVATIONS.get(
+                   getattr(config, "activation_function", "gelu_new"),
+                   "gelu_tanh")], "int8")
+    b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+
+    b.set_embeddings(f"{sc}/embeddings", blocks[0].wte)
+    b.set_layer_norm(f"{sc}/layer_norm", blocks[-1].ln)
+    b.set_linear(f"{sc}/projection", blocks[-1].linear)
+
+    for i, layer in enumerate(blocks[1:-1]):
+        ls = f"{sc}/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{ls}/shared_layer_norm", layer.ln)
+        b.set_linear(f"{asc}/linear_0", layer.mixer.Wqkv)
+        b.set_linear(f"{asc}/linear_1", layer.mixer.out_proj)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.fc1)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.fc2)
+        b.add_attr(f"{asc}/rotary_dim", int(config.rotary_dim), "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+    return {}
+
+
+@register("T5Gemma2Config")
+def load_t5gemma2(b: ConvBuilder, model, config, tokenizer):
+    """T5Gemma2: Gemma-style encoder-decoder where each decoder layer runs
+    MERGED self+cross attention — the self K/V projections also project the
+    encoder memory, stored as a fused memory_kv linear
+    (reference: transformers.py:4069-4260; runtime merged layout:
+    models/transformer.py merged_attention_block)."""
+    b.spec_name, b.revision = "TransformerSpec", 7
+    enc_cfg = getattr(model.config.encoder, "text_config",
+                      model.config.encoder)
+    dec_cfg = model.config.decoder
+    module = model.model
+
+    def act_of(cfg):
+        a = getattr(cfg, "hidden_activation", "gelu_pytorch_tanh")
+        return ACTIVATION_IDS["gelu" if a == "gelu" else "gelu_tanh"]
+
+    def rope_of(cfg):
+        rp = getattr(cfg, "rope_parameters", {}) or {}
+        return (
+            float(rp.get("full_attention", {}).get(
+                "rope_theta", getattr(cfg, "rope_theta", 1_000_000))),
+            float(rp.get("sliding_attention", {}).get("rope_theta", 10_000)),
+            rp.get("full_attention", {}).get("rope_type", "default"),
+            float(rp.get("full_attention", {}).get("factor", 1.0)),
+        )
+
+    def side_common(sc, cfg, mod):
+        b.add_attr(f"{sc}/num_heads", cfg.num_attention_heads, "int16")
+        b.add_attr(f"{sc}/pre_norm", 1, "int8")
+        b.add_attr(f"{sc}/activation", act_of(cfg), "int8")
+        embed_scale = getattr(mod.embed_tokens, "embed_scale", None)
+        if embed_scale is not None:
+            b.add_attr(f"{sc}/scale_embeddings", float(embed_scale),
+                       "float32")
+        else:
+            b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
+        name = f"{sc}/embeddings_0" if sc == "encoder" else f"{sc}/embeddings"
+        b.set_embeddings(name, mod.embed_tokens)
+        b.set_layer_norm(f"{sc}/layer_norm", mod.norm, rms=True)
+
+    def set_attn_attrs(asc, cfg, i, layer_types):
+        num_heads = cfg.num_attention_heads
+        num_heads_kv = getattr(cfg, "num_key_value_heads", num_heads)
+        head_dim = cfg.head_dim
+        if num_heads_kv != num_heads:
+            b.add_attr(f"{asc}/num_heads_kv", num_heads_kv, "int32")
+        if head_dim != cfg.hidden_size // num_heads:
+            b.add_attr(f"{asc}/head_dim", head_dim, "int32")
+        b.add_attr(f"{asc}/rotary_dim", 0, "int32")
+        b.add_attr(f"{asc}/rotary_interleave", 0, "int8")
+        g_theta, l_theta, g_type, g_factor = rope_of(cfg)
+        full = (layer_types is None or i >= len(layer_types)
+                or layer_types[i] == "full_attention")
+        if full:
+            b.add_attr(f"{asc}/rotary_base", g_theta, "float32")
+            if g_type == "linear":
+                b.add_attr(f"{asc}/rotary_scaling_type", 0, "int8")
+                b.add_attr(f"{asc}/rotary_scaling_factor", g_factor,
+                           "float32")
+        else:
+            b.add_attr(f"{asc}/rotary_base", l_theta, "float32")
+            if getattr(cfg, "sliding_window", 0):
+                b.add_attr(f"{asc}/sliding_window",
+                           int(cfg.sliding_window), "int32")
+
+    def maybe_qk_norms(asc, attn):
+        if getattr(attn, "q_norm", None) is not None:
+            b.set_layer_norm(f"{asc}/q_norm", attn.q_norm, rms=True)
+        if getattr(attn, "k_norm", None) is not None:
+            b.set_layer_norm(f"{asc}/k_norm", attn.k_norm, rms=True)
+
+    # Encoder: sandwich-norm self-attention layers.
+    enc = getattr(module.encoder, "text_model", module.encoder)
+    side_common("encoder", enc_cfg, enc)
+    enc_types = getattr(enc_cfg, "layer_types", None)
+    for i, layer in enumerate(enc.layers):
+        ls = f"encoder/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{ls}/input_layer_norm",
+                         layer.pre_self_attn_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/post_attention_layer_norm",
+                         layer.post_self_attn_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/pre_feedforward_layer_norm",
+                         layer.pre_feedforward_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/post_feedforward_layer_norm",
+                         layer.post_feedforward_layernorm, rms=True)
+        b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                  layer.self_attn.v_proj)
+        maybe_qk_norms(asc, layer.self_attn)
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.o_proj)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.gate_proj)
+        b.set_linear(f"{ls}/ffn/linear_0_noact", layer.mlp.up_proj)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.down_proj)
+        set_attn_attrs(asc, enc_cfg, i, enc_types)
+
+    # Decoder: merged self+cross attention.
+    dec = module.decoder
+    side_common("decoder", dec_cfg, dec)
+    dec_types = getattr(dec_cfg, "layer_types", None)
+    for i, layer in enumerate(dec.layers):
+        ls = f"decoder/layer_{i}"
+        asc = f"{ls}/self_attention"
+        b.set_layer_norm(f"{ls}/input_layer_norm",
+                         layer.pre_self_attn_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/post_attention_layer_norm",
+                         layer.post_self_attn_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/pre_feedforward_layer_norm",
+                         layer.pre_feedforward_layernorm, rms=True)
+        b.set_layer_norm(f"{ls}/post_feedforward_layer_norm",
+                         layer.post_feedforward_layernorm, rms=True)
+        b.set_qkv(asc, layer.self_attn.q_proj, layer.self_attn.k_proj,
+                  layer.self_attn.v_proj)
+        maybe_qk_norms(asc, layer.self_attn)
+        # The same K/V projections re-project encoder memory at inference
+        # (fused memory_kv linear, reference: transformers.py:4222-4229).
+        kw = _np(layer.self_attn.k_proj.weight)
+        vw = _np(layer.self_attn.v_proj.weight)
+        b.add(f"{asc}/memory_kv/weight", np.concatenate([kw, vw], axis=0))
+        b.set_linear(f"{asc}/linear_1", layer.self_attn.o_proj)
+        b.set_linear(f"{ls}/ffn/linear_0", layer.mlp.gate_proj)
+        b.set_linear(f"{ls}/ffn/linear_0_noact", layer.mlp.up_proj)
+        b.set_linear(f"{ls}/ffn/linear_1", layer.mlp.down_proj)
+        set_attn_attrs(asc, dec_cfg, i, dec_types)
+
+    b.add_attr("encoder/embeddings_merge", 0, "int8")
+    if hasattr(model.lm_head, "weight"):
+        b.set_linear("decoder/projection", model.lm_head)
+    else:
+        b.set_linear("decoder/projection", dec.embed_tokens)
+    return {
+        "layer_norm_epsilon": float(getattr(enc_cfg, "rms_norm_eps", 1e-6)),
         "decoder_start_token": getattr(tokenizer, "bos_token", "<s>") or "<s>",
     }
