@@ -149,17 +149,46 @@ def param_specs(arch: ArchSpec, params: dict) -> dict:
     return specs
 
 
-def cache_specs(arch: ArchSpec, mesh: Mesh) -> list:
+def cache_specs(arch: ArchSpec, mesh: Mesh, int8: bool = False,
+                stacked: bool = False):
     """PartitionSpecs for the self-attention KV cache
-    ([N, Hkv, C, D]: batch on 'data', heads on 'model' when divisible)."""
+    ([N, Hkv, C, D]: batch on 'data', heads on 'model' when divisible).
+    INT8 caches add per-vector scale arrays [N, Hkv, 1, C] sharded the
+    same way; ``stacked`` prepends the layer axis (scan layout)."""
     num_model = mesh.shape["model"]
-    out = []
-    for layer in arch.decoder.layers:
-        hkv = layer.self_attention.num_heads_kv
-        head_axis = "model" if hkv % num_model == 0 else None
-        s = P("data", head_axis, None, None)
-        out.append({"k": s, "v": s})
-    return out
+
+    def layer_spec(aspec, lead=()):
+        head_axis = ("model"
+                     if aspec.num_heads_kv % num_model == 0 else None)
+        s = P(*lead, "data", head_axis, None, None)
+        d = {"k": s, "v": s}
+        if int8:
+            d["k_scale"] = s
+            d["v_scale"] = s
+        return d
+
+    if stacked:
+        return layer_spec(arch.decoder.layers[0].self_attention,
+                          lead=(None,))
+    return [layer_spec(layer.self_attention)
+            for layer in arch.decoder.layers]
+
+
+def shard_cache(cache, arch: ArchSpec, mesh: Mesh):
+    """Place a KV cache pytree on the mesh (batch on 'data', KV heads on
+    'model'); sharded counterpart of the reference's per-rank replica
+    state. Uses cache_specs and drops axes that don't divide."""
+    from ..models.transformer import cache_is_stacked
+
+    stacked = cache_is_stacked(cache)
+    int8 = ("k_scale" in cache) if stacked else ("k_scale" in cache[0])
+    specs = cache_specs(arch, mesh, int8=int8, stacked=stacked)
+
+    def place(path, leaf):
+        spec = fit_spec(lookup_spec(specs, path), leaf.shape, mesh)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, cache)
 
 
 def fit_spec(spec: P, shape, mesh: Mesh) -> P:

@@ -149,3 +149,99 @@ def test_ring_attention_non_causal():
     p = p / p.sum(-1, keepdims=True)
     ref = np.einsum("bhqk,bhkd->bhqd", p, v)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_int8_generation(llama_dir):
+    """Whole-generation device loop with INT8 weights (activation quant +
+    per-row scales sharded with their output axes) under the mesh."""
+    from ctranslate2_tpu import Generator
+
+    ref = Generator(llama_dir, compute_type="int8").generate_batch(
+        [["tok1", "tok2"], ["tok3"]], max_length=8, return_scores=True)
+
+    g = Generator(llama_dir, compute_type="int8", tensor_parallel=True)
+    mesh = make_mesh(num_data=1, num_model=4)
+    g.model.params = shard_params(g.model.params, g.model.arch, mesh)
+    g.model.consts = shard_consts(g.model.consts, mesh)
+    with jax.set_mesh(mesh):
+        tp = g.generate_batch([["tok1", "tok2"], ["tok3"]], max_length=8,
+                              return_scores=True)
+    for r, t in zip(ref, tp):
+        assert r.sequences == t.sequences
+
+
+def test_sharded_beam_generation(llama_dir):
+    """Beam device loop (chain-mask beam attention) under the mesh."""
+    from ctranslate2_tpu import Generator
+
+    ref = Generator(llama_dir).generate_batch(
+        [["tok1", "tok2"]], beam_size=2, num_hypotheses=2, max_length=8,
+        return_scores=True)
+
+    g = Generator(llama_dir, tensor_parallel=True)
+    mesh = make_mesh(num_data=1, num_model=4)
+    g.model.params = shard_params(g.model.params, g.model.arch, mesh)
+    g.model.consts = shard_consts(g.model.consts, mesh)
+    with jax.set_mesh(mesh):
+        tp = g.generate_batch([["tok1", "tok2"]], beam_size=2,
+                              num_hypotheses=2, max_length=8,
+                              return_scores=True)
+    assert ref[0].sequences == tp[0].sequences
+
+
+def test_sharded_int8_kv_cache(llama_dir, monkeypatch):
+    """INT8 KV cache decode under the mesh (scales shard with heads)."""
+    from ctranslate2_tpu import Generator
+
+    monkeypatch.setenv("CT2TPU_KV_CACHE", "int8")
+    ref = Generator(llama_dir).generate_batch(
+        [["tok1", "tok2", "tok3"]], max_length=8)
+
+    g = Generator(llama_dir, tensor_parallel=True)
+    mesh = make_mesh(num_data=1, num_model=4)
+    g.model.params = shard_params(g.model.params, g.model.arch, mesh)
+    g.model.consts = shard_consts(g.model.consts, mesh)
+    with jax.set_mesh(mesh):
+        tp = g.generate_batch([["tok1", "tok2", "tok3"]], max_length=8)
+    assert ref[0].sequences == tp[0].sequences
+
+
+def test_shard_cache_placement(llama_dir):
+    """cache_specs/shard_cache place KV caches batch-on-data,
+    heads-on-model; a sharded decode step accepts the placed cache."""
+    from ctranslate2_tpu.parallel.sharding import shard_cache
+
+    model = load_model(llama_dir, compute_type="float32", fuse_qkv=False)
+    mesh = make_mesh(num_data=2, num_model=4)
+    cache = T.init_self_cache(model.arch, 4, 32)
+    placed = shard_cache(cache, model.arch, mesh)
+    sh = placed[0]["k"].sharding
+    assert sh.spec == jax.sharding.PartitionSpec("data", "model", None, None)
+
+    params = shard_params(model.params, model.arch, mesh)
+    consts = shard_consts(model.consts, mesh)
+    ids = jnp.asarray([[5], [7], [9], [11]], dtype=jnp.int32)
+    with jax.set_mesh(mesh):
+        logits, new_cache, _ = T.decoder_forward_jit(
+            model.arch, params, consts, ids, jnp.int32(0), placed,
+            None, None, quantize_acts=False)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_sharded_windowed_ring_generation(tmp_path):
+    """Ring KV cache decode under the mesh."""
+    from ctranslate2_tpu import Generator
+
+    d = str(tmp_path / "win")
+    build_decoder_only_model(
+        d, sliding_window=128, rotary_dim=8, num_heads_kv=4, num_heads=8,
+        d_model=64, d_ff=128, glu=True, rms_norm=True)
+    ref = Generator(d).generate_batch([["tok1", "tok2"]], max_length=8)
+
+    g = Generator(d, tensor_parallel=True)
+    mesh = make_mesh(num_data=1, num_model=4)
+    g.model.params = shard_params(g.model.params, g.model.arch, mesh)
+    g.model.consts = shard_consts(g.model.consts, mesh)
+    with jax.set_mesh(mesh):
+        tp = g.generate_batch([["tok1", "tok2"]], max_length=8)
+    assert ref[0].sequences == tp[0].sequences
