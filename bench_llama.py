@@ -157,8 +157,58 @@ def main():
         "decode": DECODE,
         "layers": LAYERS,
         "quant": QUANT,
+        **roofline(elapsed / DECODE, BATCH, model),
     }))
 
 
+def roofline(step_s, batch, model):
+    """Per-step HBM-traffic model and achieved-bandwidth fraction.
+
+    Decode is weight/KV-bandwidth bound: every step must read all weight
+    bytes once (weight-stationary, batch-amortized) plus each row's live
+    KV prefix. Peak HBM defaults to TPU v5e (819 GB/s); override with
+    TPU_HBM_GBPS.
+    """
+    head_dim = D_MODEL // HEADS
+    qkv_out = HEADS * head_dim + 2 * HEADS_KV * head_dim
+    per_layer = D_MODEL * qkv_out + D_MODEL * D_MODEL + 3 * D_MODEL * D_FF
+    w_bytes = LAYERS * per_layer
+    if QUANT == "w4":
+        w_bytes = w_bytes // 2 + w_bytes // 128 * 4  # nibbles + group scales
+    proj_bytes = VOCAB * D_MODEL * (1 if QUANT != "w4" else 0.5)
+    emb_bytes = batch * D_MODEL  # one row gather per step per row
+    import jax.numpy as jnp
+
+    kv_elem = 1 if model.kv_dtype == jnp.int8 else 2
+    avg_len = PREFILL + DECODE / 2
+    chunk = int(os.environ.get("CT2TPU_DECODE_CHUNK", "128"))
+    if chunk:
+        avg_len = ((avg_len + chunk - 1) // chunk) * chunk  # chunked reads
+    kv_bytes = LAYERS * 2 * HEADS_KV * head_dim * avg_len * kv_elem * batch
+    total_bytes = w_bytes + proj_bytes + emb_bytes + kv_bytes
+    peak = float(os.environ.get("TPU_HBM_GBPS", "819")) * 1e9
+    achieved = total_bytes / step_s
+    return {
+        "step_ms": round(step_s * 1000.0, 3),
+        "hbm_model_gb_per_step": round(total_bytes / 1e9, 3),
+        "weight_gb": round((w_bytes + proj_bytes) / 1e9, 3),
+        "kv_gb": round(kv_bytes / 1e9, 3),
+        "achieved_gbps": round(achieved / 1e9, 1),
+        "hbm_roofline_frac": round(achieved / peak, 3),
+    }
+
+
+def sweep():
+    """Batch-scaling sweep: tokens/s + roofline fraction per batch size
+    (VERDICT round-1 item 7). Run with LLAMA_SWEEP='8,16,32,64'."""
+    global BATCH
+    for b in [int(x) for x in os.environ["LLAMA_SWEEP"].split(",")]:
+        BATCH = b
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("LLAMA_SWEEP"):
+        sweep()
+    else:
+        main()

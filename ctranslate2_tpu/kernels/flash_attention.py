@@ -8,8 +8,11 @@ executed sequentially over the last dimension, so the running max / sum /
 accumulator live in VMEM scratch across k-block iterations.
 
 Supports GQA/MQA (kv-head indexing by query-head group), causal masking
-with a query position offset, per-batch KV valid lengths, and sliding
-windows. Falls back to the XLA path for relative-position/ALiBi biases.
+with a query position offset, per-batch KV valid lengths, sliding
+windows, SEGMENT IDS for packed sequences (SURVEY kernel #3), and
+in-kernel ALiBi (per-head slopes, positive or negative position
+conventions). Falls back to the XLA path for T5/Shaw relative-position
+biases (those need bias tables the size of the score matrix).
 """
 
 from __future__ import annotations
@@ -25,14 +28,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# ALiBi conventions (reference: src/layers/attention_layer.cc:13-52):
+ALIBI_NONE = 0
+ALIBI_NEGATIVE = 1  # bias = slope * (k_pos - (T_valid - 1))
+ALIBI_POSITIVE = 2  # bias = slope * k_pos
+
 
 def _attn_kernel(
     # scalar prefetch
-    lengths_ref,  # [B] int32 (or None semantics via has_lengths)
+    lengths_ref,  # [B] int32
+    slopes_ref,  # [Hq] f32 ALiBi slopes (zeros when unused)
     # inputs
     q_ref,  # [BQ, D]
     k_ref,  # [BK, D]
     v_ref,  # [BK, D]
+    qseg_ref,  # [B, BQ] int32 or None (packed-sequence segment ids)
+    kseg_ref,  # [B, BK] int32 or None
     # outputs
     o_ref,  # [BQ, D]
     # scratch
@@ -48,6 +59,9 @@ def _attn_kernel(
     num_heads: int,
     window: int,
     has_lengths: bool,
+    has_segments: bool,
+    alibi: int,
+    alibi_offs: int,
 ):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
@@ -82,6 +96,11 @@ def _attn_kernel(
             jnp.int32, (block_q, block_k), 0)
         k_pos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
+
+        if alibi != ALIBI_NONE:
+            slope = slopes_ref[bh % num_heads]
+            s = s + slope * (k_pos - alibi_offs).astype(jnp.float32)
+
         mask = jnp.ones((block_q, block_k), jnp.bool_)
         if causal:
             mask = mask & (k_pos <= q_pos)
@@ -90,6 +109,11 @@ def _attn_kernel(
         if has_lengths:
             b = bh // num_heads
             mask = mask & (k_pos < lengths_ref[b])
+        if has_segments:
+            b = bh // num_heads
+            qs = qseg_ref[b, :]
+            ks = kseg_ref[b, :]
+            mask = mask & (qs[:, None] == ks[None, :])
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:]
@@ -97,6 +121,8 @@ def _attn_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
 
         p = jnp.exp(s - m_new)  # [BQ, BK]
+        # Fully-masked blocks contribute nothing (exp(NEG-NEG)=1 guard).
+        p = jnp.where(m_new > NEG_INF / 2, p, 0.0)
         correction = jnp.exp(m_prev - m_new)  # [BQ, 1]
 
         l_ref[:] = l_ref[:] * correction + jnp.sum(p, axis=-1, keepdims=True)
@@ -122,6 +148,10 @@ def flash_attention(
     q_offset: int = 0,
     lengths=None,  # [B] int32 valid KV lengths
     window: int = 0,
+    segment_ids=None,  # [B, T] int32 packed-sequence ids (self-attention:
+    # Tq == Tk); queries only attend keys of the same segment
+    alibi_slopes=None,  # [Hq] f32 per-head slopes (scale_alibi prefolded)
+    alibi_positive: bool = False,
     block_q: int = 256,
     block_k: int = 256,
 ):
@@ -160,35 +190,59 @@ def flash_attention(
     if lengths is None:
         lengths = jnp.zeros((B,), jnp.int32)  # placeholder
 
+    has_segments = segment_ids is not None
+    if has_segments:
+        # Mosaic block tiling wants the minor dims (8, 128)-aligned: the
+        # segment blocks span the whole batch axis ((B, block) == array
+        # dim on the sublane axis) and the kernel row-indexes by batch.
+        if block_q % 128 or block_k % 128:
+            raise ValueError(
+                "segment_ids require 128-aligned block_q/block_k")
+        # Padded keys get segment -1 (matches nothing); padded query rows
+        # are sliced off after the call.
+        qseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pq)),
+                       constant_values=-1)
+        kseg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, pk)),
+                       constant_values=-1)
+
+    alibi = ALIBI_NONE
+    alibi_offs = 0
+    if alibi_slopes is not None:
+        alibi = ALIBI_POSITIVE if alibi_positive else ALIBI_NEGATIVE
+        # Negative convention ends at 0 on the last valid key: for the
+        # full-sequence path cur_len == Tq (+ q_offset) (reference:
+        # src/layers/attention_layer.cc:38-41).
+        alibi_offs = 0 if alibi_positive else (q_offset + Tq - 1)
+        slopes = alibi_slopes.astype(jnp.float32)
+    else:
+        slopes = jnp.zeros((Hq,), jnp.float32)
+
     qr = q.reshape(B * Hq, nq * block_q, D)
     kr = k.reshape(B * Hkv, nk * block_k, D)
     vr = v.reshape(B * Hkv, nk * block_k, D)
 
-    kernel = functools.partial(
-        _attn_kernel,
-        scale=scale,
-        causal=causal,
-        q_offset=q_offset,
-        block_q=block_q,
-        block_k=block_k,
-        num_heads=Hq,
-        window=window,
-        has_lengths=has_lengths,
-    )
+    in_specs = [
+        pl.BlockSpec((1, block_q, D),
+                     lambda bh, qi, kj, *_: (bh, qi, 0)),
+        pl.BlockSpec((1, block_k, D),
+                     lambda bh, qi, kj, *_, g=group: (bh // g, kj, 0)),
+        pl.BlockSpec((1, block_k, D),
+                     lambda bh, qi, kj, *_, g=group: (bh // g, kj, 0)),
+    ]
+    inputs = [qr, kr, vr]
+    if has_segments:
+        in_specs += [
+            pl.BlockSpec((B, block_q), lambda bh, qi, kj, *_: (0, qi)),
+            pl.BlockSpec((B, block_k), lambda bh, qi, kj, *_: (0, kj)),
+        ]
+        inputs += [qseg, kseg]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B * Hq, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, D),
-                         lambda bh, qi, kj, lens: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, D),
-                         lambda bh, qi, kj, lens, g=group: (bh // g, kj, 0)),
-            pl.BlockSpec((1, block_k, D),
-                         lambda bh, qi, kj, lens, g=group: (bh // g, kj, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, D),
-                               lambda bh, qi, kj, lens: (bh, qi, 0)),
+                               lambda bh, qi, kj, *_: (bh, qi, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -196,20 +250,27 @@ def flash_attention(
         ],
     )
 
-    def kernel3d(lengths_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    def kernel3d(lengths_ref, slopes_ref, q_ref, k_ref, v_ref,
+                 *rest):
+        if has_segments:
+            qseg_ref, kseg_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        else:
+            (o_ref, m_ref, l_ref, acc_ref), qseg_ref, kseg_ref = rest, None, None
         return _attn_kernel(
-            lengths_ref,
-            q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
+            lengths_ref, slopes_ref,
+            q_ref.at[0], k_ref.at[0], v_ref.at[0],
+            qseg_ref, kseg_ref, o_ref.at[0],
             m_ref, l_ref, acc_ref,
             scale=scale, causal=causal, q_offset=q_offset,
             block_q=block_q, block_k=block_k, num_heads=Hq,
-            window=window, has_lengths=has_lengths)
+            window=window, has_lengths=has_lengths,
+            has_segments=has_segments, alibi=alibi, alibi_offs=alibi_offs)
 
     out = pl.pallas_call(
         kernel3d,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * Hq, nq * block_q, D), q.dtype),
-    )(lengths, qr, kr, vr)
+    )(lengths, slopes, *inputs)
 
     out = out.reshape(B, Hq, nq * block_q, D)
     if pq:

@@ -232,19 +232,26 @@ def _qk_norms(arch, ap, spec, q, k, v):
 
 
 def _flash_eligible(spec: AttentionSpec, q, k, alibi_bias, position_bias,
-                    rel_positions, flash_lengths) -> bool:
+                    rel_positions, flash_lengths,
+                    alibi_slopes=None) -> bool:
     """Static dispatch decision for the Pallas flash-attention kernel.
 
-    Wins over the XLA path for long sequences; biases other than
-    causal/length masks are not fused in the kernel."""
+    Measured crossover (tools/bench_flash.py, B4/H16/D128 causal bf16,
+    one chip): ties XLA at <=2048, 2.35x faster at 4096, and at 8192 the
+    XLA path OOMs on the materialized score tensor while the kernel
+    runs. With ALiBi (in-kernel slopes vs materialized bias): 1.3x at
+    2048, 2.7x at 4096. Hence the 2048 default threshold. T5/Shaw
+    relative-position biases fall back (they need score-matrix-sized
+    tables)."""
     import os
 
     if os.environ.get("CT2TPU_FLASH", "1") == "0":
         return False
     if jax.default_backend() != "tpu":
         return False
-    if alibi_bias is not None or position_bias is not None \
-            or rel_positions is not None:
+    if position_bias is not None or rel_positions is not None:
+        return False
+    if alibi_bias is not None and alibi_slopes is None:
         return False
     threshold = int(os.environ.get("CT2TPU_FLASH_MIN_LEN", "2048"))
     return q.shape[2] >= threshold and k.shape[2] >= threshold
@@ -330,6 +337,8 @@ def self_attention_block(
     beam_chain_size: int = 1,
     ring: int = 0,  # ring KV buffer size R (0 = linear cache). Writes land
     # at ``offset % R``; ``bias`` must then be a ring_window_bias over R.
+    alibi_slopes=None,  # [Hq] f32: enables in-kernel ALiBi on the flash path
+    alibi_positive: bool = True,
 ):
     """Self-attention with optional fixed-capacity KV cache.
 
@@ -488,7 +497,8 @@ def self_attention_block(
 
     if (cache is None
             and _flash_eligible(spec, q, k, alibi_bias, position_bias,
-                                rel_positions, flash_lengths)):
+                                rel_positions, flash_lengths,
+                                alibi_slopes=alibi_slopes)):
         from ..kernels.flash_attention import flash_attention
 
         ctx = flash_attention(
@@ -497,6 +507,8 @@ def self_attention_block(
             causal=causal,
             lengths=flash_lengths,
             window=spec.sliding_window,
+            alibi_slopes=alibi_slopes if alibi_bias is not None else None,
+            alibi_positive=alibi_positive,
         )
         out = attn_ops.combine_heads(ctx)
         res = residual if (wrap_norm and spec.has_layer_norm) else None
@@ -1103,7 +1115,8 @@ def precompute_memory(arch: ArchSpec, params: dict, memory, quantize_acts: bool 
 def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                          rel_positions, position_bias, rot, pos, self_cache,
                          mem_kv, memory_bias, beam_size, lengths,
-                         quantize_acts, causal_only=False, ring=0):
+                         quantize_acts, causal_only=False, ring=0,
+                         flash_alibi=None):
     """lax.scan over a uniform decoder layer stack.
 
     One compiled layer body serves all layers: weights, caches and memory
@@ -1141,7 +1154,9 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                     position_bias=position_bias, wrap_norm=False,
                     causal=True, flash_lengths=lengths,
                     causal_only=causal_only and not aspec.sliding_window,
-                    ring=ring)
+                    ring=ring,
+                    alibi_slopes=flash_alibi,
+                    alibi_positive=spec.alibi_use_positive_positions)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch,
@@ -1174,7 +1189,9 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                 position_bias=position_bias, wrap_norm=False,
                 causal=True, flash_lengths=lengths,
                     causal_only=causal_only and not aspec.sliding_window,
-                    ring=ring)
+                    ring=ring,
+                    alibi_slopes=flash_alibi,
+                    alibi_positive=spec.alibi_use_positive_positions)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -1198,7 +1215,9 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                 position_bias=position_bias,
                 causal=True, flash_lengths=lengths,
                     causal_only=causal_only and not aspec.sliding_window,
-                    ring=ring)
+                    ring=ring,
+                    alibi_slopes=flash_alibi,
+                    alibi_positive=spec.alibi_use_positive_positions)
             if layer.cross_attention is not None:
                 x, _ = cross_attention_block(
                     arch, layer.cross_attention, lp["attention"], x,
@@ -1294,6 +1313,14 @@ def decoder_forward(
         bias = attn_ops.causal_mask_bias(T, T, offset=0)
         if lengths is not None:
             bias = bias + attn_ops.length_mask_bias(lengths, T)
+
+    # Per-head ALiBi slopes for the in-kernel flash path (scale_alibi
+    # prefolded; the XLA path keeps using the additive alibi_bias).
+    flash_alibi = None
+    if spec.alibi:
+        flash_alibi = dc["alibi_slopes"]
+        if spec.scale_alibi:
+            flash_alibi = flash_alibi * spec.layers[0].self_attention.queries_scale
 
     position_bias = None
     attn_out = None
@@ -1393,7 +1420,7 @@ def decoder_forward(
             rot=rot, pos=pos, self_cache=self_cache, mem_kv=mem_kv,
             memory_bias=memory_bias, beam_size=beam_size, lengths=lengths,
             quantize_acts=quantize_acts, causal_only=causal_only,
-            ring=layer_ring)
+            ring=layer_ring, flash_alibi=flash_alibi)
         if spec.has_output_norm:
             x = _norm(arch, dp.get("layer_norm"), x)
         if spec.has_project_out:
@@ -1445,7 +1472,9 @@ def decoder_forward(
                     causal=True, flash_lengths=lengths,
                     causal_only=causal_only and not aspec.sliding_window,
                     beam_chain=beam_chain, beam_chain_size=beam_size,
-                    ring=layer_ring)
+                    ring=layer_ring,
+                    alibi_slopes=flash_alibi,
+                    alibi_positive=spec.alibi_use_positive_positions)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch, lp["external_pre_encoder_attention_layer_norm"], x) \
@@ -1486,7 +1515,9 @@ def decoder_forward(
                 causal=True, flash_lengths=lengths,
                 causal_only=causal_only and not aspec.sliding_window,
                 beam_chain=beam_chain, beam_chain_size=beam_size,
-                    ring=layer_ring)
+                    ring=layer_ring,
+                    alibi_slopes=flash_alibi,
+                    alibi_positive=spec.alibi_use_positive_positions)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -1512,7 +1543,9 @@ def decoder_forward(
                 causal=True, flash_lengths=lengths,
                 causal_only=causal_only and not aspec.sliding_window,
                 beam_chain=beam_chain, beam_chain_size=beam_size,
-                    ring=layer_ring)
+                    ring=layer_ring,
+                    alibi_slopes=flash_alibi,
+                    alibi_positive=spec.alibi_use_positive_positions)
             if layer.cross_attention is not None:
                 want_w = (
                     ("logits" if raw_attention else True)

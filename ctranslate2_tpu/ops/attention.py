@@ -215,11 +215,12 @@ def dot_product_attention(
         bias = bias.astype(jnp.float32)
         if bias.ndim == 3:  # per-head [Hq, Tq, Tk]
             bias = bias.reshape(1, Hkv, group, *bias.shape[1:])
-        elif bias.ndim == 4:  # [B, H|1, Tq, Tk]
+        elif bias.ndim == 4:  # [B|1, H|1, Tq, Tk]
             if bias.shape[1] == 1:
                 bias = bias[:, :, None]
             else:
-                bias = bias.reshape(B, Hkv, group, *bias.shape[2:])
+                bias = bias.reshape(bias.shape[0], Hkv, group,
+                                    *bias.shape[2:])
         logits = logits + bias
 
     weights = jax.nn.softmax(logits, axis=-1)

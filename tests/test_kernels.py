@@ -275,3 +275,59 @@ def test_decode_attention_int8_fresh_token():
             scale=scale, window=window, block_c=32, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_segment_ids():
+    """Packed sequences: queries attend only their own segment's keys
+    (SURVEY kernel #3)."""
+    B, H, T, D = 2, 2, 256, 32
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, H, T, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, H, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, H, T, D), jnp.float32)
+    # Two packed sequences per row: [0]*160 + [1]*96.
+    seg = jnp.asarray([[0] * 160 + [1] * 96] * B, jnp.int32)
+    scale = 1.0 / np.sqrt(D)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, scale=scale, causal=True,
+                              segment_ids=seg, block_q=128, block_k=128)
+
+    from ctranslate2_tpu.ops.attention import NEG_INF as XNEG
+
+    bias = np.asarray(causal_mask_bias(T, T))
+    same = (np.asarray(seg)[:, :, None] == np.asarray(seg)[:, None, :])
+    bias = bias + np.where(same, 0.0, XNEG)[:, None]
+    ref = dot_product_attention(q, k, v, bias=jnp.asarray(bias),
+                                queries_scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("positive", [False, True])
+def test_flash_attention_alibi(positive):
+    """In-kernel ALiBi matches the XLA additive-bias path for both
+    position conventions."""
+    from ctranslate2_tpu.ops.positions import alibi_slopes
+
+    B, H, T, D = 1, 4, 64, 32
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, H, T, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(7), (B, H, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(8), (B, H, T, D), jnp.float32)
+    slopes = jnp.asarray(alibi_slopes(H), jnp.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, scale=scale, causal=True,
+                              alibi_slopes=slopes, alibi_positive=positive,
+                              block_q=32, block_k=32)
+
+    positions = np.arange(T, dtype=np.float32)
+    if not positive:
+        positions = positions - (T - 1)
+    alibi_bias = (np.asarray(slopes)[:, None, None]
+                  * positions[None, None, :])  # [H, 1, T]
+    bias = combine_bias(causal_mask_bias(T, T),
+                        jnp.asarray(alibi_bias)[None])
+    ref = dot_product_attention(q, k, v, bias=bias, queries_scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
