@@ -117,3 +117,31 @@ def test_median_filter():
     out = median_filter(x, 3)
     assert out.shape == x.shape
     assert out[0, 1] == 1.0  # spike removed
+
+
+def test_generate_max_length_budget(whisper):
+    """max_length halving at the prompt boundary (reference:
+    src/models/whisper.cc:294-303 — decoding budget is
+    min(total/2, total - start_step))."""
+    feats = _features(whisper)
+    prompt = ["<|startoftranscript|>", "<|en|>", "<|transcribe|>",
+              "<|notimestamps|>"]
+    # total=10: start_step = len(prompt)-1 = 3 -> budget min(5, 7) = 5.
+    r = whisper.generate(feats, [prompt], beam_size=1, max_length=10)[0]
+    assert len(r.sequences_ids[0]) <= len(prompt) + 5
+    # Boundary: total barely above the prompt -> budget total-start = 2.
+    r2 = whisper.generate(feats, [prompt], beam_size=1, max_length=5)[0]
+    assert len(r2.sequences_ids[0]) <= len(prompt) + 2
+
+
+def test_generate_async_and_options(whisper):
+    feats = _features(whisper)
+    prompt = ["<|startoftranscript|>", "<|en|>", "<|transcribe|>",
+              "<|notimestamps|>"]
+    handles = whisper.generate(
+        feats, [prompt], asynchronous=True, beam_size=1, max_length=8,
+        sampling_topk=4, sampling_topp=0.95, sampling_temperature=0.9,
+        return_logits_vocab=True)
+    r = handles[0].result(timeout=300)
+    assert r.sequences_ids[0]
+    assert r.logits and len(r.logits[0]) >= 1
