@@ -616,6 +616,7 @@ class DecodingEngine:
             mem_bias = attn_ops.length_mask_bias(
                 memory_lengths, memory.shape[1])
 
+        built_fresh = cache is None and start_step == 0
         if cache is None:
             cache = T.init_self_cache(model.arch, 1, capacity,
                                       dtype=model.kv_dtype,
@@ -633,7 +634,8 @@ class DecodingEngine:
                 model.arch, params, model.consts, ids, jnp.int32(pos),
                 cache, mem_kv, mem_bias,
                 quantize_acts=model.policy.quantize_activations,
-                out_dtype=model.out_dtype, return_logits=False)
+                out_dtype=model.out_dtype, return_logits=False,
+                fresh_prefill=built_fresh)
             pos += prefix_length
             for _ in range(num_hyp):
                 result.hypotheses.append(list(start_tokens[1:]))

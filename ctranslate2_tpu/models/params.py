@@ -57,6 +57,45 @@ def _quantize_per_row(w: np.ndarray):
     return q.astype(np.int8), scale.astype(np.float32)
 
 
+class _PendingT:
+    """A weight awaiting its (out, in) -> (in, out) transpose.
+
+    Load-time transposes are the dominant cost of model loading when done
+    eagerly (a strided host copy per weight, or one tunnel dispatch per
+    weight on device). Builders emit these markers and
+    ``finalize_params`` runs ALL of them in ONE jitted program: the
+    contiguous host buffers batch-transfer, and the device transposes
+    compile into a single executable.
+    """
+
+    __slots__ = ("array", "dtype")
+
+    def __init__(self, array, dtype=None):
+        self.array = array
+        self.dtype = dtype
+
+
+def finalize_params(tree):
+    """Resolve _PendingT leaves with one batched device dispatch."""
+    import jax
+
+    is_leaf = lambda x: isinstance(x, _PendingT)  # noqa: E731
+    flat, treedef = jax.tree.flatten(tree, is_leaf=is_leaf)
+    idx = [i for i, l in enumerate(flat) if isinstance(l, _PendingT)]
+    if not idx:
+        return tree
+    dtypes = tuple(flat[i].dtype for i in idx)
+
+    def run(arrays):
+        return [a.astype(d).T if d is not None else a.T
+                for a, d in zip(arrays, dtypes)]
+
+    outs = jax.jit(run)([flat[i].array for i in idx])
+    for i, o in zip(idx, outs):
+        flat[i] = o
+    return jax.tree.unflatten(treedef, flat)
+
+
 class ParamsBuilder:
     def __init__(self, mf: ModelFile, policy: DTypePolicy,
                  fuse_qkv: bool = False, stack_layers: bool = False):
@@ -118,7 +157,7 @@ class ParamsBuilder:
             out = {k: jnp.asarray(v) for k, v in out.items()}
         elif var.dtype_name in ("int8", "int16"):
             if self.policy.weight_dtype == "int8" and var.dtype_name == "int8":
-                out["wq"] = jnp.asarray(np.ascontiguousarray(var.array.T))
+                out["wq"] = _PendingT(var.array)
                 s = scale.as_float32()
                 out["scale"] = jnp.asarray(
                     np.broadcast_to(s.reshape(-1), (var.shape[0],))
@@ -129,18 +168,18 @@ class ParamsBuilder:
                 w = _dequantize(var, scale)
                 if self.policy.weight_dtype == "int8":
                     q, s = _quantize_per_row(w)
-                    out["wq"] = jnp.asarray(np.ascontiguousarray(q.T))
+                    out["wq"] = _PendingT(q)
                     out["scale"] = jnp.asarray(s)
                 else:
-                    out["w"] = jnp.asarray(np.ascontiguousarray(w.T), dtype=self.float_dtype)
+                    out["w"] = _PendingT(w, self.float_dtype)
         else:
             w = _to_np_float(var)
             if self.policy.weight_dtype == "int8":
                 q, s = _quantize_per_row(w)
-                out["wq"] = jnp.asarray(np.ascontiguousarray(q.T))
+                out["wq"] = _PendingT(q)
                 out["scale"] = jnp.asarray(s)
             else:
-                out["w"] = jnp.asarray(np.ascontiguousarray(w.T), dtype=self.float_dtype)
+                out["w"] = _PendingT(w, self.float_dtype)
 
         bias = self.mf.get(scope + "/bias")
         if bias is not None:
@@ -196,7 +235,14 @@ class ParamsBuilder:
         offset = 0
         w_key = next(k for k in ("w4p", "w4", "wq", "w") if k in lin)
         for size in sizes:
-            part = {w_key: lin[w_key][:, offset:offset + size]}
+            w = lin[w_key]
+            if isinstance(w, _PendingT):
+                # Pending weights hold the raw (out, in) layout: the output
+                # axis is axis 0 (a contiguous row slice).
+                part = {w_key: _PendingT(w.array[offset:offset + size],
+                                         w.dtype)}
+            else:
+                part = {w_key: w[:, offset:offset + size]}
             if "scale" in lin:
                 s = lin["scale"]
                 part["scale"] = s[offset:offset + size] if s.ndim else s
@@ -390,10 +436,13 @@ def build_params(mf: ModelFile, arch: ArchSpec, policy: DTypePolicy,
         params["encoder"] = builder.encoder(arch.encoder)
     if arch.decoder is not None:
         params["decoder"] = builder.decoder(arch.decoder)
-        if stack_layers and decoder_layers_uniform(arch):
-            from .transformer import stack_layer_list
+    # One batched dispatch resolves every deferred weight transpose.
+    params = finalize_params(params)
+    if arch.decoder is not None and stack_layers \
+            and decoder_layers_uniform(arch):
+        from .transformer import stack_layer_list
 
-            stacked = stack_layer_list(params["decoder"]["layers"])
-            if stacked is not None:
-                params["decoder"]["layers"] = stacked
+        stacked = stack_layer_list(params["decoder"]["layers"])
+        if stacked is not None:
+            params["decoder"]["layers"] = stacked
     return params

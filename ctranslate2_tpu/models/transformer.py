@@ -339,6 +339,10 @@ def self_attention_block(
     # at ``offset % R``; ``bias`` must then be a ring_window_bias over R.
     alibi_slopes=None,  # [Hq] f32: enables in-kernel ALiBi on the flash path
     alibi_positive: bool = True,
+    fresh_prefill: bool = False,  # the cache is empty and this call writes
+    # its first T positions: attend over the FRESH tensors only (O(T^2),
+    # flash-eligible) instead of the full masked capacity (O(T*C));
+    # ``bias`` must then cover [*, T, T].
 ):
     """Self-attention with optional fixed-capacity KV cache.
 
@@ -362,6 +366,17 @@ def self_attention_block(
     w_off = jnp.mod(offset, ring) if ring else offset
 
     new_cache = None
+    if cache is not None and fresh_prefill and q.shape[2] > 1:
+        # First-chunk prefill: write the cache, then attend over the fresh
+        # Q/K/V as if cache-less — prefill attention costs O(T^2) and can
+        # take the flash kernel, instead of O(T * capacity) masked reads.
+        if "k_scale" in cache:
+            new_cache = _update_int8_cache(cache, k, v, w_off)
+        else:
+            new_cache = {"k": _cache_write(cache["k"], k, w_off),
+                         "v": _cache_write(cache["v"], v, w_off)}
+        cache = None
+
     if cache is not None and "k_scale" in cache:
         # INT8 KV cache (SURVEY kernel #4).
         T = q.shape[2]
@@ -1116,7 +1131,7 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                          rel_positions, position_bias, rot, pos, self_cache,
                          mem_kv, memory_bias, beam_size, lengths,
                          quantize_acts, causal_only=False, ring=0,
-                         flash_alibi=None):
+                         flash_alibi=None, fresh_prefill=False):
     """lax.scan over a uniform decoder layer stack.
 
     One compiled layer body serves all layers: weights, caches and memory
@@ -1156,7 +1171,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                     causal_only=causal_only and not aspec.sliding_window,
                     ring=ring,
                     alibi_slopes=flash_alibi,
-                    alibi_positive=spec.alibi_use_positive_positions)
+                    alibi_positive=spec.alibi_use_positive_positions,
+                    fresh_prefill=fresh_prefill)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch,
@@ -1191,7 +1207,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                     causal_only=causal_only and not aspec.sliding_window,
                     ring=ring,
                     alibi_slopes=flash_alibi,
-                    alibi_positive=spec.alibi_use_positive_positions)
+                    alibi_positive=spec.alibi_use_positive_positions,
+                    fresh_prefill=fresh_prefill)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -1217,7 +1234,8 @@ def _scan_decoder_layers(arch, spec, stacked_lp, x, *, bias, alibi_bias,
                     causal_only=causal_only and not aspec.sliding_window,
                     ring=ring,
                     alibi_slopes=flash_alibi,
-                    alibi_positive=spec.alibi_use_positive_positions)
+                    alibi_positive=spec.alibi_use_positive_positions,
+                    fresh_prefill=fresh_prefill)
             if layer.cross_attention is not None:
                 x, _ = cross_attention_block(
                     arch, layer.cross_attention, lp["attention"], x,
@@ -1251,6 +1269,9 @@ def decoder_forward(
     out_dtype=jnp.float32,
     return_logits: bool = True,
     beam_chain=None,  # [N, C] int32 origin chain: beam attention by mask
+    fresh_prefill: bool = False,  # the cache is empty and ``ids`` are its
+    # first positions: prefill attention runs over the fresh tensors only
+    # (O(T^2), flash-eligible) while still writing the cache
 ):
     """Decoder pass covering both modes:
 
@@ -1295,8 +1316,18 @@ def decoder_forward(
 
     stacked = isinstance(dp["layers"], dict)
 
+    fresh = fresh_prefill and self_cache is not None and T > 1
+
     # Self-attention bias.
-    if self_cache is not None:
+    if fresh:
+        # Empty-cache prefill: attention only sees the fresh T positions.
+        C = (self_cache["k"].shape[3] if cache_is_stacked(self_cache)
+             else self_cache[0]["k"].shape[2])
+        causal_only = False
+        bias = attn_ops.causal_mask_bias(T, T, offset=0)
+        if lengths is not None:
+            bias = bias + attn_ops.length_mask_bias(lengths, T)
+    elif self_cache is not None:
         C = (self_cache["k"].shape[3] if cache_is_stacked(self_cache)
              else self_cache[0]["k"].shape[2])
         causal = attn_ops.causal_mask_bias(T, C, offset=pos)
@@ -1340,7 +1371,18 @@ def decoder_forward(
         aspec = layer.self_attention
         layer_bias = bias
         layer_ring = 0
-        if aspec.sliding_window and self_cache is not None:
+        attn_cached = self_cache is not None and not fresh
+        if aspec.sliding_window and fresh:
+            # Fresh prefill attends the T fresh positions only; ring
+            # detection still applies for wrap-safe writes.
+            rc = ring_capacity(arch)
+            cap_l = cache_i["k"].shape[-2] if cache_i is not None else C
+            if (rc and cap_l == rc and aspec.sliding_window > 1
+                    and not aspec.has_memory_kv):
+                layer_ring = rc
+            layer_bias = layer_bias + attn_ops.sliding_window_bias(
+                T, T, aspec.sliding_window, offset=0)
+        elif aspec.sliding_window and self_cache is not None:
             rc = ring_capacity(arch)
             cap_l = cache_i["k"].shape[-2] if cache_i is not None else C
             if (rc and cap_l == rc and aspec.sliding_window > 1
@@ -1361,13 +1403,13 @@ def decoder_forward(
 
         alibi_bias = None
         if spec.alibi:
-            Tk = C if self_cache is not None else T
+            Tk = C if attn_cached else T
             slopes = dc["alibi_slopes"]
             positions = jnp.arange(Tk, dtype=jnp.float32)
             if not spec.alibi_use_positive_positions:
                 # Negative positions end at 0 on the last *current* key
                 # (reference: src/layers/attention_layer.cc:38-41).
-                cur_len = (pos + T) if self_cache is not None else T
+                cur_len = (pos + T) if attn_cached else T
                 positions = positions - (jnp.asarray(cur_len, jnp.float32) - 1)
             scale = aspec.queries_scale if spec.scale_alibi else 1.0
             alibi_bias = (slopes[:, None, None] * positions[None, None, :] * scale)
@@ -1378,21 +1420,21 @@ def decoder_forward(
                 raise NotImplementedError(
                     "relative-position models are not supported by the "
                     "continuous-batching step (per-row positions)")
-            Tk = C if self_cache is not None else T
+            Tk = C if attn_cached else T
             rel_positions = attn_ops.make_relative_positions(
                 T, Tk, aspec.max_relative_position,
-                query_offset=pos if self_cache is not None else None)
+                query_offset=pos if attn_cached else None)
         pbias = None
         if aspec.has_rel_attention_bias:
             if pos_vec:
                 raise NotImplementedError(
                     "relative-bias (T5) models are not supported by the "
                     "continuous-batching step (per-row positions)")
-            Tk = C if self_cache is not None else T
+            Tk = C if attn_cached else T
             pbias = attn_ops.t5_position_bias(
                 lp["self_attention"]["relative_attention_bias"],
                 T, Tk, aspec.rel_max_distance, bidirectional=False,
-                query_offset=pos if self_cache is not None else 0)
+                query_offset=pos if attn_cached else 0)
         if layer_ring and (alibi_bias is not None or rel_positions is not None
                            or pbias is not None):
             raise NotImplementedError(
@@ -1420,7 +1462,7 @@ def decoder_forward(
             rot=rot, pos=pos, self_cache=self_cache, mem_kv=mem_kv,
             memory_bias=memory_bias, beam_size=beam_size, lengths=lengths,
             quantize_acts=quantize_acts, causal_only=causal_only,
-            ring=layer_ring, flash_alibi=flash_alibi)
+            ring=layer_ring, flash_alibi=flash_alibi, fresh_prefill=fresh)
         if spec.has_output_norm:
             x = _norm(arch, dp.get("layer_norm"), x)
         if spec.has_project_out:
@@ -1474,7 +1516,8 @@ def decoder_forward(
                     beam_chain=beam_chain, beam_chain_size=beam_size,
                     ring=layer_ring,
                     alibi_slopes=flash_alibi,
-                    alibi_positive=spec.alibi_use_positive_positions)
+                    alibi_positive=spec.alibi_use_positive_positions,
+                    fresh_prefill=fresh)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             if layer.cross_attention is not None:
                 h = _norm(arch, lp["external_pre_encoder_attention_layer_norm"], x) \
@@ -1517,7 +1560,8 @@ def decoder_forward(
                 beam_chain=beam_chain, beam_chain_size=beam_size,
                     ring=layer_ring,
                     alibi_slopes=flash_alibi,
-                    alibi_positive=spec.alibi_use_positive_positions)
+                    alibi_positive=spec.alibi_use_positive_positions,
+                    fresh_prefill=fresh)
             if layer.post_attention_layer_norm:
                 h = _norm(arch, lp["post_attention_layer_norm"], x)
             f = ffn_block(arch, layer.ffn, lp["ffn"], h, spec.pre_norm,
@@ -1545,7 +1589,8 @@ def decoder_forward(
                 beam_chain=beam_chain, beam_chain_size=beam_size,
                     ring=layer_ring,
                     alibi_slopes=flash_alibi,
-                    alibi_positive=spec.alibi_use_positive_positions)
+                    alibi_positive=spec.alibi_use_positive_positions,
+                    fresh_prefill=fresh)
             if layer.cross_attention is not None:
                 want_w = (
                     ("logits" if raw_attention else True)
@@ -1614,6 +1659,7 @@ decoder_forward_jit = jax.jit(
         "quantize_acts",
         "out_dtype",
         "return_logits",
+        "fresh_prefill",
     ),
 )
 precompute_memory_jit = jax.jit(

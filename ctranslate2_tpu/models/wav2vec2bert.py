@@ -65,7 +65,7 @@ def is_wav2vec2bert(mf: ModelFile) -> bool:
 
 
 def build_wav2vec2bert_params(mf: ModelFile, spec: Wav2Vec2BertSpec, policy):
-    from .params import ParamsBuilder
+    from .params import ParamsBuilder, finalize_params
 
     b = ParamsBuilder(mf, policy)
     sc = "encoder"
@@ -128,6 +128,7 @@ def build_wav2vec2bert_params(mf: ModelFile, spec: Wav2Vec2BertSpec, policy):
 
     if spec.has_lm_head:
         out["lm_head"] = b.linear(f"{sc}/lm_head")
+    out = finalize_params(out)
     return out
 
 

@@ -253,7 +253,8 @@ class ContinuousBatcher:
             logits, cache, _ = T.decoder_forward(
                 arch, params, consts, ids, jnp.int32(0), cache,
                 None, None, lengths=length[None],
-                quantize_acts=quantize_acts, out_dtype=out_dtype)
+                quantize_acts=quantize_acts, out_dtype=out_dtype,
+                fresh_prefill=True)
             last = jnp.take(logits[0], length - 1, axis=0)
             ids_out, scores = self._sample_logits(
                 last[None], disable_end[None], jax.random.fold_in(key, n))

@@ -75,10 +75,10 @@ class Encoder:
         pooler = model.mf.get("pooler/weight")
         if pooler is not None:
             # BERT-style pooler: dense+tanh on the first token.
-            from ..models.params import ParamsBuilder
+            from ..models.params import ParamsBuilder, finalize_params
 
             builder = ParamsBuilder(model.mf, model.policy)
-            pooler_params = builder.linear("pooler")
+            pooler_params = finalize_params(builder.linear("pooler"))
             act_id = int(model.mf.attribute("pooler_activation", 5))
             pooler_output = linear(
                 pooler_params, out[:, 0],

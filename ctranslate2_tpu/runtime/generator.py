@@ -198,7 +198,10 @@ class Generator:
                 ids_arr, jnp.int32(off), cache, None, None,
                 quantize_acts=model.policy.quantize_activations,
                 out_dtype=model.out_dtype,
-                return_logits=False)
+                return_logits=False,
+                # The very first chunk of an empty cache attends only its
+                # own T positions (O(T^2) prefill, flash-eligible).
+                fresh_prefill=(off == 0))
         return cache
 
     def _generate(self, start_tokens, options, end_ids, static_prompt,

@@ -276,7 +276,8 @@ class Whisper:
                 mem_kv, mem_bias,
                 quantize_acts=model.policy.quantize_activations,
                 out_dtype=model.out_dtype,
-                return_logits=return_no_speech_prob)
+                return_logits=return_no_speech_prob,
+                fresh_prefill=True)
             if return_no_speech_prob:
                 # No-speech prob at the SOT step (reference: whisper.cc:263-290).
                 sot_logits = logits[:, sot_idx].astype(jnp.float32) \
