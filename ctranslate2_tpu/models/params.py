@@ -57,40 +57,26 @@ def _quantize_per_row(w: np.ndarray):
     return q.astype(np.int8), scale.astype(np.float32)
 
 
-class _PendingT:
-    """A weight awaiting its (out, in) -> (in, out) transpose.
-
-    Load-time transposes are the dominant cost of model loading when done
-    eagerly (a strided host copy per weight, or one tunnel dispatch per
-    weight on device). Builders emit these markers and
-    ``finalize_params`` runs ALL of them in ONE jitted program: the
-    contiguous host buffers batch-transfer, and the device transposes
-    compile into a single executable.
-    """
-
-    __slots__ = ("array", "dtype")
-
-    def __init__(self, array, dtype=None):
-        self.array = array
-        self.dtype = dtype
+from ..utils.lazy import Pending as _Pending
+from ..utils.lazy import pending_transpose as _PendingT  # noqa: N816
 
 
 def finalize_params(tree):
-    """Resolve _PendingT leaves with one batched device dispatch."""
+    """Resolve Pending leaves with one batched device dispatch
+    (see utils/lazy.py)."""
     import jax
 
-    is_leaf = lambda x: isinstance(x, _PendingT)  # noqa: E731
+    is_leaf = lambda x: isinstance(x, _Pending)  # noqa: E731
     flat, treedef = jax.tree.flatten(tree, is_leaf=is_leaf)
-    idx = [i for i, l in enumerate(flat) if isinstance(l, _PendingT)]
+    idx = [i for i, l in enumerate(flat) if isinstance(l, _Pending)]
     if not idx:
         return tree
-    dtypes = tuple(flat[i].dtype for i in idx)
+    pend = [flat[i] for i in idx]
 
-    def run(arrays):
-        return [a.astype(d).T if d is not None else a.T
-                for a, d in zip(arrays, dtypes)]
+    def run(arg_lists):
+        return [p.fn(*args) for p, args in zip(pend, arg_lists)]
 
-    outs = jax.jit(run)([flat[i].array for i in idx])
+    outs = jax.jit(run)([list(p.args) for p in pend])
     for i, o in zip(idx, outs):
         flat[i] = o
     return jax.tree.unflatten(treedef, flat)
@@ -141,20 +127,20 @@ class ParamsBuilder:
 
             import jax
 
-            from ..ops.awq import (AWQ_GEMM, build_awq_linear,
-                                   build_awq_linear_packed)
+            from ..ops.awq import AWQ_GEMM, build_awq_linear_lazy
 
             quant_type = int(self.mf.config.get("quantization_type", AWQ_GEMM))
             packed_env = os.environ.get("CT2TPU_W4_PACKED")
             use_packed = (packed_env == "1" if packed_env is not None
                           else jax.default_backend() == "tpu")
-            if use_packed and var.shape[0] % 2 == 0:
-                out = build_awq_linear_packed(
-                    var.array, scale.as_float32(), zero.array, quant_type)
+            # GEMM packed layout: in-dim rows must split evenly in half.
+            if quant_type == AWQ_GEMM:
+                payload_in = var.shape[0]
             else:
-                out = build_awq_linear(
-                    var.array, scale.as_float32(), zero.array, quant_type)
-            out = {k: jnp.asarray(v) for k, v in out.items()}
+                payload_in = var.shape[1] * 8
+            out = build_awq_linear_lazy(
+                var.array, scale.as_float32(), zero.array, quant_type,
+                packed=use_packed and payload_in % 2 == 0)
         elif var.dtype_name in ("int8", "int16"):
             if self.policy.weight_dtype == "int8" and var.dtype_name == "int8":
                 out["wq"] = _PendingT(var.array)
@@ -234,13 +220,20 @@ class ParamsBuilder:
         outs = []
         offset = 0
         w_key = next(k for k in ("w4p", "w4", "wq", "w") if k in lin)
+        if isinstance(lin.get(w_key), _Pending) \
+                and lin[w_key].meta.get("kind") != "transpose":
+            # Deferred non-transpose payloads (AWQ) slice layout-
+            # specifically; materialize host-side for this rare path
+            # (fused-QKV AWQ split under tensor parallelism).
+            lin = {k: (v.host() if isinstance(v, _Pending) else v)
+                   for k, v in lin.items()}
         for size in sizes:
             w = lin[w_key]
-            if isinstance(w, _PendingT):
-                # Pending weights hold the raw (out, in) layout: the output
-                # axis is axis 0 (a contiguous row slice).
-                part = {w_key: _PendingT(w.array[offset:offset + size],
-                                         w.dtype)}
+            if isinstance(w, _Pending):
+                # Pending transposes hold the raw (out, in) layout: the
+                # output axis is axis 0 (a contiguous row slice).
+                part = {w_key: _PendingT(w.args[0][offset:offset + size],
+                                         w.meta.get("dtype"))}
             else:
                 part = {w_key: w[:, offset:offset + size]}
             if "scale" in lin:

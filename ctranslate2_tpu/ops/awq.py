@@ -217,3 +217,95 @@ def unpack_w4p(w4p: np.ndarray):
     lo = u & 0x0F
     hi = (u >> 4) & 0x0F
     return np.concatenate([lo, hi], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Deferred (device-side) load path: the nibble unpack / reorder / repack
+# above are expensive strided numpy passes when run per weight on the
+# host; these jnp twins run inside the ONE batched finalize dispatch
+# (models/params.py finalize_params), so an 8B AWQ load ships the raw
+# int32 payloads and transforms them on device.
+# ---------------------------------------------------------------------------
+
+
+def _jnp_unpack_nibbles(packed, order=None):
+    """int32 [..., n] -> uint8 [..., n*8].
+
+    ``order`` permutes nibbles within each int32 by folding the permutation
+    into the SHIFT amounts — a TPU-friendly formulation: a last-axis gather
+    (jnp.take over the lane dimension) serializes on TPU, while shifted
+    masks vectorize."""
+    import jax.numpy as jnp
+
+    shifts_np = 4 * (np.arange(8, dtype=np.uint32) if order is None
+                     else np.asarray(order, np.uint32))
+    shifts = jnp.asarray(shifts_np, jnp.uint32)
+    vals = (packed.astype(jnp.uint32)[..., None] >> shifts) & 0xF
+    return vals.reshape(packed.shape[:-1] + (-1,)).astype(jnp.uint8)
+
+
+def _jnp_w4_in_out(qweight, quant_type: int):
+    if quant_type == AWQ_GEMM:
+        # unpack+reorder fused: out[j] = (x >> 4*REVERSE_ORDER[j]) & 0xF.
+        return _jnp_unpack_nibbles(qweight, order=AWQ_REVERSE_ORDER)
+    return _jnp_unpack_nibbles(qweight).T  # GEMV stores (out, in)
+
+
+def build_awq_linear_lazy(qweight, scales, qzeros, quant_type: int,
+                          packed: bool):
+    """Deferred version of build_awq_linear / build_awq_linear_packed.
+
+    Returns the same dict with the heavy payload as a Pending marker
+    (resolved on device in the batched finalize); zero/scale parts are
+    small (1/group_size of the payload) and stay eager numpy.
+    """
+    from ..utils.lazy import Pending
+
+    w4_np, zeros, s = None, None, None
+    # Zeros/scales: small; unpack on host.
+    if quant_type == AWQ_GEMM:
+        zeros = _reorder_awq(_unpack_nibbles(qzeros), reverse=True)
+        s = np.asarray(scales, dtype=np.float32)
+    else:
+        n_groups = scales.shape[1]
+        zeros = _unpack_nibbles(qzeros)[:, :n_groups].T
+        s = np.ascontiguousarray(np.asarray(scales, np.float32).T)
+
+    meta = {"kind": "awq"}
+    if packed:
+        def fn(qw):
+            import jax.numpy as jnp
+
+            w4 = _jnp_w4_in_out(qw, quant_type)
+            K = w4.shape[0]
+            lo = w4[: K // 2]
+            hi = w4[K // 2:]
+            return (lo | (hi << 4)).astype(jnp.uint8).view(jnp.int8)
+
+        def host_fn(qw):
+            return build_awq_linear_packed(qw, scales, qzeros,
+                                           quant_type)["w4p"]
+
+        return {
+            "w4p": Pending(fn, (qweight,), host_fn=host_fn, meta=meta),
+            "g_scale": s.astype(np.float32),
+            "g_zs": (zeros.astype(np.float32) * s).astype(np.float32),
+        }
+
+    G = None
+
+    def fn(qw, z):
+        import jax.numpy as jnp
+
+        w4 = _jnp_w4_in_out(qw, quant_type)
+        g = w4.shape[0] // z.shape[0]
+        zz = jnp.repeat(z, g, axis=0)
+        return (w4.astype(jnp.int16) - zz.astype(jnp.int16)).astype(jnp.int8)
+
+    def host_fn(qw, z):
+        return build_awq_linear(qw, scales, qzeros, quant_type)["w4"]
+
+    return {
+        "w4": Pending(fn, (qweight, zeros), host_fn=host_fn, meta=meta),
+        "g_scale": s,
+    }

@@ -69,9 +69,16 @@ class ContinuousBatcher:
     workloads.
     """
 
-    def __init__(
+    def __init__(self, generator, **kw):
+        model = generator.model
+        if not model.is_decoder_only:
+            raise ValueError("ContinuousBatcher requires a decoder-only model")
+        self._init_common(model, **kw)
+        self._start_loop()
+
+    def _init_common(
         self,
-        generator,
+        model,
         *,
         num_slots: int = 8,
         capacity: int = 1024,
@@ -84,12 +91,9 @@ class ContinuousBatcher:
         prefill_bucket: int = 16,
         steps_per_sync: int = 8,
     ):
-        model = generator.model
-        if not model.is_decoder_only:
-            raise ValueError("ContinuousBatcher requires a decoder-only model")
         if model.arch.decoder.alibi:
             raise NotImplementedError(
-                "ContinuousBatcher does not support ALiBi models")
+                "continuous batching does not support ALiBi models")
         self.model = model
         self._vocab = model.target_vocabulary
         self._num_slots = num_slots
@@ -139,6 +143,8 @@ class ContinuousBatcher:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._closed = False
         self._wake = threading.Event()
+
+    def _start_loop(self):
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name="ct2tpu-continuous")
         self._thread.start()
@@ -388,6 +394,220 @@ class ContinuousBatcher:
                 # Stop consuming once this request is done (its remaining
                 # block tokens are a discarded speculative continuation);
                 # _harvest frees the slot right after.
+                if (tok in self._end_ids
+                        and len(req.generated) > req.min_length):
+                    break
+                if len(req.generated) >= req.max_length:
+                    break
+
+
+class ContinuousTranslator(ContinuousBatcher):
+    """Iteration-level batching for ENCODER-DECODER models (beyond the
+    reference, whose serving runs translation batches to completion).
+
+    Each slot additionally owns fixed-shape cross-attention memory:
+    admit encodes the source (one prefill-sized dispatch), projects it
+    through the per-layer cross K/V linears, and inserts the result into
+    the slot's rows of [num_slots, Hkv, max_source_len, D] buffers; a
+    per-slot length mask handles ragged sources. Decode steps then run
+    the merged fleet exactly like the decoder-only engine — the first
+    target token comes from feeding the decoder start token, so no
+    decoder-side prefill is needed.
+
+    Restrictions: greedy/sampling (no beam), no target prefix, models
+    with separate cross-attention (merged T5Gemma2 layout unsupported).
+    """
+
+    def __init__(self, translator, *, max_source_len: int = 128, **kw):
+        model = translator.model
+        if not model.is_sequence_to_sequence:
+            raise ValueError(
+                "ContinuousTranslator requires an encoder-decoder model")
+        if any(l.self_attention.has_memory_kv
+               for l in model.arch.decoder.layers):
+            raise NotImplementedError(
+                "merged-attention (T5Gemma2) models are not supported by "
+                "the continuous translator")
+        self._translator = translator
+        self._max_src = max_source_len
+        self._src_vocab = model.source_vocabularies[0]
+        start = model.config.get("decoder_start_token", "<s>")
+        if start is None:
+            raise NotImplementedError(
+                "models requiring user decoder start tokens need "
+                "target_prefix, which the continuous translator does not "
+                "support yet")
+        self._start_id = model.target_vocabulary.to_id(start)
+        # Force the decoder-only check off; init the shared machinery.
+        self._init_common(model, **kw)
+
+        # Per-slot cross-attention memory (zeros attend as masked).
+        spec = model.arch.decoder
+        self._mem = []
+        for layer in spec.layers:
+            a = layer.cross_attention
+            if a is None:
+                self._mem.append(None)
+                continue
+            shape = (self._num_slots, a.num_heads_kv, max_source_len,
+                     a.head_dim)
+            self._mem.append({
+                "k": jnp.zeros(shape, model.out_dtype),
+                "v": jnp.zeros(shape, model.out_dtype),
+            })
+        self._src_len = np.zeros(self._num_slots, np.int32)
+        self._encode_fns = {}
+        self._mem_insert = jax.jit(self._mem_insert_impl, donate_argnums=(0,))
+        self._start_loop()
+
+    # ContinuousBatcher.__init__ is replaced by _init_common + _start_loop
+    # so this subclass can set up memory buffers in between; see below.
+
+    def submit(self, source: Sequence[str], *, max_length: int = 256,
+               min_length: int = 0) -> Future:
+        """Queue one tokenized source sentence; the Future resolves to a
+        GenerationResult holding the target tokens."""
+        if self._closed:
+            raise RuntimeError("The batcher is closed")
+        if not source:
+            raise ValueError("The source must contain at least one token")
+        if len(source) > self._max_src:
+            raise ValueError(
+                f"source length {len(source)} exceeds max_source_len "
+                f"({self._max_src})")
+        cfg = self.model.config
+        ids = self._src_vocab.tokens_to_ids(
+            [list(source)],
+            add_bos=bool(cfg.get("add_source_bos", False)),
+            add_eos=bool(cfg.get("add_source_eos", False)))[0]
+        if max_length + self._block > self._capacity:
+            raise ValueError("max_length exceeds the slot capacity")
+        req = _Request(prompt_ids=ids, max_length=max_length,
+                       min_length=min_length)
+        self._queue.put(req)
+        self._wake.set()
+        return req.future
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _mem_insert_impl(mem, sub, slot):
+        def ins(buf, s):
+            return jax.lax.dynamic_update_slice(
+                buf, s.astype(buf.dtype), (slot, 0, 0, 0))
+
+        return [
+            None if m is None else {k: ins(m[k], s[k]) for k in m}
+            for m, s in zip(mem, sub)
+        ]
+
+    def _get_encode(self, padded_len: int):
+        fn = self._encode_fns.get(padded_len)
+        if fn is not None:
+            return fn
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+        S_max = self._max_src
+
+        def encode(params, consts, ids, length):
+            memory = T.encoder_forward(
+                arch, params, consts, ids, length[None],
+                quantize_acts=quantize_acts, out_dtype=out_dtype)
+            mem_kv = T.precompute_memory(arch, params, memory,
+                                         quantize_acts=quantize_acts)
+            pad = S_max - memory.shape[1]
+
+            def pad_kv(a):
+                return jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+            return [
+                None if m is None else {k: pad_kv(v) for k, v in m.items()}
+                for m in mem_kv
+            ]
+
+        fn = jax.jit(encode)
+        self._encode_fns[padded_len] = fn
+        return fn
+
+    def _prefill_into_slot(self, slot: int, req: _Request):
+        model = self.model
+        ids = req.prompt_ids
+        P = min(_round_up(max(len(ids), 1), self._prefill_bucket),
+                self._max_src)
+        padded = np.zeros((1, P), np.int32)
+        padded[0, : len(ids)] = ids[:P]
+        sub = self._get_encode(P)(
+            model.params, model.consts, jnp.asarray(padded),
+            jnp.int32(min(len(ids), P)))
+        self._mem = self._mem_insert(self._mem, sub, jnp.int32(slot))
+        self._slots[slot] = req
+        self._src_len[slot] = min(len(ids), P)
+        self._pos[slot] = 0
+        self._tokens[slot] = self._start_id
+
+    def _build_step(self):
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+        block = self._block
+        S_max = self._max_src
+
+        def step(params, consts, cache, mem, src_len, tokens, pos,
+                 gen_len, min_len, key, n):
+            from ..ops import attention as attn_ops
+
+            mem_bias = attn_ops.length_mask_bias(src_len, S_max)
+
+            def body(carry, i):
+                tokens, pos, gen_len, cache = carry
+                logits, cache, _ = T.decoder_forward(
+                    arch, params, consts, tokens[:, None], pos, cache,
+                    mem, mem_bias, quantize_acts=quantize_acts,
+                    out_dtype=out_dtype)
+                disable_end = gen_len < min_len
+                ids, scores = self._sample_logits(
+                    logits[:, -1], disable_end,
+                    jax.random.fold_in(key, n * block + i))
+                return (ids, pos + 1, gen_len + 1, cache), (ids, scores)
+
+            (tokens, pos, gen_len, cache), (ids_k, scores_k) = jax.lax.scan(
+                body, (tokens, pos, gen_len, cache),
+                jnp.arange(block, dtype=jnp.int32))
+            return ids_k, scores_k, cache
+
+        return jax.jit(step, donate_argnums=(2,))
+
+    def _decode_step(self, active: List[int]):
+        model = self.model
+        min_len = np.zeros(self._num_slots, np.int32)
+        gen_len = np.zeros(self._num_slots, np.int32)
+        for i in active:
+            req = self._slots[i]
+            min_len[i] = req.min_length
+            gen_len[i] = len(req.generated)
+        pos = np.minimum(self._pos, self._capacity - self._block)
+
+        ids_d, scores_d, self._cache = self._step_fn(
+            model.params, model.consts, self._cache, self._mem,
+            jnp.asarray(self._src_len), jnp.asarray(self._tokens),
+            jnp.asarray(pos), jnp.asarray(gen_len), jnp.asarray(min_len),
+            self._key,
+            jnp.int32((self._step_count // max(1, self._block))
+                      + 0x40000000))
+        self._step_count += self._block
+        ids = np.asarray(ids_d)
+        scores = np.asarray(scores_d, np.float32)
+        for i in active:
+            req = self._slots[i]
+            for j in range(self._block):
+                tok = int(ids[j, i])
+                req.generated.append(tok)
+                req.score += float(scores[j, i])
+                self._tokens[i] = tok
+                self._pos[i] += 1
                 if (tok in self._end_ids
                         and len(req.generated) > req.min_length):
                     break

@@ -140,3 +140,66 @@ def test_int8_model_continuous(tmp_path):
         assert r.sequences_ids[0] == expected.sequences_ids[0]
     finally:
         cb.close()
+
+
+# ----------------------------------------------------------------------
+# Encoder-decoder continuous batching (beyond reference).
+# ----------------------------------------------------------------------
+
+
+def test_continuous_translator_matches_translate_batch():
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    SRC1 = ["آ", "ت", "ز", "م", "و", "ن"]
+    SRC2 = ["آ", "ت", "ش", "ي", "س", "و", "ن"]
+    t = Translator(MODEL)
+    expected = t.translate_batch([SRC1, SRC2], beam_size=1)
+    ct = ContinuousTranslator(t, num_slots=3, capacity=128,
+                              max_source_len=32)
+    try:
+        f1 = ct.submit(SRC1, max_length=32)
+        f2 = ct.submit(SRC2, max_length=32)
+        v = t.model.target_vocabulary
+        got1 = [v.to_token(i) for i in f1.result(timeout=300).sequences_ids[0]]
+        got2 = [v.to_token(i) for i in f2.result(timeout=300).sequences_ids[0]]
+        assert got1 == expected[0].hypotheses[0]
+        assert got2 == expected[1].hypotheses[0]
+    finally:
+        ct.close()
+
+
+def test_continuous_translator_many_requests():
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    t = Translator(MODEL)
+    srcs = [["آ", "ت", "ز", "م", "و", "ن"],
+            ["آ", "ت", "ش", "ي", "س", "و", "ن"]] * 3
+    expected = t.translate_batch(srcs, beam_size=1)
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32)
+    try:
+        futures = [ct.submit(s, max_length=32) for s in srcs]
+        v = t.model.target_vocabulary
+        for f, e in zip(futures, expected):
+            got = [v.to_token(i)
+                   for i in f.result(timeout=600).sequences_ids[0]]
+            assert got == e.hypotheses[0]
+    finally:
+        ct.close()
+
+
+def test_continuous_translator_validation():
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    t = Translator(MODEL)
+    ct = ContinuousTranslator(t, num_slots=2, capacity=64, max_source_len=16)
+    try:
+        with pytest.raises(ValueError, match="max_source_len"):
+            ct.submit(["آ"] * 20)
+        with pytest.raises(ValueError):
+            ct.submit([])
+    finally:
+        ct.close()
