@@ -50,6 +50,7 @@ class _Request:
     prompt_ids: List[int]
     max_length: int
     min_length: int
+    temperature: float = 0.0  # 0 = the batcher's default
     future: Future = field(default_factory=Future)
     # Filled while decoding:
     generated: List[int] = field(default_factory=list)
@@ -137,6 +138,8 @@ class ContinuousBatcher:
         self._slots: List[Optional[_Request]] = [None] * num_slots
         self._pos = np.zeros(num_slots, np.int32)
         self._tokens = np.zeros(num_slots, np.int32)
+        self._temps = np.full(num_slots, self._temperature or 1.0,
+                              np.float32)
         self._step_count = 0
         self._steps_while_pending = 0
 
@@ -154,7 +157,8 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def submit(self, prompt: Sequence[str], *, max_length: int = 256,
-               min_length: int = 0) -> Future:
+               min_length: int = 0,
+               sampling_temperature: float = None) -> Future:
         """Queue one prompt; the Future resolves to a GenerationResult
         holding the GENERATED continuation (prompt not included)."""
         if self._closed:
@@ -174,7 +178,8 @@ class ContinuousBatcher:
                 f"capacity ({self._ring}); chunk the prompt or use "
                 "Generator.generate_batch")
         req = _Request(prompt_ids=ids, max_length=max_length,
-                       min_length=min_length)
+                       min_length=min_length,
+                       temperature=sampling_temperature or 0.0)
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -201,14 +206,19 @@ class ContinuousBatcher:
     # Jitted pieces.
     # ------------------------------------------------------------------
 
-    def _sample_logits(self, l, disable_end, key):
+    def _sample_logits(self, l, disable_end, key, temps=None):
+        """``temps``: optional per-row temperatures (sampled mode only);
+        pick scores are then reported from the tempered distribution."""
         l = l.astype(jnp.float32)
         l = proc.disable_tokens(l, self._suppress_ids)
         l = proc.disable_tokens_if(l, self._end_ids, disable_end)
+        if temps is not None and not self._greedy:
+            l = l / jnp.maximum(temps, 1e-6)[:, None]
         log_probs = jax.nn.log_softmax(l, axis=-1)
         return sample_tokens(
             log_probs, key, topk=self._topk, topp=self._topp,
-            temperature=self._temperature, greedy=self._greedy)
+            temperature=1.0 if temps is not None else self._temperature,
+            greedy=self._greedy)
 
     def _build_step(self):
         model = self.model
@@ -219,7 +229,7 @@ class ContinuousBatcher:
         block = self._block
 
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 key, n):
+                 temps, key, n):
             def body(carry, i):
                 tokens, pos, gen_len, cache = carry
                 logits, cache, _ = T.decoder_forward(
@@ -229,7 +239,7 @@ class ContinuousBatcher:
                 disable_end = gen_len < min_len
                 ids, scores = self._sample_logits(
                     logits[:, -1], disable_end,
-                    jax.random.fold_in(key, n * block + i))
+                    jax.random.fold_in(key, n * block + i), temps=temps)
                 return (ids, pos + 1, gen_len + 1, cache), (ids, scores)
 
             (tokens, pos, gen_len, cache), (ids_k, scores_k) = jax.lax.scan(
@@ -250,7 +260,7 @@ class ContinuousBatcher:
         kv_dtype = model.kv_dtype
         stacked = model.scan_layers
 
-        def prefill(params, consts, ids, length, disable_end, key, n):
+        def prefill(params, consts, ids, length, disable_end, temp, key, n):
             # ids [1, P] padded; real prompt occupies [0, length). The
             # prefill cache is prompt-sized (O(P^2) attention, not O(P*C));
             # cache_insert_row pads it into the full-capacity slot row.
@@ -263,7 +273,8 @@ class ContinuousBatcher:
                 fresh_prefill=True)
             last = jnp.take(logits[0], length - 1, axis=0)
             ids_out, scores = self._sample_logits(
-                last[None], disable_end[None], jax.random.fold_in(key, n))
+                last[None], disable_end[None], jax.random.fold_in(key, n),
+                temps=temp[None])
             return ids_out[0], scores[0], cache
 
         fn = jax.jit(prefill)
@@ -350,6 +361,7 @@ class ContinuousBatcher:
             model.params, model.consts, jnp.asarray(padded),
             jnp.int32(len(ids)),
             jnp.asarray(req.min_length > 0),
+            jnp.float32(req.temperature or self._temperature or 1.0),
             self._key, jnp.int32(self._step_count))
         self._cache = self._insert_fn(
             self._cache, sub_cache, jnp.int32(slot))
@@ -359,6 +371,7 @@ class ContinuousBatcher:
         self._slots[slot] = req
         self._pos[slot] = len(ids)
         self._tokens[slot] = first
+        self._temps[slot] = req.temperature or self._temperature or 1.0
 
     def _decode_step(self, active: List[int]):
         model = self.model
@@ -375,7 +388,8 @@ class ContinuousBatcher:
         ids_d, scores_d, self._cache = self._step_fn(
             model.params, model.consts, self._cache,
             jnp.asarray(self._tokens), jnp.asarray(pos),
-            jnp.asarray(gen_len), jnp.asarray(min_len), self._key,
+            jnp.asarray(gen_len), jnp.asarray(min_len),
+            jnp.asarray(self._temps), self._key,
             jnp.int32((self._step_count // max(1, self._block))
                       + 0x40000000))
         self._step_count += self._block
@@ -464,7 +478,8 @@ class ContinuousTranslator(ContinuousBatcher):
     # so this subclass can set up memory buffers in between; see below.
 
     def submit(self, source: Sequence[str], *, max_length: int = 256,
-               min_length: int = 0) -> Future:
+               min_length: int = 0,
+               sampling_temperature: float = None) -> Future:
         """Queue one tokenized source sentence; the Future resolves to a
         GenerationResult holding the target tokens."""
         if self._closed:
@@ -483,7 +498,8 @@ class ContinuousTranslator(ContinuousBatcher):
         if max_length + self._block > self._capacity:
             raise ValueError("max_length exceeds the slot capacity")
         req = _Request(prompt_ids=ids, max_length=max_length,
-                       min_length=min_length)
+                       min_length=min_length,
+                       temperature=sampling_temperature or 0.0)
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -546,6 +562,7 @@ class ContinuousTranslator(ContinuousBatcher):
         self._src_len[slot] = min(len(ids), P)
         self._pos[slot] = 0
         self._tokens[slot] = self._start_id
+        self._temps[slot] = req.temperature or self._temperature or 1.0
 
     def _build_step(self):
         model = self.model
@@ -556,7 +573,7 @@ class ContinuousTranslator(ContinuousBatcher):
         S_max = self._max_src
 
         def step(params, consts, cache, mem, src_len, tokens, pos,
-                 gen_len, min_len, key, n):
+                 gen_len, min_len, temps, key, n):
             from ..ops import attention as attn_ops
 
             mem_bias = attn_ops.length_mask_bias(src_len, S_max)
@@ -570,7 +587,7 @@ class ContinuousTranslator(ContinuousBatcher):
                 disable_end = gen_len < min_len
                 ids, scores = self._sample_logits(
                     logits[:, -1], disable_end,
-                    jax.random.fold_in(key, n * block + i))
+                    jax.random.fold_in(key, n * block + i), temps=temps)
                 return (ids, pos + 1, gen_len + 1, cache), (ids, scores)
 
             (tokens, pos, gen_len, cache), (ids_k, scores_k) = jax.lax.scan(
@@ -594,7 +611,7 @@ class ContinuousTranslator(ContinuousBatcher):
             model.params, model.consts, self._cache, self._mem,
             jnp.asarray(self._src_len), jnp.asarray(self._tokens),
             jnp.asarray(pos), jnp.asarray(gen_len), jnp.asarray(min_len),
-            self._key,
+            jnp.asarray(self._temps), self._key,
             jnp.int32((self._step_count // max(1, self._block))
                       + 0x40000000))
         self._step_count += self._block

@@ -203,3 +203,23 @@ def test_continuous_translator_validation():
             ct.submit([])
     finally:
         ct.close()
+
+
+def test_per_request_temperature(gen_model):
+    """Different temperatures coexist in one fleet: temp→0 in sampled mode
+    converges to the greedy continuation while a hot request differs."""
+    greedy = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12,
+        include_prompt_in_result=False)[0]
+    cb = _batcher(gen_model, sampling_topk=0, sampling_temperature=1.0,
+                  seed=3)
+    try:
+        cold = cb.submit(["tok1", "tok2"], max_length=12,
+                         sampling_temperature=1e-4)
+        hot = cb.submit(["tok1", "tok2"], max_length=12,
+                        sampling_temperature=5.0)
+        assert cold.result(timeout=300).sequences_ids[0] == \
+            greedy.sequences_ids[0]
+        assert hot.result(timeout=300).sequences_ids[0]
+    finally:
+        cb.close()
