@@ -172,11 +172,8 @@ class ContinuousBatcher:
                 f"prompt ({len(ids)}) + max_length ({max_length}) + "
                 f"steps_per_sync ({self._block}) exceeds the slot "
                 f"capacity ({self._capacity})")
-        if self._ring and len(ids) > self._ring:
-            raise ValueError(
-                f"prompt ({len(ids)}) exceeds the sliding-window ring "
-                f"capacity ({self._ring}); chunk the prompt or use "
-                "Generator.generate_batch")
+        # Window models: prompts longer than one ring block run through
+        # the chunked prefill path (see _prefill_chunked).
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length,
                        temperature=sampling_temperature or 0.0)
@@ -281,6 +278,47 @@ class ContinuousBatcher:
         self._prefill_fns[padded_len] = fn
         return fn
 
+    def _prefill_chunked(self, slot: int, req: _Request, rb: int):
+        """Window-model prompts longer than one ring block: run the
+        reference's chunked prefill (Wr-aligned chunks) through a 1-row
+        slot-shaped ring cache, then insert the whole row (the chunk
+        caches match the slot's per-layer ring capacities exactly)."""
+        model = self.model
+        ids = req.prompt_ids
+        cache = T.init_self_cache(
+            model.arch, 1, self._capacity, dtype=model.kv_dtype,
+            stacked=model.scan_layers, ring=True)
+        logits = None
+        last_len = 0
+        for off, size in T.split_prefill_chunks(0, len(ids), rb):
+            pad = _round_up(size, self._prefill_bucket)
+            chunk = np.zeros((1, pad), np.int32)
+            chunk[0, :size] = ids[off: off + size]
+            logits, cache, _ = T.decoder_forward_jit(
+                model.arch, model.params, model.consts,
+                jnp.asarray(chunk), jnp.int32(off), cache, None, None,
+                lengths=jnp.asarray([size], jnp.int32)
+                if pad != size else None,
+                quantize_acts=model.policy.quantize_activations,
+                out_dtype=model.out_dtype,
+                fresh_prefill=(off == 0))
+            last_len = size
+        last = logits[0, last_len - 1].astype(jnp.float32)
+        tok, score = self._sample_logits(
+            last[None],
+            jnp.asarray([req.min_length > 0]),
+            jax.random.fold_in(self._key, self._step_count),
+            temps=jnp.asarray(
+                [req.temperature or self._temperature or 1.0], jnp.float32))
+        self._cache = self._insert_fn(self._cache, cache, jnp.int32(slot))
+        first = int(tok[0])
+        req.generated.append(first)
+        req.score += float(score[0])
+        self._slots[slot] = req
+        self._pos[slot] = len(ids)
+        self._tokens[slot] = first
+        self._temps[slot] = req.temperature or self._temperature or 1.0
+
     # ------------------------------------------------------------------
     # Scheduler loop.
     # ------------------------------------------------------------------
@@ -353,6 +391,9 @@ class ContinuousBatcher:
     def _prefill_into_slot(self, slot: int, req: _Request):
         model = self.model
         ids = req.prompt_ids
+        rb = T.ring_block(model.arch)
+        if rb and len(ids) > rb:
+            return self._prefill_chunked(slot, req, rb)
         P = _round_up(len(ids), self._prefill_bucket)
         padded = np.zeros((1, P), np.int32)
         padded[0, : len(ids)] = ids
@@ -432,7 +473,8 @@ class ContinuousTranslator(ContinuousBatcher):
     with separate cross-attention (merged T5Gemma2 layout unsupported).
     """
 
-    def __init__(self, translator, *, max_source_len: int = 128, **kw):
+    def __init__(self, translator, *, max_source_len: int = 128,
+                 max_target_prefix: int = 32, **kw):
         model = translator.model
         if not model.is_sequence_to_sequence:
             raise ValueError(
@@ -470,6 +512,13 @@ class ContinuousTranslator(ContinuousBatcher):
                 "v": jnp.zeros(shape, model.out_dtype),
             })
         self._src_len = np.zeros(self._num_slots, np.int32)
+        # Per-slot forced target prefixes (on-device so forcing happens
+        # INSIDE the block scan — the forced token must be what gets fed,
+        # or the cache would hold the wrong K/V).
+        self._max_prefix = max_target_prefix
+        self._prefix = np.zeros((self._num_slots, max(1, max_target_prefix)),
+                                np.int32)
+        self._plen = np.zeros(self._num_slots, np.int32)
         self._encode_fns = {}
         self._mem_insert = jax.jit(self._mem_insert_impl, donate_argnums=(0,))
         self._start_loop()
@@ -479,9 +528,11 @@ class ContinuousTranslator(ContinuousBatcher):
 
     def submit(self, source: Sequence[str], *, max_length: int = 256,
                min_length: int = 0,
-               sampling_temperature: float = None) -> Future:
+               sampling_temperature: float = None,
+               target_prefix: Sequence[str] = None) -> Future:
         """Queue one tokenized source sentence; the Future resolves to a
-        GenerationResult holding the target tokens."""
+        GenerationResult holding the target tokens (including the forced
+        ``target_prefix``, reference return_prefix semantics)."""
         if self._closed:
             raise RuntimeError("The batcher is closed")
         if not source:
@@ -497,9 +548,18 @@ class ContinuousTranslator(ContinuousBatcher):
             add_eos=bool(cfg.get("add_source_eos", False)))[0]
         if max_length + self._block > self._capacity:
             raise ValueError("max_length exceeds the slot capacity")
+        prefix_ids = []
+        if target_prefix:
+            tv = self.model.target_vocabulary
+            prefix_ids = [tv.to_id(t) for t in target_prefix]
+            if len(prefix_ids) > self._max_prefix:
+                raise ValueError(
+                    f"target_prefix length {len(prefix_ids)} exceeds "
+                    f"max_target_prefix ({self._max_prefix})")
         req = _Request(prompt_ids=ids, max_length=max_length,
-                       min_length=min_length,
+                       min_length=min_length + len(prefix_ids),
                        temperature=sampling_temperature or 0.0)
+        req.prefix_ids = prefix_ids
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -563,6 +623,10 @@ class ContinuousTranslator(ContinuousBatcher):
         self._pos[slot] = 0
         self._tokens[slot] = self._start_id
         self._temps[slot] = req.temperature or self._temperature or 1.0
+        prefix = getattr(req, "prefix_ids", None) or []
+        self._prefix[slot, :] = 0
+        self._prefix[slot, : len(prefix)] = prefix
+        self._plen[slot] = len(prefix)
 
     def _build_step(self):
         model = self.model
@@ -573,7 +637,7 @@ class ContinuousTranslator(ContinuousBatcher):
         S_max = self._max_src
 
         def step(params, consts, cache, mem, src_len, tokens, pos,
-                 gen_len, min_len, temps, key, n):
+                 gen_len, min_len, temps, prefix, plen, key, n):
             from ..ops import attention as attn_ops
 
             mem_bias = attn_ops.length_mask_bias(src_len, S_max)
@@ -588,6 +652,14 @@ class ContinuousTranslator(ContinuousBatcher):
                 ids, scores = self._sample_logits(
                     logits[:, -1], disable_end,
                     jax.random.fold_in(key, n * block + i), temps=temps)
+                # Hard target prefix: force while gen_len < plen (the
+                # forced token is what gets FED, so the cache stays right).
+                forced = jnp.take_along_axis(
+                    prefix, jnp.minimum(gen_len, prefix.shape[1] - 1)[:, None],
+                    axis=1)[:, 0]
+                use = gen_len < plen
+                ids = jnp.where(use, forced, ids)
+                scores = jnp.where(use, 0.0, scores)
                 return (ids, pos + 1, gen_len + 1, cache), (ids, scores)
 
             (tokens, pos, gen_len, cache), (ids_k, scores_k) = jax.lax.scan(
@@ -611,7 +683,8 @@ class ContinuousTranslator(ContinuousBatcher):
             model.params, model.consts, self._cache, self._mem,
             jnp.asarray(self._src_len), jnp.asarray(self._tokens),
             jnp.asarray(pos), jnp.asarray(gen_len), jnp.asarray(min_len),
-            jnp.asarray(self._temps), self._key,
+            jnp.asarray(self._temps), jnp.asarray(self._prefix),
+            jnp.asarray(self._plen), self._key,
             jnp.int32((self._step_count // max(1, self._block))
                       + 0x40000000))
         self._step_count += self._block

@@ -223,3 +223,25 @@ def test_per_request_temperature(gen_model):
         assert hot.result(timeout=300).sequences_ids[0]
     finally:
         cb.close()
+
+
+def test_continuous_translator_target_prefix():
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    SRC1 = ["آ", "ت", "ز", "م", "و", "ن"]
+    t = Translator(MODEL)
+    expected = t.translate_batch([SRC1], target_prefix=[["a", "t", "s"]],
+                                 beam_size=1)[0]
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32)
+    try:
+        f = ct.submit(SRC1, max_length=32, target_prefix=["a", "t", "s"])
+        v = t.model.target_vocabulary
+        got = [v.to_token(i) for i in f.result(timeout=300).sequences_ids[0]]
+        assert got[:3] == ["a", "t", "s"]
+        assert got == expected.hypotheses[0]
+        with pytest.raises(ValueError, match="max_target_prefix"):
+            ct.submit(SRC1, max_length=32, target_prefix=["a"] * 64)
+    finally:
+        ct.close()

@@ -120,8 +120,21 @@ def test_continuous_batcher_with_window(windowed_model):
     try:
         r = cb.submit(["tok1", "tok2"], max_length=10).result(timeout=300)
         assert r.sequences_ids[0] == expected.sequences_ids[0]
-        with pytest.raises(ValueError, match="ring"):
-            cb.submit(["tok1"] * 300, max_length=10)
+    finally:
+        cb.close()
+
+
+def test_continuous_batcher_window_long_prompt(windowed_model):
+    """Prompts longer than the ring block run the chunked prefill path
+    and match the Generator's chunked prefill exactly."""
+    gen = Generator(windowed_model)
+    prompt = [f"tok{1 + i % 4}" for i in range(300)]  # > ring block 128
+    expected = gen.generate_batch(
+        [prompt], max_length=10, include_prompt_in_result=False)[0]
+    cb = ContinuousBatcher(gen, num_slots=2, capacity=512)
+    try:
+        r = cb.submit(prompt, max_length=10).result(timeout=600)
+        assert r.sequences_ids[0] == expected.sequences_ids[0]
     finally:
         cb.close()
 
