@@ -46,7 +46,12 @@ def main():
         seed=7,
     )
 
-    translator = Translator(tmpdir, compute_type=COMPUTE)
+    # One pool worker per client thread: synchronous translate_batch calls
+    # route through the worker pool, so the pool must be as wide as the
+    # client concurrency to keep host prep overlapped with device compute.
+    translator = Translator(tmpdir, compute_type=COMPUTE,
+                            inter_threads=int(os.environ.get(
+                                "BENCH_CLIENTS", "3")))
 
     rng = np.random.default_rng(42)
     vocab = translator._source_vocab
