@@ -294,11 +294,13 @@ class ContinuousBatcher:
             pad = _round_up(size, self._prefill_bucket)
             chunk = np.zeros((1, pad), np.int32)
             chunk[0, :size] = ids[off: off + size]
+            # No lengths mask: it would wrongly mask EARLIER chunks' keys
+            # (its semantics are whole-cache valid length). The padded
+            # tail writes garbage at positions >= len(ids), which decode
+            # overwrites before those positions ever become attendable.
             logits, cache, _ = T.decoder_forward_jit(
                 model.arch, model.params, model.consts,
                 jnp.asarray(chunk), jnp.int32(off), cache, None, None,
-                lengths=jnp.asarray([size], jnp.int32)
-                if pad != size else None,
                 quantize_acts=model.policy.quantize_activations,
                 out_dtype=model.out_dtype,
                 fresh_prefill=(off == 0))
