@@ -286,10 +286,12 @@ def build_awq_linear_lazy(qweight, scales, qzeros, quant_type: int,
             return build_awq_linear_packed(qw, scales, qzeros,
                                            quant_type)["w4p"]
 
+        import jax.numpy as jnp
+
         return {
             "w4p": Pending(fn, (qweight,), host_fn=host_fn, meta=meta),
-            "g_scale": s.astype(np.float32),
-            "g_zs": (zeros.astype(np.float32) * s).astype(np.float32),
+            "g_scale": jnp.asarray(s, jnp.float32),
+            "g_zs": jnp.asarray(zeros.astype(np.float32) * s, jnp.float32),
         }
 
     G = None
@@ -305,7 +307,9 @@ def build_awq_linear_lazy(qweight, scales, qzeros, quant_type: int,
     def host_fn(qw, z):
         return build_awq_linear(qw, scales, qzeros, quant_type)["w4"]
 
+    import jax.numpy as jnp
+
     return {
         "w4": Pending(fn, (qweight, zeros), host_fn=host_fn, meta=meta),
-        "g_scale": s,
+        "g_scale": jnp.asarray(s, jnp.float32),
     }
