@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..formats.model_file import ModelFile, Variable
@@ -431,6 +432,12 @@ def build_params(mf: ModelFile, arch: ArchSpec, policy: DTypePolicy,
         params["decoder"] = builder.decoder(arch.decoder)
     # One batched dispatch resolves every deferred weight transpose.
     params = finalize_params(params)
+    # Safety net: a leaf accidentally left as host numpy would be
+    # re-uploaded on EVERY dispatch (a silent order-of-magnitude decode
+    # slowdown through a remote device); force residual leaves on device.
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+        params)
     if arch.decoder is not None and stack_layers \
             and decoder_layers_uniform(arch):
         from .transformer import stack_layer_list

@@ -62,3 +62,25 @@ def test_bfloat16_roundtrip(tmp_path):
     var = make_variable("x", x, "bfloat16")
     assert var.dtype_name == "bfloat16"
     np.testing.assert_allclose(var.as_float32(), x, rtol=1e-2)
+
+
+def test_no_host_leaves_after_load(tmp_path):
+    """Every param leaf must live on device after load — a residual host
+    numpy leaf re-uploads on EVERY dispatch (silent decode slowdown)."""
+    import numpy as np
+    import jax
+
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+    from ctranslate2_tpu.models.loader import load_model
+
+    for quant in (None, "int8", "awq_gemm", "awq_gemv"):
+        d = build_decoder_only_model(
+            str(tmp_path / f"m_{quant}"), quantization=quant,
+            rotary_dim=8, glu=True, rms_norm=True)
+        m = load_model(d, compute_type="int8" if quant == "int8" else "default")
+        bad = [
+            jax.tree_util.keystr(path)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(m.params)[0]
+            if isinstance(leaf, np.ndarray)
+        ]
+        assert not bad, (quant, bad)
