@@ -142,6 +142,15 @@ class ContinuousBatcher:
                               np.float32)
         self._step_count = 0
         self._steps_while_pending = 0
+        # Serving counters (ExecutionStats analog for the continuous
+        # engine: reference include/ctranslate2/translator.h:9-13 +
+        # replica_pool introspection).
+        self._tokens_out = 0
+        self._requests_done = 0
+        self._slot_steps = 0  # slot-step occupancy numerator
+        import time as _time
+
+        self._started_at = _time.monotonic()
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._closed = False
@@ -188,6 +197,22 @@ class ContinuousBatcher:
     @property
     def num_queued_requests(self) -> int:
         return self._queue.qsize()
+
+    def stats(self) -> dict:
+        """Serving counters: generated tokens, finished requests, decode
+        steps, mean slot occupancy and tokens/s since construction."""
+        import time as _time
+
+        dt = max(_time.monotonic() - self._started_at, 1e-9)
+        return {
+            "num_tokens": self._tokens_out,
+            "num_requests": self._requests_done,
+            "num_steps": self._step_count,
+            "tokens_per_sec": self._tokens_out / dt,
+            "mean_slot_occupancy": (
+                self._slot_steps / max(self._step_count * self._num_slots, 1)),
+            "uptime_s": dt,
+        }
 
     @property
     def num_steps(self) -> int:
@@ -372,6 +397,8 @@ class ContinuousBatcher:
     def _finish(self, slot: int, req: _Request):
         v = self._vocab
         self._slots[slot] = None
+        self._tokens_out += len(req.generated)
+        self._requests_done += 1
         result = GenerationResult(
             sequences=[[v.to_token(t) for t in req.generated]],
             sequences_ids=[list(req.generated)],
@@ -436,6 +463,7 @@ class ContinuousBatcher:
             jnp.int32((self._step_count // max(1, self._block))
                       + 0x40000000))
         self._step_count += self._block
+        self._slot_steps += len(active) * self._block
         if not self._queue.empty():
             self._steps_while_pending += 1
         ids = np.asarray(ids_d)          # [block, S]
@@ -690,6 +718,7 @@ class ContinuousTranslator(ContinuousBatcher):
             jnp.int32((self._step_count // max(1, self._block))
                       + 0x40000000))
         self._step_count += self._block
+        self._slot_steps += len(active) * self._block
         ids = np.asarray(ids_d)
         scores = np.asarray(scores_d, np.float32)
         for i in active:

@@ -245,3 +245,17 @@ def test_continuous_translator_target_prefix():
             ct.submit(SRC1, max_length=32, target_prefix=["a"] * 64)
     finally:
         ct.close()
+
+
+def test_stats(gen_model):
+    cb = _batcher(gen_model)
+    try:
+        cb.submit(["tok1"], max_length=8).result(timeout=300)
+        s = cb.stats()
+        assert s["num_requests"] == 1
+        assert s["num_tokens"] >= 1
+        assert s["num_steps"] >= 1
+        assert 0.0 < s["mean_slot_occupancy"] <= 1.0
+        assert s["tokens_per_sec"] > 0
+    finally:
+        cb.close()

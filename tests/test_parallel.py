@@ -245,3 +245,25 @@ def test_sharded_windowed_ring_generation(tmp_path):
     with jax.set_mesh(mesh):
         tp = g.generate_batch([["tok1", "tok2"]], max_length=8)
     assert ref[0].sequences == tp[0].sequences
+
+
+def test_continuous_batcher_under_mesh(llama_dir):
+    """Continuous serving with TP-sharded params: the persistent decode
+    step runs under the mesh and matches the unsharded engine."""
+    from ctranslate2_tpu import ContinuousBatcher, Generator
+
+    ref_gen = Generator(llama_dir)
+    expected = ref_gen.generate_batch(
+        [["tok1", "tok2"]], max_length=8, include_prompt_in_result=False)[0]
+
+    g = Generator(llama_dir, tensor_parallel=True)
+    mesh = make_mesh(num_data=1, num_model=4)
+    g.model.params = shard_params(g.model.params, g.model.arch, mesh)
+    g.model.consts = shard_consts(g.model.consts, mesh)
+    with jax.set_mesh(mesh):
+        cb = ContinuousBatcher(g, num_slots=2, capacity=128)
+        try:
+            r = cb.submit(["tok1", "tok2"], max_length=8).result(timeout=600)
+        finally:
+            cb.close()
+    assert r.sequences_ids[0] == expected.sequences_ids[0]
