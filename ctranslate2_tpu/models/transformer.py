@@ -155,8 +155,9 @@ def _apply_positions(side_params, side_consts, spec, x, offset):
     else:
         return x
     if getattr(offset, "ndim", 0) > 0:
-        # Per-row positions (continuous batching, T == 1).
-        pe = jnp.take(table, offset, axis=0)[:, None, :]
+        # Per-row positions (continuous batching / speculative verify).
+        pos = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        pe = jnp.take(table, pos, axis=0)  # [B, T, D]
         return x + pe.astype(x.dtype)
     pe = jax.lax.dynamic_slice_in_dim(table, offset, T, axis=0)
     return x + pe.astype(x.dtype)[None]
@@ -209,10 +210,11 @@ def _maybe_rotary(spec: AttentionSpec, rot_consts, q, k, offset):
     T = q.shape[2]
     dim = spec.rotary.dim if spec.rotary.dim else spec.head_dim
     if getattr(offset, "ndim", 0) > 0:
-        # Per-row positions (continuous batching, T == 1): gather each
-        # row's phase; [B, 1, 1, dim] broadcasts over heads.
-        sin = jnp.take(rot_consts["sin"], offset, axis=0)[:, None, None, :]
-        cos = jnp.take(rot_consts["cos"], offset, axis=0)[:, None, None, :]
+        # Per-row positions (continuous batching / speculative verify):
+        # gather each row's phases; [B, 1, T, dim] broadcasts over heads.
+        pos = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        sin = jnp.take(rot_consts["sin"], pos, axis=0)[:, None]
+        cos = jnp.take(rot_consts["cos"], pos, axis=0)[:, None]
     else:
         sin = jax.lax.dynamic_slice_in_dim(rot_consts["sin"], offset, T, axis=0)
         cos = jax.lax.dynamic_slice_in_dim(rot_consts["cos"], offset, T, axis=0)
@@ -1049,11 +1051,18 @@ def init_self_cache(arch: ArchSpec, batch: int, capacity: int,
 def _cache_write(buf, new, offset):
     """Write ``new`` [B, H, T, D] into ``buf`` [B, H, C, D] at time slot
     ``offset`` — scalar (uniform positions) or [B] vector (continuous
-    batching; requires T == 1, lowers to a scatter)."""
+    batching / speculative verify; lowers to a scatter)."""
     if getattr(offset, "ndim", 0) > 0:
-        B = buf.shape[0]
-        return buf.at[jnp.arange(B), :, offset].set(
-            new[:, :, 0].astype(buf.dtype))
+        B, T = buf.shape[0], new.shape[2]
+        if T == 1:
+            return buf.at[jnp.arange(B), :, offset].set(
+                new[:, :, 0].astype(buf.dtype))
+        rows = jnp.arange(B)[:, None]
+        cols = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        # [B, T] advanced indices broadcast; heads slice stays in place:
+        # result positions [B, T, H, D] must match the moved-axes value.
+        return buf.at[rows, :, cols].set(
+            jnp.swapaxes(new, 1, 2).astype(buf.dtype))
     return jax.lax.dynamic_update_slice(
         buf, new.astype(buf.dtype), (0, 0, offset, 0))
 
@@ -1069,16 +1078,28 @@ def _update_int8_cache(cache: dict, k, v, offset):
 
 def _append_int8_cache(cache: dict, k8, ks, v8, vs, offset):
     if getattr(offset, "ndim", 0) > 0:
-        # Per-row write positions (continuous batching, T == 1).
-        B = cache["k"].shape[0]
-        rows = jnp.arange(B)
+        # Per-row write positions (continuous batching / speculative
+        # verify).
+        B, T = cache["k"].shape[0], k8.shape[2]
+        if T == 1:
+            rows = jnp.arange(B)
+            return {
+                "k": cache["k"].at[rows, :, offset].set(k8[:, :, 0]),
+                "v": cache["v"].at[rows, :, offset].set(v8[:, :, 0]),
+                "k_scale": cache["k_scale"].at[rows, :, :, offset].set(
+                    ks[:, :, None, 0] if ks.ndim == 3 else ks[:, :, None]),
+                "v_scale": cache["v_scale"].at[rows, :, :, offset].set(
+                    vs[:, :, None, 0] if vs.ndim == 3 else vs[:, :, None]),
+            }
+        rows = jnp.arange(B)[:, None]
+        cols = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         return {
-            "k": cache["k"].at[rows, :, offset].set(k8[:, :, 0]),
-            "v": cache["v"].at[rows, :, offset].set(v8[:, :, 0]),
-            "k_scale": cache["k_scale"].at[rows, :, :, offset].set(
-                ks[:, :, None, 0] if ks.ndim == 3 else ks[:, :, None]),
-            "v_scale": cache["v_scale"].at[rows, :, :, offset].set(
-                vs[:, :, None, 0] if vs.ndim == 3 else vs[:, :, None]),
+            "k": cache["k"].at[rows, :, cols].set(jnp.swapaxes(k8, 1, 2)),
+            "v": cache["v"].at[rows, :, cols].set(jnp.swapaxes(v8, 1, 2)),
+            "k_scale": cache["k_scale"].at[rows, :, :, cols].set(
+                jnp.swapaxes(ks, 1, 2)[..., None]),
+            "v_scale": cache["v_scale"].at[rows, :, :, cols].set(
+                jnp.swapaxes(vs, 1, 2)[..., None]),
         }
     return {
         "k": jax.lax.dynamic_update_slice(cache["k"], k8, (0, 0, offset, 0)),
@@ -1287,11 +1308,9 @@ def decoder_forward(
 
     pos_vec = getattr(pos, "ndim", 0) > 0
     if pos_vec:
-        # Per-row decode positions (continuous batching). Restricted to
-        # single-token steps; positional schemes that build shared
+        # Per-row positions (continuous batching T==1 steps; speculative
+        # verify T==k chunks). Positional schemes that build shared
         # [Tq, Tk] structures per step are not supported in this mode.
-        if T != 1:
-            raise ValueError("per-row positions require single-token steps")
         if spec.alibi:
             raise NotImplementedError(
                 "ALiBi models are not supported by the continuous-batching "
@@ -1302,7 +1321,8 @@ def decoder_forward(
         # Zero the embedding of the BOS timestep at step 0
         # (reference: src/layers/transformer.cc:637-640).
         if pos_vec:
-            x = jnp.where((pos == 0)[:, None, None], 0.0, x)
+            t_idx = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            x = jnp.where((t_idx == 0)[:, :, None], 0.0, x)
         else:
             t_idx = jnp.arange(T, dtype=jnp.int32) + pos
             x = jnp.where((t_idx == 0)[None, :, None], 0.0, x)

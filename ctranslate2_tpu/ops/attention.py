@@ -43,11 +43,13 @@ def causal_mask_bias(num_queries: int, num_keys: int, offset=0):
     and the result is [B, 1, 1, Tk].
     """
     if getattr(offset, "ndim", 0) > 0:
-        assert num_queries == 1
-        k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
-        valid = k_pos <= offset[:, None]
-        return jnp.where(valid, 0.0, NEG_INF).astype(
-            jnp.float32)[:, None, None, :]
+        # Per-row offsets: [B, 1, Tq, Tk] (row b's query i sits at
+        # absolute position offset[b] + i).
+        q_pos = (offset[:, None, None]
+                 + jnp.arange(num_queries, dtype=jnp.int32)[None, :, None])
+        k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, None, :]
+        valid = k_pos <= q_pos
+        return jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
     q_pos = jnp.arange(num_queries, dtype=jnp.int32)[:, None] + offset
     k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
     valid = k_pos <= q_pos

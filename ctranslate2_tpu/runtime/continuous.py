@@ -91,10 +91,20 @@ class ContinuousBatcher:
         seed: int = 0,
         prefill_bucket: int = 16,
         steps_per_sync: int = 8,
+        speculation_k: int = 0,
     ):
         if model.arch.decoder.alibi:
             raise NotImplementedError(
                 "continuous batching does not support ALiBi models")
+        if speculation_k:
+            if not (sampling_topk == 1 and sampling_topp >= 1.0):
+                raise NotImplementedError(
+                    "speculation requires greedy decoding (losslessness of "
+                    "draft verification is only guaranteed under argmax)")
+            if T.ring_capacity(model.arch):
+                raise NotImplementedError(
+                    "speculation is not supported with sliding-window ring "
+                    "caches yet")
         self.model = model
         self._vocab = model.target_vocabulary
         self._num_slots = num_slots
@@ -104,6 +114,12 @@ class ContinuousBatcher:
         # `block` tokens between host syncs, amortizing dispatch overhead;
         # harvest/admit happen at block boundaries. 1 = per-token control.
         self._block = max(1, steps_per_sync)
+        # Prompt-lookup speculation: the host drafts spec_k-1 tokens by
+        # n-gram continuation from the request's own context; ONE T=spec_k
+        # verify dispatch accepts 1..spec_k tokens (lossless under greedy).
+        # Directly attacks small-batch MXU under-utilization: the verify
+        # matmuls run S*spec_k rows instead of S.
+        self._spec_k = max(0, int(speculation_k))
         self._greedy = sampling_topk == 1 and sampling_topp >= 1.0
         self._topk = sampling_topk
         self._topp = sampling_topp
@@ -129,7 +145,8 @@ class ContinuousBatcher:
         self._cache = T.init_self_cache(
             model.arch, num_slots, capacity, dtype=model.kv_dtype,
             stacked=model.scan_layers, ring=True)
-        self._step_fn = self._build_step()
+        self._step_fn = (self._build_spec_step() if self._spec_k > 1
+                         else self._build_step())
         self._prefill_fns = {}
         self._insert_fn = jax.jit(
             T.cache_insert_row, donate_argnums=(0,))
@@ -148,6 +165,8 @@ class ContinuousBatcher:
         self._tokens_out = 0
         self._requests_done = 0
         self._slot_steps = 0  # slot-step occupancy numerator
+        self._accepted_tokens = 0  # speculation: tokens emitted
+        self._spec_dispatches = 0  # speculation: per-slot verify dispatches
         import time as _time
 
         self._started_at = _time.monotonic()
@@ -176,10 +195,11 @@ class ContinuousBatcher:
             raise ValueError("The prompt must contain at least one token")
         ids = [self._vocab.to_id(t) if isinstance(t, str) else int(t)
                for t in prompt]
-        if len(ids) + max_length + self._block > self._capacity:
+        margin = max(self._block, self._spec_k)
+        if len(ids) + max_length + margin > self._capacity:
             raise ValueError(
                 f"prompt ({len(ids)}) + max_length ({max_length}) + "
-                f"steps_per_sync ({self._block}) exceeds the slot "
+                f"dispatch margin ({margin}) exceeds the slot "
                 f"capacity ({self._capacity})")
         # Window models: prompts longer than one ring block run through
         # the chunked prefill path (see _prefill_chunked).
@@ -212,6 +232,9 @@ class ContinuousBatcher:
             "mean_slot_occupancy": (
                 self._slot_steps / max(self._step_count * self._num_slots, 1)),
             "uptime_s": dt,
+            "spec_tokens_per_dispatch": (
+                self._accepted_tokens / max(self._spec_dispatches, 1)
+                if self._spec_k > 1 else None),
         }
 
     @property
@@ -270,6 +293,99 @@ class ContinuousBatcher:
             return ids_k, scores_k, cache
 
         return jax.jit(step, donate_argnums=(2,))
+
+    def _build_spec_step(self):
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+        K = self._spec_k
+
+        def step(params, consts, cache, tokens, pos, gen_len, min_len,
+                 temps, key, n):
+            # tokens [S, K]: [last accepted | K-1 drafted]; verify in one
+            # T=K forward. Position i's logits give the greedy target for
+            # the token at position i+1.
+            logits, cache, _ = T.decoder_forward(
+                arch, params, consts, tokens, pos, cache, None, None,
+                quantize_acts=quantize_acts, out_dtype=out_dtype)
+            l = logits.astype(jnp.float32)  # [S, K, V]
+            l = proc.disable_tokens(l, self._suppress_ids)
+            if self._end_ids:
+                gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+                disable = gl < min_len[:, None]
+                mask = jnp.zeros((l.shape[-1],), jnp.bool_).at[
+                    jnp.asarray(self._end_ids)].set(True)
+                l = jnp.where(disable[..., None] & mask[None, None, :],
+                              proc.DISABLE, l)
+            greedy = jnp.argmax(l, axis=-1).astype(jnp.int32)  # [S, K]
+            picked = jnp.take_along_axis(
+                jax.nn.log_softmax(l, axis=-1), greedy[..., None],
+                axis=-1)[..., 0]
+            return greedy, picked, cache
+
+        return jax.jit(step, donate_argnums=(2,))
+
+    def _draft(self, req, k: int):
+        """Prompt-lookup draft: continue the latest match of the current
+        bigram in the request's own context; pad with the last token."""
+        ctx = req.prompt_ids + req.generated
+        draft = []
+        if len(ctx) >= 3:
+            a, b = ctx[-2], ctx[-1]
+            for j in range(len(ctx) - 2, 0, -1):
+                if ctx[j] == b and ctx[j - 1] == a:
+                    draft = ctx[j + 1: j + 1 + k]
+                    break
+        while len(draft) < k:
+            draft.append(ctx[-1])
+        return draft[:k]
+
+    def _decode_step_spec(self, active):
+        model = self.model
+        S, K = self._num_slots, self._spec_k
+        tokens = np.zeros((S, K), np.int32)
+        min_len = np.zeros(S, np.int32)
+        gen_len = np.zeros(S, np.int32)
+        for i in active:
+            req = self._slots[i]
+            min_len[i] = req.min_length
+            gen_len[i] = len(req.generated)
+            tokens[i, 0] = self._tokens[i]
+            tokens[i, 1:] = self._draft(req, K - 1)
+        pos = np.minimum(self._pos, self._capacity - K)
+
+        ids_d, scores_d, self._cache = self._step_fn(
+            model.params, model.consts, self._cache,
+            jnp.asarray(tokens), jnp.asarray(pos),
+            jnp.asarray(gen_len), jnp.asarray(min_len),
+            jnp.asarray(self._temps), self._key,
+            jnp.int32(self._step_count + 0x40000000))
+        self._step_count += 1
+        self._slot_steps += len(active)
+        greedy = np.asarray(ids_d)
+        scores = np.asarray(scores_d, np.float32)
+        for i in active:
+            req = self._slots[i]
+            emitted = 0
+            for j in range(K):
+                tok = int(greedy[i, j])
+                req.generated.append(tok)
+                req.score += float(scores[i, j])
+                self._tokens[i] = tok
+                emitted = j + 1
+                self._accepted_tokens += 1
+                if (tok in self._end_ids
+                        and len(req.generated) > req.min_length):
+                    break
+                if len(req.generated) >= req.max_length:
+                    break
+                # The next fed token (draft) must equal this greedy target
+                # or verification stops here.
+                if j + 1 < K and int(tokens[i, j + 1]) != tok:
+                    break
+            self._pos[i] += emitted
+            self._spec_dispatches += 1
 
     def _get_prefill(self, padded_len: int):
         fn = self._prefill_fns.get(padded_len)
@@ -363,7 +479,10 @@ class ContinuousBatcher:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
                     continue
-                self._decode_step(active)
+                if self._spec_k > 1:
+                    self._decode_step_spec(active)
+                else:
+                    self._decode_step(active)
         except BaseException as e:  # noqa: BLE001
             self._fail_pending(e)
             for s in self._slots:
@@ -389,7 +508,8 @@ class ContinuousBatcher:
                 done = True
             elif len(req.generated) >= req.max_length:
                 done = True
-            elif int(self._pos[i]) + self._block > self._capacity:
+            elif int(self._pos[i]) + max(self._block, self._spec_k) \
+                    > self._capacity:
                 done = True  # slot capacity exhausted
             if done:
                 self._finish(i, req)
@@ -514,6 +634,10 @@ class ContinuousTranslator(ContinuousBatcher):
             raise NotImplementedError(
                 "merged-attention (T5Gemma2) models are not supported by "
                 "the continuous translator")
+        if kw.get("speculation_k"):
+            raise NotImplementedError(
+                "speculation is not wired into the encoder-decoder "
+                "continuous engine yet")
         self._translator = translator
         self._max_src = max_source_len
         self._src_vocab = model.source_vocabularies[0]

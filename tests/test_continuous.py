@@ -259,3 +259,43 @@ def test_stats(gen_model):
         assert s["tokens_per_sec"] > 0
     finally:
         cb.close()
+
+
+# ----------------------------------------------------------------------
+# Prompt-lookup speculative decoding (lossless under greedy).
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_speculation_matches_greedy(gen_model, spec_k):
+    prompts = [["tok1", "tok2", "tok3"], ["tok2"],
+               ["tok4", "tok1", "tok4", "tok1"]]
+    expected = [
+        gen_model.generate_batch([p], max_length=24,
+                                 include_prompt_in_result=False)[0]
+        for p in prompts
+    ]
+    cb = _batcher(gen_model, num_slots=3, speculation_k=spec_k)
+    try:
+        futures = [cb.submit(p, max_length=24) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=600).sequences_ids[0] == \
+                e.sequences_ids[0]
+        s = cb.stats()
+        assert s["spec_tokens_per_dispatch"] >= 1.0
+    finally:
+        cb.close()
+
+
+def test_speculation_min_max_length(gen_model):
+    cb = _batcher(gen_model, speculation_k=4)
+    try:
+        r = cb.submit(["tok1"], max_length=9, min_length=6).result(timeout=300)
+        assert 6 <= len(r.sequences_ids[0]) <= 9
+    finally:
+        cb.close()
+
+
+def test_speculation_validation(gen_model):
+    with pytest.raises(NotImplementedError, match="greedy"):
+        _batcher(gen_model, speculation_k=4, sampling_topk=5)
