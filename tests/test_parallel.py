@@ -267,3 +267,26 @@ def test_continuous_batcher_under_mesh(llama_dir):
         finally:
             cb.close()
     assert r.sequences_ids[0] == expected.sequences_ids[0]
+
+
+def test_initialize_distributed_single_process():
+    """Multi-host wiring smoke test at process_count=1 (the analog of the
+    reference's ScopedMPISetter bootstrap). Runs in a subprocess because
+    jax.distributed.initialize mutates global state."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        "from ctranslate2_tpu.parallel.sharding import initialize_distributed;"
+        "info = initialize_distributed("
+        "    coordinator_address='127.0.0.1:9917',"
+        "    num_processes=1, process_id=0);"
+        "assert info['process_count'] == 1 and info['process_index'] == 0;"
+        "print('DIST_OK')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180, env={**__import__("os").environ,
+                          "PYTHONPATH": "/root/repo"})
+    assert "DIST_OK" in out.stdout, out.stderr[-500:]
