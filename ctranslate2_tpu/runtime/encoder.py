@@ -7,6 +7,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -66,6 +67,18 @@ class Encoder:
         padded, lengths = pad_batch(ids, length_multiple=8, min_length=8)
         ids_arr = jnp.asarray(padded, dtype=jnp.int32)
         lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)
+        # Multi-feature encoders (BERT-style token types) take the type
+        # ids as a second embedding feature; absent ids default to zeros
+        # (reference: src/models/language_model.cc:371-381).
+        if model.arch.encoder.embeddings.num_features > 1:
+            if token_type_ids is not None:
+                tt = np.zeros_like(np.asarray(padded))
+                for i, row in enumerate(token_type_ids):
+                    tt[i, : len(row)] = row
+                tt_arr = jnp.asarray(tt, dtype=jnp.int32)
+            else:
+                tt_arr = jnp.zeros_like(ids_arr)
+            ids_arr = (ids_arr, tt_arr)
         out = T.encoder_forward_jit(
             model.arch, model.params, model.consts, ids_arr, lengths_arr,
             quantize_acts=model.policy.quantize_activations,

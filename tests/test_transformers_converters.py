@@ -521,3 +521,39 @@ def test_t5gemma(tmp_path):
             input_ids=torch.tensor(src), attention_mask=torch.ones(1, 4),
             decoder_input_ids=torch.tensor(tgt_in)).logits.numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-3, rtol=1e-3)
+
+
+def test_bert_encoder_api_token_types(tmp_path):
+    """The Encoder task API must feed token-type embeddings (zeros by
+    default) like the reference's placeholder
+    (reference: src/models/language_model.cc:371-381)."""
+    from ctranslate2_tpu import Encoder
+
+    cfg = transformers.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64)
+    model = transformers.BertModel(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+
+    enc = Encoder(out_dir, compute_type="float32")
+    toks = [["tk4", "tk9", "tk17", "tk23", "tk5", "tk11", "tk30", "tk8"]]
+    out = enc.forward_batch(toks)
+    with torch.no_grad():
+        ref = model(torch.tensor([[4, 9, 17, 23, 5, 11, 30, 8]]))
+    np.testing.assert_allclose(
+        np.asarray(out.last_hidden_state, np.float32),
+        ref.last_hidden_state.numpy(), atol=2e-3, rtol=1e-3)
+    # Explicit type ids change the result consistently with HF.
+    out1 = enc.forward_batch(toks, token_type_ids=[[0, 0, 0, 0, 1, 1, 1, 1]])
+    with torch.no_grad():
+        ref1 = model(torch.tensor([[4, 9, 17, 23, 5, 11, 30, 8]]),
+                     token_type_ids=torch.tensor([[0, 0, 0, 0, 1, 1, 1, 1]]))
+    np.testing.assert_allclose(
+        np.asarray(out1.last_hidden_state, np.float32),
+        ref1.last_hidden_state.numpy(), atol=2e-3, rtol=1e-3)
+    # Async variant resolves to the same output.
+    h = enc.forward_batch_async(toks)
+    np.testing.assert_allclose(
+        np.asarray(h.result().last_hidden_state, np.float32),
+        np.asarray(out.last_hidden_state, np.float32))
