@@ -24,7 +24,10 @@ class EncoderForwardOutput:
     pooler_output: Optional[object] = None
 
 
-class Encoder:
+from .base import TaskAPIMixin
+
+
+class Encoder(TaskAPIMixin):
     def __init__(self, model_path: str, device: str = "auto",
                  compute_type: str = "default", device_index=0,
                  inter_threads: int = 1, intra_threads: int = 0,
@@ -48,6 +51,7 @@ class Encoder:
         self.intra_threads = intra_threads
         self._pool = WorkerPool(num_workers=max(1, inter_threads),
                                 max_queue_size=max_queue_size)
+        self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
 
     def forward_batch_async(self, inputs, token_type_ids=None):
         """Future-backed encoder forward (reference:

@@ -17,6 +17,7 @@ from ..decoding.options import DecodingOptions
 from ..models import transformer as T
 from ..models.loader import LoadedModel, load_model, resolve_device
 from .batching import pad_batch, rebatch_input
+from .base import TaskAPIMixin
 from .pool import WorkerPool
 from .results import (
     AsyncResult,
@@ -26,7 +27,7 @@ from .results import (
 )
 
 
-class Generator:
+class Generator(TaskAPIMixin):
     def __init__(
         self,
         model_path: str,
@@ -53,6 +54,7 @@ class Generator:
             jax_device.platform if jax_device is not None else "auto")
         self.device_index = device_index
         self.intra_threads = intra_threads
+        self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
         self._pool = WorkerPool(num_workers=max(1, inter_threads),
                                 max_queue_size=max_queue_size)
         self.engine = DecodingEngine(self.model)
@@ -446,31 +448,3 @@ class Generator:
             return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return logits
 
-    # Model residency parity (see Translator.unload_model).
-
-    @property
-    def model_is_loaded(self) -> bool:
-        return getattr(self, "_unloaded_params", None) is None
-
-    def unload_model(self, to_cpu: bool = True):
-        import jax
-
-        if not self.model_is_loaded:
-            return
-        cpu = jax.devices("cpu")[0]
-        self._unloaded_params = (
-            jax.device_put(self.model.params, cpu) if to_cpu else True)
-        self.model.params = None
-        self.engine._loop_fns.clear()
-        self.engine._step_fns.clear()
-
-    def load_model(self):
-        import jax
-
-        if self.model_is_loaded:
-            return
-        if self._unloaded_params is True:
-            raise RuntimeError("Model was unloaded without keeping a host copy")
-        self.model.params = jax.device_put(
-            self._unloaded_params, jax.devices()[0])
-        self._unloaded_params = None

@@ -18,11 +18,12 @@ from ..models import transformer as T
 from ..models.loader import LoadedModel, load_model, resolve_device
 from ..ops import attention as attn_ops
 from .batching import bucket_length, pad_batch, rebatch_input
+from .base import TaskAPIMixin
 from .pool import WorkerPool
 from .results import AsyncResult, ExecutionStats, ScoringResult, TranslationResult
 
 
-class Translator:
+class Translator(TaskAPIMixin):
     def __init__(
         self,
         model_path: str,
@@ -53,6 +54,7 @@ class Translator:
         self.intra_threads = intra_threads
         # Worker pool backing the async/batched APIs
         # (reference: inter_threads replicas, replica_pool.h:19-300).
+        self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
         self._pool = WorkerPool(num_workers=max(1, inter_threads),
                                 max_queue_size=max_queue_size)
         self.engine = DecodingEngine(self.model)
@@ -622,40 +624,3 @@ class Translator:
             total_time_in_ms=(time.time() - start) * 1000.0,
         )
 
-    # ------------------------------------------------------------------
-    # Model residency (reference: Translator::detach_models /
-    # include/ctranslate2/replica_pool.h model unload API).
-    # ------------------------------------------------------------------
-
-    @property
-    def model_is_loaded(self) -> bool:
-        return getattr(self, "_unloaded_params", None) is None
-
-    def unload_model(self, to_cpu: bool = True):
-        """Move the weights off the accelerator (optionally keeping a host
-        copy for a later load_model())."""
-        import jax
-
-        if not self.model_is_loaded:
-            return
-        cpu = jax.devices("cpu")[0]
-        if to_cpu:
-            self._unloaded_params = jax.device_put(self.model.params, cpu)
-        else:
-            self._unloaded_params = True
-        self.model.params = None
-        self.engine._loop_fns.clear()
-        self.engine._step_fns.clear()
-
-    def load_model(self):
-        """Reload weights onto the default device after unload_model()."""
-        import jax
-
-        if self.model_is_loaded:
-            return
-        if self._unloaded_params is True:
-            raise RuntimeError(
-                "Model was unloaded without keeping a host copy")
-        self.model.params = jax.device_put(
-            self._unloaded_params, jax.devices()[0])
-        self._unloaded_params = None

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..models import transformer as T
 from ..models.loader import LoadedModel, load_model
+from .base import TaskAPIMixin
 from ..ops.activations import gelu
 from ..ops.conv import conv1d
 from ..ops.linear import linear
@@ -86,14 +87,28 @@ wav2vec2_forward_jit = jax.jit(
     wav2vec2_forward, static_argnames=("arch", "quantize_acts", "out_dtype"))
 
 
-class Wav2Vec2:
+class Wav2Vec2(TaskAPIMixin):
     def __init__(self, model_path: str, device: str = "auto",
-                 compute_type: str = "default", **kwargs):
+                 compute_type: str = "default", device_index=0,
+                 inter_threads: int = 1, intra_threads: int = 0,
+                 max_queue_size: int = 0, **kwargs):
+        from ..models.loader import resolve_device
+        from .pool import WorkerPool
+
         # tensor_parallel loads head-aligned (unfused) QKV shards
         # (reference ctor flag: include/ctranslate2/replica_pool.h).
+        jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
-            fuse_qkv=not kwargs.get("tensor_parallel", False))
+            fuse_qkv=not kwargs.get("tensor_parallel", False),
+            device=jax_device)
+        self.device = device if device != "auto" else (
+            jax_device.platform if jax_device is not None else "auto")
+        self.device_index = device_index
+        self.intra_threads = intra_threads
+        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+                                max_queue_size=max_queue_size)
+        self._tensor_parallel = bool(kwargs.get("tensor_parallel", False))
         enc = self.model.arch.encoder
         if enc is None or not enc.is_wav2vec2:
             raise ValueError(

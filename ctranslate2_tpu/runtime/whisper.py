@@ -93,7 +93,10 @@ def median_filter(x: np.ndarray, width: int) -> np.ndarray:
     return np.median(windows, axis=-1)
 
 
-class Whisper:
+from .base import TaskAPIMixin
+
+
+class Whisper(TaskAPIMixin):
     def __init__(self, model_path: str, device: str = "auto",
                  compute_type: str = "default", device_index=0,
                  inter_threads: int = 1, intra_threads: int = 0,
@@ -114,6 +117,7 @@ class Whisper:
         self.intra_threads = intra_threads
         self._pool = WorkerPool(num_workers=max(1, inter_threads),
                                 max_queue_size=max_queue_size)
+        self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
         if self.model.arch.encoder is None or not self.model.arch.encoder.num_conv_layers:
             raise ValueError(
                 f"The model at {model_path} is not a Whisper model")

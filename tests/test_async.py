@@ -165,3 +165,32 @@ def test_device_argument():
         Translator(MODEL, device="cuda")
     with pytest.raises(ValueError):
         Translator(MODEL, device="cpu", device_index=100)
+
+
+def test_task_api_surface(translator):
+    """Read-only attributes every reference pybind class exposes
+    (python/cpp/translator.cc def_property_readonly list)."""
+    assert translator.compute_type in (
+        "float32", "bfloat16", "int8", "int8_bfloat16", "int8_float32")
+    assert translator.tensor_parallel is False
+    assert translator.device in ("auto", "cpu", "tpu")
+    assert translator.model_is_loaded
+    assert translator.num_translators >= 1
+
+
+def test_whisper_encoder_surface(tmp_path):
+    from ctranslate2_tpu import Wav2Vec2
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+    from ctranslate2_tpu import Generator
+
+    d = build_decoder_only_model(str(tmp_path / "g"), quantization="int8")
+    g = Generator(d, compute_type="int8")
+    assert g.compute_type.startswith("int8")
+    assert g.num_generators == 1 and g.num_workers == 1
+    # Residency round-trip through the mixin.
+    g.unload_model()
+    assert not g.model_is_loaded
+    g.load_model()
+    assert g.model_is_loaded
+    out = g.generate_batch([["tok1"]], max_length=4)
+    assert out[0].sequences_ids[0]
