@@ -145,6 +145,21 @@ class Wav2Vec2Bert:
         self.policy = resolve_compute_type(compute_type, "float32")
         self.params = W.build_wav2vec2bert_params(self.mf, self.spec, self.policy)
         self._forward = W.wav2vec2bert_forward_jit
+        self.device = device
+        self.device_index = kwargs.get("device_index", 0)
+        self._tensor_parallel = bool(kwargs.get("tensor_parallel", False))
+
+    @property
+    def compute_type(self) -> str:
+        p = self.policy
+        if p.weight_dtype == "int8":
+            return ("int8_" + p.activation_dtype
+                    if p.activation_dtype != "float32" else "int8")
+        return p.weight_dtype
+
+    @property
+    def tensor_parallel(self) -> bool:
+        return self._tensor_parallel
 
     def encode(self, features, to_cpu: bool = False):
         """[B, T, C_feat] input features -> logits [B, T', vocab] (or the
