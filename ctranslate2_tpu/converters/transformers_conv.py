@@ -1681,6 +1681,11 @@ def load_gemma4(b: ConvBuilder, model, config, tokenizer):
             + list(range(ghd // 2 + grd // 2, ghd)))
 
     module = getattr(model.model, "language_model", model.model)
+    if any(_is_awq(l.self_attn.q_proj) for l in module.layers):
+        raise NotImplementedError(
+            "AWQ-quantized Gemma4 checkpoints are not supported by this "
+            "converter yet (the partial-RoPE permutation must be applied "
+            "to packed payloads)")
     b.set_embeddings(f"{sc}/embeddings", module.embed_tokens)
     # Gemma4 RMSNorm multiplies by gamma directly (not 1+gamma).
     b.set_layer_norm(f"{sc}/layer_norm", module.norm, rms=True)
