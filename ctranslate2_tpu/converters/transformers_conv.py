@@ -136,7 +136,8 @@ class ConvBuilder(SpecBuilder):
         self.add(f"{scope}/weight", _np(module.weight))
 
     def set_position_embeddings(self, scope: str, module, offset: int = 0):
-        w = _np(module.weight)
+        # Sinusoidal modules (M2M100/NLLB) store the table as `weights`.
+        w = _np(module.weight if hasattr(module, "weight") else module.weights)
         if offset:
             w = w[offset:]
         self.add(f"{scope}/encodings", w)
@@ -816,9 +817,14 @@ def load_bert(b: ConvBuilder, model, config, tokenizer):
     emb = base.embeddings
     b.set_embeddings(f"{sc}/embeddings_0", emb.word_embeddings)
     b.set_embeddings(f"{sc}/embeddings_1", emb.token_type_embeddings)
+    # RoBERTa-family positions start at padding_idx + 1 (reference:
+    # transformers.py:3442-3447); plain BERT starts at 0.
+    pad_idx = getattr(emb.position_embeddings, "padding_idx", None)
+    if pad_idx is None:
+        pad_idx = getattr(emb, "padding_idx", None)
     b.set_position_embeddings(f"{sc}/position_encodings",
                               emb.position_embeddings,
-                              offset=getattr(emb, "padding_idx", 0) or 0)
+                              offset=(pad_idx + 1) if pad_idx else 0)
     b.set_layer_norm(f"{sc}/layernorm_embedding", emb.LayerNorm)
 
     for i, layer in enumerate(base.encoder.layer):

@@ -557,3 +557,74 @@ def test_bert_encoder_api_token_types(tmp_path):
     np.testing.assert_allclose(
         np.asarray(h.result().last_hidden_state, np.float32),
         np.asarray(out.last_hidden_state, np.float32))
+
+
+def test_gemma2(tmp_path):
+    cfg = transformers.Gemma2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, sliding_window=16, query_pre_attn_scalar=8,
+        attn_logit_softcapping=None, final_logit_softcapping=30.0)
+    _check(transformers.Gemma2ForCausalLM(cfg), tmp_path, atol=5e-3)
+
+
+def test_qwen3(tmp_path):
+    cfg = transformers.Qwen3Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8)
+    _check(transformers.Qwen3ForCausalLM(cfg), tmp_path, atol=5e-3)
+
+
+def test_m2m100(tmp_path):
+    cfg = transformers.M2M100Config(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_position_embeddings=64, scale_embedding=True)
+    model = transformers.M2M100ForConditionalGeneration(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+
+    src = [[5, 9, 12, 7]]
+    tgt = [[2, 8, 15, 21]]
+    m = load_model(out_dir, compute_type="float32")
+    src_arr = jnp.asarray(src, jnp.int32)
+    src_len = jnp.asarray([4], jnp.int32)
+    memory = T.encoder_forward_jit(
+        m.arch, m.params, m.consts, src_arr, src_len, quantize_acts=False)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    from ctranslate2_tpu.ops import attention as A
+
+    mem_bias = A.length_mask_bias(src_len, memory.shape[1])
+    logits, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray(tgt, jnp.int32),
+        jnp.int32(0), None, mem_kv, mem_bias, quantize_acts=False)
+    ours = np.asarray(logits)
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(src), decoder_input_ids=torch.tensor(tgt)
+        ).logits.numpy()
+    # scale_embedding (sqrt(d)) amplifies f32 rounding vs torch.
+    np.testing.assert_allclose(ours, theirs, atol=1e-2, rtol=1e-3)
+
+
+def test_roberta(tmp_path):
+    cfg = transformers.RobertaConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=68, pad_token_id=1)
+    model = transformers.RobertaModel(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+    m = load_model(out_dir, compute_type="float32")
+    ids = [[4, 9, 17, 23]]
+    # RoBERTa position ids start at pad+1: HF offsets internally; the
+    # converter stores the shifted table, so positions align from 0.
+    ids_arr = jnp.asarray(ids, jnp.int32)
+    lengths = jnp.asarray([4], jnp.int32)
+    ours = np.asarray(T.encoder_forward_jit(
+        m.arch, m.params, m.consts,
+        (ids_arr, jnp.zeros_like(ids_arr)), lengths, quantize_acts=False))
+    with torch.no_grad():
+        theirs = model(torch.tensor(ids)).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
