@@ -628,3 +628,69 @@ def test_roberta(tmp_path):
     with torch.no_grad():
         theirs = model(torch.tensor(ids)).last_hidden_state.numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_mt5(tmp_path):
+    cfg = transformers.MT5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16,
+        feed_forward_proj="gated-gelu", decoder_start_token_id=3,
+        tie_word_embeddings=False)
+    model = transformers.MT5ForConditionalGeneration(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+
+    src = [[5, 9, 12, 7]]
+    tgt = [[3, 8, 15, 21]]
+    m = load_model(out_dir, compute_type="float32")
+    src_arr = jnp.asarray(src, jnp.int32)
+    src_len = jnp.asarray([4], jnp.int32)
+    memory = T.encoder_forward_jit(
+        m.arch, m.params, m.consts, src_arr, src_len, quantize_acts=False)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    from ctranslate2_tpu.ops import attention as A
+
+    mem_bias = A.length_mask_bias(src_len, memory.shape[1])
+    logits, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray(tgt, jnp.int32),
+        jnp.int32(0), None, mem_kv, mem_bias, quantize_acts=False)
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(src), decoder_input_ids=torch.tensor(tgt)
+        ).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits), theirs,
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_marian_hf(tmp_path):
+    cfg = transformers.MarianConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_position_embeddings=64, decoder_start_token_id=3,
+        static_position_embeddings=True, pad_token_id=63)
+    model = transformers.MarianMTModel(cfg).eval()
+    out_dir = _convert(model, tmp_path)
+
+    src = [[5, 9, 12, 7]]
+    tgt = [[3, 8, 15, 21]]
+    m = load_model(out_dir, compute_type="float32")
+    src_arr = jnp.asarray(src, jnp.int32)
+    src_len = jnp.asarray([4], jnp.int32)
+    memory = T.encoder_forward_jit(
+        m.arch, m.params, m.consts, src_arr, src_len, quantize_acts=False)
+    mem_kv = T.precompute_memory_jit(m.arch, m.params, memory,
+                                     quantize_acts=False)
+    from ctranslate2_tpu.ops import attention as A
+
+    mem_bias = A.length_mask_bias(src_len, memory.shape[1])
+    logits, _, _ = T.decoder_forward_jit(
+        m.arch, m.params, m.consts, jnp.asarray(tgt, jnp.int32),
+        jnp.int32(0), None, mem_kv, mem_bias, quantize_acts=False)
+    with torch.no_grad():
+        theirs = model(
+            input_ids=torch.tensor(src), decoder_input_ids=torch.tensor(tgt)
+        ).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits), theirs,
+                               atol=1e-2, rtol=1e-3)
