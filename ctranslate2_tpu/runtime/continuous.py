@@ -634,10 +634,6 @@ class ContinuousTranslator(ContinuousBatcher):
             raise NotImplementedError(
                 "merged-attention (T5Gemma2) models are not supported by "
                 "the continuous translator")
-        if kw.get("speculation_k"):
-            raise NotImplementedError(
-                "speculation is not wired into the encoder-decoder "
-                "continuous engine yet")
         self._translator = translator
         self._max_src = max_source_len
         self._src_vocab = model.source_vocabularies[0]
@@ -782,6 +778,61 @@ class ContinuousTranslator(ContinuousBatcher):
         self._prefix[slot, : len(prefix)] = prefix
         self._plen[slot] = len(prefix)
 
+    def _draft(self, req, k: int):
+        # Translation drafts from the TARGET side only (source ids live in
+        # a different vocabulary space).
+        ctx = [self._start_id] + req.generated
+        draft = []
+        if len(ctx) >= 3:
+            a, b = ctx[-2], ctx[-1]
+            for j in range(len(ctx) - 2, 0, -1):
+                if ctx[j] == b and ctx[j - 1] == a:
+                    draft = ctx[j + 1: j + 1 + k]
+                    break
+        while len(draft) < k:
+            draft.append(ctx[-1])
+        return draft[:k]
+
+    def _build_spec_step(self):
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+        K = self._spec_k
+        S_max = self._max_src
+
+        def step(params, consts, cache, mem, src_len, tokens, pos,
+                 gen_len, min_len, temps, prefix, plen, key, n):
+            from ..ops import attention as attn_ops
+
+            mem_bias = attn_ops.length_mask_bias(src_len, S_max)
+            logits, cache, _ = T.decoder_forward(
+                arch, params, consts, tokens, pos, cache, mem, mem_bias,
+                quantize_acts=quantize_acts, out_dtype=out_dtype)
+            l = logits.astype(jnp.float32)  # [S, K, V]
+            l = proc.disable_tokens(l, self._suppress_ids)
+            if self._end_ids:
+                gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+                disable = gl < min_len[:, None]
+                mask = jnp.zeros((l.shape[-1],), jnp.bool_).at[
+                    jnp.asarray(self._end_ids)].set(True)
+                l = jnp.where(disable[..., None] & mask[None, None, :],
+                              proc.DISABLE, l)
+            greedy = jnp.argmax(l, axis=-1).astype(jnp.int32)
+            # Hard target prefixes force the emitted token per position.
+            gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+            forced = jnp.take_along_axis(
+                prefix, jnp.minimum(gl, prefix.shape[1] - 1), axis=1)
+            use = gl < plen[:, None]
+            greedy = jnp.where(use, forced, greedy)
+            picked = jnp.take_along_axis(
+                jax.nn.log_softmax(l, axis=-1), greedy[..., None],
+                axis=-1)[..., 0]
+            picked = jnp.where(use, 0.0, picked)
+            return greedy, picked, cache
+
+        return jax.jit(step, donate_argnums=(2,))
+
     def _build_step(self):
         model = self.model
         arch = model.arch
@@ -822,6 +873,51 @@ class ContinuousTranslator(ContinuousBatcher):
             return ids_k, scores_k, cache
 
         return jax.jit(step, donate_argnums=(2,))
+
+    def _decode_step_spec(self, active):
+        model = self.model
+        S, K = self._num_slots, self._spec_k
+        tokens = np.zeros((S, K), np.int32)
+        min_len = np.zeros(S, np.int32)
+        gen_len = np.zeros(S, np.int32)
+        for i in active:
+            req = self._slots[i]
+            min_len[i] = req.min_length
+            gen_len[i] = len(req.generated)
+            tokens[i, 0] = self._tokens[i]
+            tokens[i, 1:] = self._draft(req, K - 1)
+        pos = np.minimum(self._pos, self._capacity - K)
+
+        greedy_d, scores_d, self._cache = self._step_fn(
+            model.params, model.consts, self._cache, self._mem,
+            jnp.asarray(self._src_len), jnp.asarray(tokens),
+            jnp.asarray(pos), jnp.asarray(gen_len), jnp.asarray(min_len),
+            jnp.asarray(self._temps), jnp.asarray(self._prefix),
+            jnp.asarray(self._plen), self._key,
+            jnp.int32(self._step_count + 0x40000000))
+        self._step_count += 1
+        self._slot_steps += len(active)
+        greedy = np.asarray(greedy_d)
+        scores = np.asarray(scores_d, np.float32)
+        for i in active:
+            req = self._slots[i]
+            emitted = 0
+            for j in range(K):
+                tok = int(greedy[i, j])
+                req.generated.append(tok)
+                req.score += float(scores[i, j])
+                self._tokens[i] = tok
+                emitted = j + 1
+                self._accepted_tokens += 1
+                if (tok in self._end_ids
+                        and len(req.generated) > req.min_length):
+                    break
+                if len(req.generated) >= req.max_length:
+                    break
+                if j + 1 < K and int(tokens[i, j + 1]) != tok:
+                    break
+            self._pos[i] += emitted
+            self._spec_dispatches += 1
 
     def _decode_step(self, active: List[int]):
         model = self.model

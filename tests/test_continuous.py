@@ -299,3 +299,32 @@ def test_speculation_min_max_length(gen_model):
 def test_speculation_validation(gen_model):
     with pytest.raises(NotImplementedError, match="greedy"):
         _batcher(gen_model, speculation_k=4, sampling_topk=5)
+
+
+@pytest.mark.parametrize("spec_k", [3])
+def test_translator_speculation_matches_greedy(spec_k):
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    srcs = [["آ", "ت", "ز", "م", "و", "ن"],
+            ["آ", "ت", "ش", "ي", "س", "و", "ن"]]
+    t = Translator(MODEL)
+    expected = t.translate_batch(srcs, beam_size=1)
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32, speculation_k=spec_k)
+    try:
+        futures = [ct.submit(s, max_length=32) for s in srcs]
+        v = t.model.target_vocabulary
+        for f, e in zip(futures, expected):
+            got = [v.to_token(i)
+                   for i in f.result(timeout=600).sequences_ids[0]]
+            assert got == e.hypotheses[0]
+        # Prefix + speculation interplay stays lossless.
+        pf = ct.submit(srcs[0], max_length=32,
+                       target_prefix=["a", "t", "s"])
+        got = [v.to_token(i) for i in pf.result(timeout=600).sequences_ids[0]]
+        ref = t.translate_batch([srcs[0]], target_prefix=[["a", "t", "s"]],
+                                beam_size=1)[0]
+        assert got == ref.hypotheses[0]
+    finally:
+        ct.close()
