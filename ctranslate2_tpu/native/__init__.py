@@ -37,6 +37,13 @@ def _build() -> str:
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         f"-I{include}", _SRC, "-o", out + ".tmp",
     ]
+    # Sanitizer / debug flags for CI (the reference runs an ASan job:
+    # reference .github/workflows/ci.yml:74-123). e.g.
+    # CT2TPU_NATIVE_CFLAGS="-fsanitize=address -g" plus LD_PRELOAD of
+    # libasan when running Python.
+    extra = os.environ.get("CT2TPU_NATIVE_CFLAGS")
+    if extra:
+        cmd[1:1] = extra.split()
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(out + ".tmp", out)
     return out
