@@ -1,0 +1,168 @@
+"""One-chip smoke sweep: every task API end to end on the real device.
+
+Run with PYTHONPATH=/root/repo:/root/.axon_site (or any TPU host). Each
+section prints PASS/FAIL; exit code reflects overall status. Designed to
+be cheap (~2-4 min of compiles on a cold chip).
+"""
+
+import sys
+import traceback
+
+FAILS = []
+
+
+def section(name):
+    def deco(fn):
+        def run():
+            try:
+                fn()
+                print(f"PASS {name}", flush=True)
+            except Exception:
+                FAILS.append(name)
+                print(f"FAIL {name}", flush=True)
+                traceback.print_exc()
+        return run
+    return deco
+
+
+MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+SRC1 = ["آ", "ت", "ز", "م", "و", "ن"]
+HYP1 = ["a", "t", "z", "m", "o", "n"]
+
+
+@section("translator: sync+async+beam+bias+vmapless")
+def t_translator():
+    from ctranslate2_tpu import Translator
+
+    t = Translator(MODEL, inter_threads=2)
+    assert t.translate_batch([SRC1])[0].hypotheses == [HYP1]
+    rs = t.translate_batch([SRC1], asynchronous=True)
+    assert rs[0].result().hypotheses == [HYP1]
+    b = t.translate_batch([SRC1], target_prefix=[["a", "t", "s"]],
+                          prefix_bias_beta=0.9999999)
+    assert b[0].hypotheses[0][:3] == ["a", "t", "s"]
+    assert t.score_batch([SRC1], [HYP1])[0].tokens_score
+
+
+@section("generator: greedy+beam+int8+ring")
+def t_generator():
+    from ctranslate2_tpu import Generator
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+
+    d = build_decoder_only_model("/tmp/smoke_gen", quantization="int8",
+                                 rotary_dim=8, num_heads_kv=2, glu=True,
+                                 rms_norm=True, sliding_window=128)
+    g = Generator(d, compute_type="int8")
+    r = g.generate_batch([["tok1", "tok2"]], max_length=150, min_length=150,
+                         include_prompt_in_result=False)[0]
+    assert len(r.sequences_ids[0]) == 150  # crosses the ring wrap
+    rb = g.generate_batch([["tok1"]], beam_size=2, max_length=8)[0]
+    assert rb.sequences_ids[0]
+
+
+@section("continuous: batcher+speculation+translator")
+def t_continuous():
+    from ctranslate2_tpu import (ContinuousBatcher, ContinuousTranslator,
+                                 Generator, Translator)
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+
+    d = build_decoder_only_model("/tmp/smoke_cb", rotary_dim=8,
+                                 num_heads_kv=2, glu=True, rms_norm=True)
+    g = Generator(d)
+    exp = g.generate_batch([["tok1", "tok2"]], max_length=10,
+                           include_prompt_in_result=False)[0]
+    cb = ContinuousBatcher(g, num_slots=2, capacity=128, speculation_k=3)
+    try:
+        r = cb.submit(["tok1", "tok2"], max_length=10).result(timeout=600)
+        assert r.sequences_ids[0] == exp.sequences_ids[0]
+    finally:
+        cb.close()
+
+    t = Translator(MODEL)
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32)
+    try:
+        f = ct.submit(SRC1, max_length=32)
+        v = t.model.target_vocabulary
+        got = [v.to_token(i) for i in f.result(timeout=600).sequences_ids[0]]
+        assert got == HYP1
+    finally:
+        ct.close()
+
+
+@section("awq: packed W4 load+generate")
+def t_awq():
+    from ctranslate2_tpu import Generator
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+
+    d = build_decoder_only_model("/tmp/smoke_awq", quantization="awq_gemm",
+                                 rotary_dim=8, num_heads_kv=2, glu=True,
+                                 rms_norm=True)
+    g = Generator(d)
+    r = g.generate_batch([["tok1"]], max_length=6,
+                         include_prompt_in_result=False)[0]
+    assert r.sequences_ids[0]
+
+
+@section("flash kernel: long prefill + alibi")
+def t_flash():
+    import numpy as np
+    import jax, jax.numpy as jnp
+
+    from ctranslate2_tpu.kernels.flash_attention import flash_attention
+    from ctranslate2_tpu.ops.positions import alibi_slopes
+
+    B, H, T, D = 1, 4, 2048, 64
+    k = jax.random.PRNGKey(0)
+    q = jax.random.normal(k, (B, H, T, D), jnp.bfloat16)
+    out = flash_attention(q, q, q, scale=0.125, causal=True,
+                          alibi_slopes=jnp.asarray(alibi_slopes(H)))
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+@section("whisper-shaped: encode+generate")
+def t_whisper_shaped():
+    # No real whisper artifact ships with the reference tests; exercise
+    # the conv-frontend encoder path through a converted tiny HF model.
+    import numpy as np
+    import transformers, torch
+
+    from ctranslate2_tpu import Whisper
+    from ctranslate2_tpu.converters.transformers_conv import (
+        TransformersConverter)
+
+    class Tok:
+        bos_token = "<|startoftranscript|>"
+        eos_token = "<|endoftext|>"
+        unk_token = "<|endoftext|>"
+
+        def get_vocab(self):
+            v = {f"tk{i}": i for i in range(64)}
+            v["<|endoftext|>"] = 0
+            v["<|startoftranscript|>"] = 1
+            v["<|notimestamps|>"] = 2
+            return v
+
+    cfg = transformers.WhisperConfig(
+        vocab_size=64, num_mel_bins=16, d_model=32, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=4,
+        decoder_attention_heads=4, encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=32, max_target_positions=64,
+        decoder_start_token_id=1, pad_token_id=0, bos_token_id=1,
+        eos_token_id=0)
+    model = transformers.WhisperForConditionalGeneration(cfg).eval()
+    out = TransformersConverter(model=model, tokenizer=Tok()).convert(
+        "/tmp/smoke_whisper", force=True)
+    w = Whisper(out)
+    feats = np.random.RandomState(0).standard_normal((1, 16, 64)).astype("float32")
+    r = w.generate(feats, [["<|startoftranscript|>", "<|notimestamps|>"]],
+                   beam_size=1, max_length=8)[0]
+    assert r.sequences_ids[0] is not None
+
+
+if __name__ == "__main__":
+    for fn in [t_translator, t_generator, t_continuous, t_awq, t_flash,
+               t_whisper_shaped]:
+        fn()
+    print("FAILURES:", FAILS or "none")
+    sys.exit(1 if FAILS else 0)
