@@ -22,6 +22,7 @@ from .runtime.results import (
     TranslationResult,
 )
 from .models.loader import LoadedModel, load_model
+from .utils.logging import get_log_level, set_log_level
 
 _RANDOM_SEED = 0
 
@@ -48,3 +49,19 @@ def contains_model(path: str) -> bool:
     import os
 
     return os.path.isfile(os.path.join(path, "model.bin"))
+
+
+def get_supported_compute_types(device: str = "auto") -> set:
+    """Compute types executable on ``device`` (reference:
+    ctranslate2.get_supported_compute_types, src/types.cc). Every
+    accepted type loads and runs on both the TPU and CPU backends
+    (float16 executes as bfloat16 on TPU, int16 dequantizes at load),
+    matching the reference's "supported = runnable" semantics."""
+    from .utils.dtypes import COMPUTE_TYPES
+
+    device = (device or "auto").lower()
+    if device not in ("auto", "cpu", "tpu"):
+        raise ValueError(
+            f"unsupported device {device!r} (this runtime supports "
+            "'auto', 'cpu' and 'tpu')")
+    return {t for t in COMPUTE_TYPES if t not in ("default", "auto")}

@@ -28,6 +28,7 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
                     max_steps: int, *, beam_size: int, num_hyp: int,
                     max_candidates: int, length_penalty: float,
                     return_prefix: bool, include_eos: bool,
+                    count_eos: bool = True,
                     max_length: int, allow_early_exit: bool,
                     has_prefix: bool, has_memory: bool,
                     has_token_map: bool = False,
@@ -230,7 +231,12 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
                     seq, w_k[:, None], (0, step))
                 drop_last = is_eos_cand[:, k] & (not include_eos)
                 hyp_len = jnp.where(drop_last, step, step + 1)
-                norm_len = jnp.maximum(hyp_len - start_off, 1).astype(jnp.float32)
+                # Score normalization counts EOS per count_eos (reference
+                # include_eos_in_hypotheses: EOS is in the hypothesis at
+                # finalize time and only stripped afterwards).
+                score_len = jnp.where(
+                    is_eos_cand[:, k] & (not count_eos), step, step + 1)
+                norm_len = jnp.maximum(score_len - start_off, 1).astype(jnp.float32)
                 norm_score = ts[:, k] / jnp.power(norm_len, length_penalty)
 
                 slot = jnp.argmin(store_scores, axis=1)  # [B]

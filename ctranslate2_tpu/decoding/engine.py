@@ -210,6 +210,12 @@ class DecodingEngine:
     ) -> List[DecodingResult]:
         if params is None:
             params = self.model.params
+        # Option validation (reference wording, src/decoding.cc:1033-1040).
+        if options.min_length > options.max_length:
+            raise ValueError("The minimum decoding length is greater than "
+                             "the maximum decoding length")
+        if options.max_length == 0:
+            raise ValueError("The maximum decoding length must be > 0")
         # Prefix-biased decoding always runs the beam strategy, even at
         # beam_size=1 (reference: make_search_strategy,
         # src/decoding.cc:1076-1088).
@@ -294,11 +300,16 @@ class DecodingEngine:
 
     @staticmethod
     def _finalize(result: DecodingResult, num_hypotheses, length_penalty,
-                  coverage_penalty, return_scores, return_attention):
+                  coverage_penalty, return_scores, return_attention,
+                  norm_lengths=None):
         """Normalize scores and sort hypotheses
-        (reference: src/decoding.cc:176-254)."""
+        (reference: src/decoding.cc:176-254). ``norm_lengths`` carries the
+        reference's hypothesis length at finalize time, which counts the
+        terminating EOS when include_eos_in_hypotheses (the default) even
+        though our hypotheses are already stripped per return_end_token."""
         for i in range(len(result.scores)):
-            length = max(len(result.hypotheses[i]), 1)
+            length = max(norm_lengths[i] if norm_lengths
+                         else len(result.hypotheses[i]), 1)
             score = result.scores[i] / math.pow(length, length_penalty)
             if coverage_penalty != 0 and result.attention:
                 attn = np.asarray(result.attention[i])  # [T, S]
@@ -389,6 +400,7 @@ class DecodingEngine:
         history = np.zeros((N, 0), np.int64)
         attn_history: List[List[np.ndarray]] = [[] for _ in range(N)]
         results = [DecodingResult() for _ in range(B)]
+        norm_lengths: List[List[int]] = [[] for _ in range(B)]
         top_beam_finished = [False] * B
         batch_active = [True] * B
         allow_early_exit = (options.length_penalty == 0
@@ -490,9 +502,16 @@ class DecodingEngine:
                         ignore_last = word in end_set and not options.return_end_token
                         start = 0 if options.return_prefix else plen
                         end = step if ignore_last else step + 1
+                        # Score normalization counts EOS per
+                        # include_eos_in_hypotheses (reference strips EOS
+                        # only after finalize, sequence_to_sequence.cc:383).
+                        norm_end = (step if (word in end_set and
+                                             not options.include_eos_in_hypotheses)
+                                    else step + 1)
                         row = i * K + int(origins[i, k])
                         full = list(history[row]) + [word]
                         result.scores.append(float(topk_scores[i, k]))
+                        norm_lengths[i].append(max(norm_end - start, 1))
                         result.hypotheses.append(full[start:end])
                         if attn_step is not None:
                             full_attn = attn_history[row] + [attn_step[row, 0]]
@@ -527,7 +546,8 @@ class DecodingEngine:
                     self._finalize(result, num_hyp, options.length_penalty,
                                    options.coverage_penalty,
                                    options.return_scores,
-                                   options.return_attention)
+                                   options.return_attention,
+                                   norm_lengths=norm_lengths[i])
                 else:
                     any_active = True
 
@@ -564,7 +584,8 @@ class DecodingEngine:
             if batch_active[i]:
                 self._finalize(results[i], num_hyp, options.length_penalty,
                                options.coverage_penalty, options.return_scores,
-                               options.return_attention)
+                               options.return_attention,
+                               norm_lengths=norm_lengths[i])
         return results
 
     # ------------------------------------------------------------------
@@ -757,7 +778,8 @@ class DecodingEngine:
 
         key = (sig, max_step, P, num_hyp, max_candidates,
                options.length_penalty, options.return_prefix,
-               options.return_end_token, options.max_length,
+               options.return_end_token, options.include_eos_in_hypotheses,
+               options.max_length,
                allow_early_exit, token_map is not None,
                encoder_inputs is not None, capacity)
         with self._fns_lock:
@@ -770,6 +792,7 @@ class DecodingEngine:
                 length_penalty=options.length_penalty,
                 return_prefix=options.return_prefix,
                 include_eos=options.return_end_token,
+                count_eos=options.include_eos_in_hypotheses,
                 max_length=options.max_length,
                 allow_early_exit=allow_early_exit,
                 has_prefix=has_prefix,
@@ -895,14 +918,21 @@ class DecodingEngine:
             limit = options.max_length + (0 if options.return_prefix else plen)
             n = min(int(num_steps[i]), limit)
             tokens = list(buf[i, :n])
-            if tokens and tokens[-1] in end_set and not options.return_end_token:
+            ended_eos = bool(tokens) and tokens[-1] in end_set
+            # Normalization length counts EOS per include_eos_in_hypotheses
+            # (reference strips EOS only after finalize).
+            norm_len = n - (0 if options.return_prefix else plen)
+            if ended_eos and not options.include_eos_in_hypotheses:
+                norm_len -= 1
+            if ended_eos and not options.return_end_token:
                 tokens = tokens[:-1]
             if not options.return_prefix:
                 tokens = tokens[plen:]
             r = results[i]
             r.hypotheses.append([int(t) for t in tokens])
             r.scores.append(float(scores_np[i]))
-            self._finalize(r, 1, options.length_penalty, 0.0, True, False)
+            self._finalize(r, 1, options.length_penalty, 0.0, True, False,
+                           norm_lengths=[max(norm_len, 1)])
 
         if replicas > 1:
             merged = [DecodingResult() for _ in range(B0)]
@@ -996,6 +1026,7 @@ class DecodingEngine:
             r.scores.append(0.0)
             r.attention.append([])
         active = np.ones(B, bool)
+        norm_counts = [0] * B  # reference hypothesis length at finalize
         end_set = set(end_ids)
         key = jax.random.PRNGKey(options.seed)
 
@@ -1046,11 +1077,13 @@ class DecodingEngine:
                     if not result.logits:
                         result.logits.append([])
                     result.logits[0].append(logits_step[i].copy())
-                if ((word not in end_set or options.return_end_token)
-                        and (options.return_prefix or step >= plen)):
-                    result.hypotheses[0].append(word)
-                    if attn_step is not None:
-                        result.attention[0].append(attn_step[i, 0].tolist())
+                if options.return_prefix or step >= plen:
+                    if word not in end_set or options.return_end_token:
+                        result.hypotheses[0].append(word)
+                        if attn_step is not None:
+                            result.attention[0].append(attn_step[i, 0].tolist())
+                    if word not in end_set or options.include_eos_in_hypotheses:
+                        norm_counts[i] += 1
                 result.scores[0] += float(step_scores[i])
 
                 finished = ((word in end_set and step >= plen)
@@ -1075,7 +1108,8 @@ class DecodingEngine:
                     self._finalize(result, 1, options.length_penalty,
                                    options.coverage_penalty,
                                    True,
-                                   options.return_attention)
+                                   options.return_attention,
+                                   norm_lengths=[max(norm_counts[i], 1)])
                 else:
                     all_done = False
                     tokens[i] = word

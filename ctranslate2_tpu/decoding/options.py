@@ -21,7 +21,12 @@ class DecodingOptions:
     suppress_sequences: Sequence[Sequence[int]] = ()
     suppress_tokens: Sequence[int] = ()
     suppress_tokens_begin: Sequence[int] = ()
-    return_end_token: bool = False  # include_eos_in_hypotheses
+    return_end_token: bool = False  # keep EOS in the output hypothesis
+    # Reference include_eos_in_hypotheses (decoding.h:154): when True the
+    # terminating EOS counts toward the score-normalization length even
+    # though it is stripped from the output unless return_end_token.
+    # Whisper sets this False (src/models/whisper.cc:309).
+    include_eos_in_hypotheses: bool = True
     max_length: int = 256
     min_length: int = 0
     sampling_topk: int = 1

@@ -210,6 +210,126 @@ def _load_with_native(bin_path: str):
     return version, spec, revision, variables, aliases
 
 
+def _parse_model_bin(f):
+    """Parse a model.bin stream (any binary file object) into
+    ``(version, spec_name, spec_revision, variables, aliases)``."""
+    (binary_version,) = struct.unpack("<I", f.read(4))
+    if binary_version > CURRENT_BINARY_VERSION:
+        raise ValueError(
+            f"unsupported binary version {binary_version} "
+            f"(max supported: {CURRENT_BINARY_VERSION})"
+        )
+    if binary_version >= 2:
+        spec_name = _read_str(f)
+        (spec_revision,) = struct.unpack("<I", f.read(4))
+    else:
+        spec_name = ""
+        spec_revision = 1
+
+    (num_variables,) = struct.unpack("<I", f.read(4))
+    variables: Dict[str, Variable] = {}
+    for _ in range(num_variables):
+        name = _read_str(f)
+        (rank,) = struct.unpack("<B", f.read(1))
+        dims = struct.unpack(f"<{rank}I", f.read(4 * rank)) if rank else ()
+        if binary_version >= 4:
+            (dtype_id,) = struct.unpack("<B", f.read(1))
+            (num_bytes,) = struct.unpack("<I", f.read(4))
+            dtype_name = _DTYPE_IDS[dtype_id]
+        else:
+            (item_size,) = struct.unpack("<B", f.read(1))
+            (num_items,) = struct.unpack("<I", f.read(4))
+            num_bytes = num_items * item_size
+            dtype_name = _ITEM_SIZE_TO_DTYPE[item_size]
+        raw = f.read(num_bytes)
+        arr = np.frombuffer(raw, dtype=_NUMPY_DTYPES[dtype_name]).reshape(dims).copy()
+        variables[name] = Variable(name, arr, dtype_name)
+
+    aliases: Dict[str, str] = {}
+    if binary_version >= 3:
+        (num_aliases,) = struct.unpack("<I", f.read(4))
+        for _ in range(num_aliases):
+            alias = _read_str(f)
+            target = _read_str(f)
+            aliases[alias] = target
+            # Quantization scales/zeros follow their weight's alias
+            # (reference: src/models/model.cc:771-776).
+            aliases[alias + "_scale"] = target + "_scale"
+            aliases[alias + "_zero"] = target + "_zero"
+    return binary_version, spec_name, spec_revision, variables, aliases
+
+
+def file_content_bytes(content) -> bytes:
+    """Normalize an in-memory model file (bytes / bytearray / memoryview /
+    binary file object) to bytes (reference: files= dict values,
+    python/cpp/replica_pool.h model_memory_reader)."""
+    if isinstance(content, (bytes, bytearray, memoryview)):
+        return bytes(content)
+    pos = content.tell() if hasattr(content, "tell") else None
+    if hasattr(content, "seek"):
+        content.seek(0)
+    data = content.read()
+    if pos is not None and hasattr(content, "seek"):
+        content.seek(pos)
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return data
+
+
+def load_model_file_from_files(name: str, files: Dict[str, object]) -> ModelFile:
+    """Build a ModelFile from an in-memory ``{filename: content}`` mapping
+    (reference: Translator(model_path, files=...) loads a model from
+    memory without touching the filesystem — python/tests/
+    test_translator.py test_load_model_from_memory)."""
+    import io
+
+    if "model.bin" not in files:
+        raise ValueError(
+            f"in-memory model {name!r} is missing a model.bin entry")
+    data = file_content_bytes(files["model.bin"])
+    try:
+        from ..native import available, parse_model_index
+
+        native_result = None
+        if available:
+            version, spec, revision, var_index, alias_pairs = (
+                parse_model_index(data))
+            variables = {}
+            for var_name, dtype_id, shape, offset, nbytes in var_index:
+                dtype_name = _DTYPE_IDS[dtype_id]
+                arr = np.frombuffer(
+                    data, dtype=_NUMPY_DTYPES[dtype_name],
+                    count=nbytes // np.dtype(_NUMPY_DTYPES[dtype_name]).itemsize,
+                    offset=offset).reshape(shape)
+                variables[var_name] = Variable(var_name, arr, dtype_name)
+            aliases = {}
+            for alias, target in alias_pairs:
+                aliases[alias] = target
+                aliases[alias + "_scale"] = target + "_scale"
+                aliases[alias + "_zero"] = target + "_zero"
+            native_result = (version, spec, revision, variables, aliases)
+    except Exception:
+        native_result = None
+    if native_result is not None:
+        binary_version, spec_name, spec_revision, variables, aliases = (
+            native_result)
+    else:
+        binary_version, spec_name, spec_revision, variables, aliases = (
+            _parse_model_bin(io.BytesIO(data)))
+    config = {}
+    if "config.json" in files:
+        config = json.loads(file_content_bytes(files["config.json"]))
+    return ModelFile(
+        spec_name=spec_name,
+        spec_revision=spec_revision,
+        binary_version=binary_version,
+        variables=variables,
+        aliases=aliases,
+        config=config,
+        path=None,
+    )
+
+
 def load_model_file(directory: str) -> ModelFile:
     """Parse ``<directory>/model.bin`` (+ config.json) into a ModelFile.
 
@@ -244,49 +364,8 @@ def load_model_file(directory: str) -> ModelFile:
         )
 
     with open(bin_path, "rb") as f:
-        (binary_version,) = struct.unpack("<I", f.read(4))
-        if binary_version > CURRENT_BINARY_VERSION:
-            raise ValueError(
-                f"unsupported binary version {binary_version} "
-                f"(max supported: {CURRENT_BINARY_VERSION})"
-            )
-        if binary_version >= 2:
-            spec_name = _read_str(f)
-            (spec_revision,) = struct.unpack("<I", f.read(4))
-        else:
-            spec_name = ""
-            spec_revision = 1
-
-        (num_variables,) = struct.unpack("<I", f.read(4))
-        variables: Dict[str, Variable] = {}
-        for _ in range(num_variables):
-            name = _read_str(f)
-            (rank,) = struct.unpack("<B", f.read(1))
-            dims = struct.unpack(f"<{rank}I", f.read(4 * rank)) if rank else ()
-            if binary_version >= 4:
-                (dtype_id,) = struct.unpack("<B", f.read(1))
-                (num_bytes,) = struct.unpack("<I", f.read(4))
-                dtype_name = _DTYPE_IDS[dtype_id]
-            else:
-                (item_size,) = struct.unpack("<B", f.read(1))
-                (num_items,) = struct.unpack("<I", f.read(4))
-                num_bytes = num_items * item_size
-                dtype_name = _ITEM_SIZE_TO_DTYPE[item_size]
-            raw = f.read(num_bytes)
-            arr = np.frombuffer(raw, dtype=_NUMPY_DTYPES[dtype_name]).reshape(dims).copy()
-            variables[name] = Variable(name, arr, dtype_name)
-
-        aliases: Dict[str, str] = {}
-        if binary_version >= 3:
-            (num_aliases,) = struct.unpack("<I", f.read(4))
-            for _ in range(num_aliases):
-                alias = _read_str(f)
-                target = _read_str(f)
-                aliases[alias] = target
-                # Quantization scales/zeros follow their weight's alias
-                # (reference: src/models/model.cc:771-776).
-                aliases[alias + "_scale"] = target + "_scale"
-                aliases[alias + "_zero"] = target + "_zero"
+        binary_version, spec_name, spec_revision, variables, aliases = (
+            _parse_model_bin(f))
 
     config = {}
     config_path = os.path.join(directory, "config.json")

@@ -63,6 +63,32 @@ class Vocabulary:
             return cls.from_text_file(txt_path, info)
         return None
 
+    @classmethod
+    def from_text_bytes(cls, data: bytes, info: Optional[VocabularyInfo] = None
+                        ) -> "Vocabulary":
+        lines = data.decode("utf-8").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        if lines and all(line.endswith("\r") for line in lines):
+            lines = [line[:-1] for line in lines]
+        return cls(lines, info)
+
+    @classmethod
+    def load_from_files(cls, files, name: str,
+                        info: Optional[VocabularyInfo] = None
+                        ) -> Optional["Vocabulary"]:
+        """In-memory analog of :meth:`load` over a ``{filename: content}``
+        mapping (reference: files= model loading)."""
+        from .model_file import file_content_bytes
+
+        if name + ".json" in files:
+            data = file_content_bytes(files[name + ".json"])
+            return cls(json.loads(data), info)
+        if name + ".txt" in files:
+            return cls.from_text_bytes(
+                file_content_bytes(files[name + ".txt"]), info)
+        return None
+
     # ---- basic access ----
 
     def __len__(self) -> int:

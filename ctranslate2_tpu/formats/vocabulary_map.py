@@ -22,21 +22,26 @@ class VocabularyMap:
 
     @classmethod
     def load(cls, path: str, vocabulary: Vocabulary) -> "VocabularyMap":
-        rules: List[Dict[str, List[int]]] = []
         with open(path, encoding="utf-8") as f:
-            for line in f:
-                line = line.rstrip("\n")
-                if not line:
-                    continue
-                if "\t" in line:
-                    key, values_str = line.split("\t", 1)
-                else:
-                    key, values_str = line, ""
-                values = [vocabulary.to_id(t) for t in values_str.split(" ") if t]
-                ngram = key.count(" ") + 1
-                while len(rules) < ngram:
-                    rules.append({})
-                rules[ngram - 1][key] = values
+            return cls.from_lines(f, vocabulary)
+
+    @classmethod
+    def from_lines(cls, lines, vocabulary: Vocabulary) -> "VocabularyMap":
+        """Build from an iterable of vmap lines (file object or list)."""
+        rules: List[Dict[str, List[int]]] = []
+        for line in lines:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if "\t" in line:
+                key, values_str = line.split("\t", 1)
+            else:
+                key, values_str = line, ""
+            values = [vocabulary.to_id(t) for t in values_str.split(" ") if t]
+            ngram = key.count(" ") + 1
+            while len(rules) < ngram:
+                rules.append({})
+            rules[ngram - 1][key] = values
 
         fixed = {vocabulary.unk_id, vocabulary.bos_id, vocabulary.eos_id}
         if rules and "" in rules[0]:

@@ -8,7 +8,8 @@ from typing import List, Optional
 
 import jax.numpy as jnp
 
-from ..formats.model_file import ModelFile, load_model_file
+from ..formats.model_file import (ModelFile, load_model_file,
+                                  load_model_file_from_files)
 from ..formats.vocabulary import Vocabulary, VocabularyInfo
 from ..utils.dtypes import DTypePolicy, resolve_compute_type
 from .params import build_params
@@ -39,6 +40,8 @@ class LoadedModel:
     source_vocabularies: List[Vocabulary] = field(default_factory=list)
     target_vocabulary: Optional[Vocabulary] = None
     vmap_path: Optional[str] = None
+    # vmap content for in-memory (files=) models.
+    vmap_text: Optional[str] = None
     _consts_lock: object = field(default_factory=__import__("threading").Lock,
                                  repr=False, compare=False)
 
@@ -78,8 +81,14 @@ class LoadedModel:
         with self._consts_lock:
             if max_positions > self.consts.get("max_positions", 0):
                 grown = 1 << max(11, (max_positions - 1).bit_length())
-                self.consts = transformer.make_consts(
+                consts = transformer.make_consts(
                     self.arch, self.params, grown)
+                # Data-parallel replicas must keep their tables on their
+                # own chip: a mixed-device jit input is an error.
+                home = getattr(self, "_home_device", None)
+                if home is not None:
+                    consts = _consts_to_device(consts, home)
+                self.consts = consts
             return self.consts
 
 
@@ -166,7 +175,10 @@ def resolve_device(device: str, device_index=0):
 
     device = (device or "auto").lower()
     if isinstance(device_index, (list, tuple)):
-        device_index = device_index[0] if device_index else 0
+        if not device_index:
+            raise ValueError("device index list is empty (pass at least "
+                             "one device index)")
+        device_index = device_index[0]
     if device == "auto":
         return None
     if device not in ("cpu", "tpu"):
@@ -184,6 +196,66 @@ def resolve_device(device: str, device_index=0):
     return devices[device_index]
 
 
+def resolve_devices(device: str, device_index=0) -> Optional[list]:
+    """Resolve ``device_index`` (int or list of ints) to the list of
+    ``jax.Device`` targets for replica-per-device data parallelism
+    (reference: ``device_index=[0,1,..]`` creates one model replica per
+    device, docs/parallel.md:17-40). Returns None for single default
+    placement (``auto`` + scalar index 0)."""
+    indices = (list(device_index)
+               if isinstance(device_index, (list, tuple)) else [device_index])
+    if not indices:
+        raise ValueError("device index list is empty (pass at least one "
+                         "device index)")
+    devices = [resolve_device(device, i) for i in indices]
+    if len(devices) == 1 and devices[0] is None:
+        return None
+    if any(d is None for d in devices):
+        # auto + explicit non-zero indices: use the default backend order.
+        import jax
+
+        backend = jax.devices()
+        for pos, i in enumerate(indices):
+            if devices[pos] is None:
+                if i >= len(backend):
+                    raise ValueError(
+                        f"device index {i} is out of range "
+                        f"({len(backend)} device(s) available)")
+                devices[pos] = backend[i]
+    return devices
+
+
+def _consts_to_device(consts: dict, device) -> dict:
+    """device_put the array leaves of a consts pytree, keeping the
+    ``max_positions`` bookkeeping int a plain int."""
+    import jax
+
+    consts = dict(consts)
+    max_positions = consts.pop("max_positions", None)
+    consts = jax.device_put(consts, device)
+    if max_positions is not None:
+        consts["max_positions"] = max_positions
+    return consts
+
+
+def replicate_model(model: LoadedModel, device) -> LoadedModel:
+    """Shallow replica of a loaded model with its parameters copied onto
+    ``device`` (reference: Model::copy_to per device,
+    src/models/model.cc:786-811). The artifact reader, vocabulary and
+    spec are shared; parameters and cached constants are per-device."""
+    import copy
+    import threading
+
+    import jax
+
+    replica = copy.copy(model)
+    replica.params = jax.device_put(model.params, device)
+    replica.consts = _consts_to_device(model.consts, device)
+    replica._consts_lock = threading.Lock()
+    replica._home_device = device
+    return replica
+
+
 def load_model(
     path: str,
     compute_type: str = "default",
@@ -191,10 +263,17 @@ def load_model(
     fuse_qkv: Optional[bool] = None,
     stack_layers: Optional[bool] = None,
     device=None,
+    files=None,
 ) -> LoadedModel:
     if isinstance(path, ModelFile):
         # In-memory artifacts (benchmarks, tests).
         mf = path
+        path = ""
+    elif files is not None:
+        # In-memory model: ``path`` is just a display name, every artifact
+        # comes from the mapping (reference: Translator(files=...) —
+        # python/tests/test_translator.py test_load_model_from_memory).
+        mf = load_model_file_from_files(path, files)
         path = ""
     else:
         mf = load_model_file(path)
@@ -233,21 +312,31 @@ def load_model(
             eos_token=mf.config.get("eos_token", "</s>"),
         )
 
-    shared = Vocabulary.load(path, "shared_vocabulary", info) if path else None
+    if files is not None:
+        def _load_vocab(name):
+            return Vocabulary.load_from_files(files, name, info)
+    elif path:
+        def _load_vocab(name):
+            return Vocabulary.load(path, name, info)
+    else:
+        def _load_vocab(name):
+            return None
+
+    shared = _load_vocab("shared_vocabulary")
     source_vocabularies = []
     target_vocabulary = None
     if shared is not None:
         source_vocabularies = [shared]
         target_vocabulary = shared
-    elif path:
-        target_vocabulary = Vocabulary.load(path, "target_vocabulary", info)
-        source = Vocabulary.load(path, "source_vocabulary", info)
+    else:
+        target_vocabulary = _load_vocab("target_vocabulary")
+        source = _load_vocab("source_vocabulary")
         if source is not None:
             source_vocabularies = [source]
         else:
             i = 1
             while True:
-                v = Vocabulary.load(path, f"source_{i}_vocabulary", info)
+                v = _load_vocab(f"source_{i}_vocabulary")
                 if v is None:
                     break
                 source_vocabularies.append(v)
@@ -255,10 +344,14 @@ def load_model(
         if target_vocabulary is None:
             # Decoder-only (and converted encoder-only) models use
             # "vocabulary".
-            target_vocabulary = Vocabulary.load(path, "vocabulary", info)
+            target_vocabulary = _load_vocab("vocabulary")
 
     vmap = os.path.join(path, "vmap.txt") if path else ""
+    vmap_text = None
+    if files is not None and "vmap.txt" in files:
+        from ..formats.model_file import file_content_bytes
 
+        vmap_text = file_content_bytes(files["vmap.txt"]).decode("utf-8")
 
     return LoadedModel(
         mf=mf,
@@ -268,5 +361,6 @@ def load_model(
         consts=consts,
         source_vocabularies=source_vocabularies,
         target_vocabulary=target_vocabulary,
-        vmap_path=vmap if os.path.isfile(vmap) else None,
+        vmap_path=vmap if (vmap and os.path.isfile(vmap)) else None,
+        vmap_text=vmap_text,
     )

@@ -40,6 +40,7 @@ class Encoder(TaskAPIMixin):
         jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
+            files=kwargs.get("files"),
             fuse_qkv=not kwargs.get("tensor_parallel", False),
             device=jax_device)
         if self.model.arch.encoder is None:
@@ -49,9 +50,12 @@ class Encoder(TaskAPIMixin):
             jax_device.platform if jax_device is not None else "auto")
         self.device_index = device_index
         self.intra_threads = intra_threads
-        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+        n_dev = (len(device_index)
+                 if isinstance(device_index, (list, tuple)) else 1)
+        self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
                                 max_queue_size=max_queue_size)
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
+        self._init_replicas(device, device_index)
 
     def forward_batch_async(self, inputs, token_type_ids=None):
         """Future-backed encoder forward (reference:

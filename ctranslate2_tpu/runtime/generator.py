@@ -44,6 +44,7 @@ class Generator(TaskAPIMixin):
         jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
+            files=kwargs.get("files"),
             fuse_qkv=not kwargs.get("tensor_parallel", False),
             device=jax_device)
         if not self.model.is_decoder_only:
@@ -55,9 +56,12 @@ class Generator(TaskAPIMixin):
         self.device_index = device_index
         self.intra_threads = intra_threads
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
-        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+        n_dev = (len(device_index)
+                 if isinstance(device_index, (list, tuple)) else 1)
+        self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
                                 max_queue_size=max_queue_size)
         self.engine = DecodingEngine(self.model)
+        self._init_replicas(device, device_index, DecodingEngine)
         # Static-prompt state cache
         # (reference: include/ctranslate2/layers/decoder.h:102-110).
         self._static_prompt_cache: Dict[Tuple[int, ...], tuple] = {}
@@ -158,7 +162,7 @@ class Generator(TaskAPIMixin):
                 self._generate,
                 [start_tokens[i] for i in batch], options, end_ids,
                 static_prompt, cache_static_prompt,
-                include_prompt_in_result, callback)
+                include_prompt_in_result, callback, batch)
             futures.append((batch, future))
             for pos, i in enumerate(batch):
                 async_results[i] = AsyncResult(future, pos)
@@ -207,7 +211,8 @@ class Generator(TaskAPIMixin):
         return cache
 
     def _generate(self, start_tokens, options, end_ids, static_prompt,
-                  cache_static_prompt, include_prompt_in_result, callback):
+                  cache_static_prompt, include_prompt_in_result, callback,
+                  batch_ids=None):
         model = self.model
         v = self._vocab
         B = len(start_tokens)
@@ -241,7 +246,9 @@ class Generator(TaskAPIMixin):
         # Static prompt (reference: src/models/language_model.cc:186-215).
         if static_prompt:
             sp_ids = tuple(v.to_id(t) for t in static_prompt)
-            sp_key = (sp_ids, use_ring)  # ring caches can't serve beam runs
+            # Keyed per data-parallel replica: the cached arrays live on
+            # the worker's device (ring caches can't serve beam runs).
+            sp_key = (sp_ids, use_ring, id(model))
             with self._static_prompt_lock:
                 cached = (self._static_prompt_cache.get(sp_key)
                           if cache_static_prompt else None)
@@ -294,8 +301,13 @@ class Generator(TaskAPIMixin):
         step_callback = None
         if callback is not None:
             def step_callback(sr):
+                # Report the user's original example index (inputs are
+                # length-sorted into sub-batches before decoding).
                 return callback(GenerationStepResult(
-                    step=sr.step, batch_id=sr.batch_id, token_id=sr.token_id,
+                    step=sr.step,
+                    batch_id=(batch_ids[sr.batch_id] if batch_ids
+                              else sr.batch_id),
+                    token_id=sr.token_id,
                     hypothesis_id=sr.hypothesis_id,
                     token=v.to_token(sr.token_id),
                     score=sr.score, logits=sr.log_probs, is_last=sr.is_last))
@@ -349,6 +361,8 @@ class Generator(TaskAPIMixin):
     def generate_tokens(self, prompt, **kwargs):
         from .extensions import generate_tokens
 
+        if kwargs.pop("return_log_prob", False):
+            kwargs["return_scores"] = True
         return generate_tokens(self, prompt, **kwargs)
 
     def async_generate_tokens(self, prompt, **kwargs):

@@ -17,6 +17,17 @@ import threading
 from concurrent.futures import Future
 from typing import Callable, List, Optional, Sequence
 
+# Thread-local worker identity: lets task APIs route a job to the model
+# replica owned by the executing worker (reference: one replica per
+# worker thread, replica_pool.h:19-300 / models.cc get_model_replica).
+_worker_tls = threading.local()
+
+
+def current_worker_index() -> Optional[int]:
+    """Index of the WorkerPool thread running the caller, or None when
+    called from outside any pool (e.g. the user's thread)."""
+    return getattr(_worker_tls, "index", None)
+
 
 class WorkerPool:
     """Fixed set of worker threads draining a bounded FIFO job queue.
@@ -35,7 +46,7 @@ class WorkerPool:
         self._active = 0
         self._lock = threading.Lock()
         self._workers = [
-            threading.Thread(target=self._run, daemon=True,
+            threading.Thread(target=self._run, args=(i,), daemon=True,
                              name=f"ct2tpu-worker-{i}")
             for i in range(max(1, num_workers))
         ]
@@ -87,7 +98,8 @@ class WorkerPool:
 
     # ------------------------------------------------------------------
 
-    def _run(self):
+    def _run(self, index: int):
+        _worker_tls.index = index
         while True:
             job = self._queue.get()
             if job is None:

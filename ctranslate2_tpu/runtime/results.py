@@ -97,6 +97,12 @@ class GenerationStepResult:
     logits: Optional[object] = None
     is_last: bool = False
 
+    @property
+    def log_prob(self):
+        """Reference-API alias (GenerationStepResult.log_prob — set when
+        the streaming call passes ``return_log_prob=True``)."""
+        return self.score
+
 
 @dataclass
 class ExecutionStats:

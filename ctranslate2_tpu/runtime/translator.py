@@ -40,6 +40,7 @@ class Translator(TaskAPIMixin):
         jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
+            files=kwargs.get("files"),
             fuse_qkv=not kwargs.get("tensor_parallel", False),
             device=jax_device)
         if not self.model.is_sequence_to_sequence:
@@ -55,13 +56,22 @@ class Translator(TaskAPIMixin):
         # Worker pool backing the async/batched APIs
         # (reference: inter_threads replicas, replica_pool.h:19-300).
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
-        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+        # One worker group per data-parallel replica (reference: pool size
+        # = devices x inter_threads, replica_pool.h:19-300).
+        n_dev = (len(device_index)
+                 if isinstance(device_index, (list, tuple)) else 1)
+        self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
                                 max_queue_size=max_queue_size)
         self.engine = DecodingEngine(self.model)
+        self._init_replicas(device, device_index, DecodingEngine)
         self._vmap = None
         if self.model.vmap_path:
             self._vmap = VocabularyMap.load(
                 self.model.vmap_path, self.model.target_vocabulary)
+        elif self.model.vmap_text is not None:
+            self._vmap = VocabularyMap.from_lines(
+                self.model.vmap_text.splitlines(),
+                self.model.target_vocabulary)
 
     @property
     def num_translators(self) -> int:
@@ -141,22 +151,36 @@ class Translator(TaskAPIMixin):
     ) -> List[TranslationResult]:
         if len(source) == 0:
             return []
-        if min_decoding_length > max_decoding_length:
-            raise ValueError(
-                "min_decoding_length is greater than max_decoding_length")
-        if max_decoding_length == 0:
-            raise ValueError("max_decoding_length must be > 0")
-        if return_alternatives and (len(source) > 1 or beam_size > 1):
-            pass  # handled per example below
-        # Biased-decoding validation (reference: src/decoding.cc:1042-1054).
-        if prefix_bias_beta >= 1:
-            raise ValueError("The beta value in biased decoding must be < 1")
-        if prefix_bias_beta > 0 and return_alternatives:
-            raise ValueError("Biased decoding is not compatible with the "
-                             "return_alternatives mode")
-        if callback is not None and prefix_bias_beta > 0:
-            raise ValueError("The callback function is not compatible with "
-                             "prefix_bias_beta > 0")
+        try:
+            # Reference wording (src/decoding.cc:1036-1039).
+            if min_decoding_length > max_decoding_length:
+                raise ValueError(
+                    "The minimum decoding length is greater than the "
+                    "maximum decoding length")
+            if max_decoding_length == 0:
+                raise ValueError("The maximum decoding length must be > 0")
+            # Biased-decoding validation (reference: src/decoding.cc:1042-1054).
+            if prefix_bias_beta >= 1:
+                raise ValueError(
+                    "The beta value in biased decoding must be < 1")
+            if prefix_bias_beta > 0 and return_alternatives:
+                raise ValueError("Biased decoding is not compatible with the "
+                                 "return_alternatives mode")
+            if callback is not None and prefix_bias_beta > 0:
+                raise ValueError("The callback function is not compatible "
+                                 "with prefix_bias_beta > 0")
+        except ValueError:
+            if not asynchronous:
+                raise
+            # Invalid options surface through the returned futures, like
+            # the reference's async path (python/tests/test_translator.py
+            # test_invalid_translation_options_async).
+            import sys
+            from concurrent.futures import Future
+
+            failed = Future()
+            failed.set_exception(sys.exc_info()[1])
+            return [AsyncResult(failed, 0) for _ in source]
 
         tv = self._target_vocab
         end_ids = self._resolve_end_token(end_token)
@@ -219,7 +243,7 @@ class Translator(TaskAPIMixin):
                 self._translate_padded,
                 batch_source, batch_prefix, options, max_input_length,
                 replace_unknowns, return_attention, callback, end_ids,
-                use_vmap=use_vmap)
+                use_vmap=use_vmap, batch_ids=idx)
             futures.append((idx, future))
             for pos, i in enumerate(idx):
                 async_results[i] = AsyncResult(future, pos)
@@ -314,7 +338,7 @@ class Translator(TaskAPIMixin):
     def _translate_padded(self, source, target_prefix, options,
                           max_input_length, replace_unknowns,
                           return_attention, callback, end_ids,
-                          use_vmap: bool = False):
+                          use_vmap: bool = False, batch_ids=None):
         tv = self._target_vocab
         source_ids = self._make_source_ids(source, max_input_length)
 
@@ -350,8 +374,15 @@ class Translator(TaskAPIMixin):
             from .results import GenerationStepResult
 
             def step_callback(sr):
+                # Report the user's original example index: inputs are
+                # length-sorted into sub-batches before decoding
+                # (reference: batch ids are remapped back through the
+                # batch_offset, src/decoding.cc:899-901).
                 return callback(GenerationStepResult(
-                    step=sr.step, batch_id=sr.batch_id, token_id=sr.token_id,
+                    step=sr.step,
+                    batch_id=(batch_ids[sr.batch_id] if batch_ids
+                              else sr.batch_id),
+                    token_id=sr.token_id,
                     hypothesis_id=sr.hypothesis_id,
                     token=tv.to_token(sr.token_id),
                     score=sr.score, is_last=sr.is_last))
@@ -463,7 +494,13 @@ class Translator(TaskAPIMixin):
     def translate_tokens(self, source, target_prefix=None, **kwargs):
         from .extensions import translate_tokens
 
+        if kwargs.pop("return_log_prob", False):
+            kwargs["return_scores"] = True
         return translate_tokens(self, source, target_prefix, **kwargs)
+
+    # Reference name for token streaming on a translator
+    # (python/ctranslate2/extensions.py translator_generate_tokens).
+    generate_tokens = translate_tokens
 
     def score_iterable(self, source, target, max_batch_size=64, **kwargs):
         from .extensions import score_iterable
@@ -570,22 +607,60 @@ class Translator(TaskAPIMixin):
     # ------------------------------------------------------------------
 
     def translate_file(self, source_path: str, output_path: str,
+                       target_path: Optional[str] = None,
                        max_batch_size: int = 32, read_batch_size: int = 0,
-                       batch_type: str = "examples", **kwargs) -> ExecutionStats:
+                       batch_type: str = "examples",
+                       with_scores: bool = False,
+                       source_tokenize_fn=None,
+                       target_tokenize_fn=None,
+                       target_detokenize_fn=None,
+                       **kwargs) -> ExecutionStats:
+        """Translate a tokenized (or, with the tokenize/detokenize
+        callbacks, raw) text file (reference: translate_text_file /
+        translate_raw_text_file, include/ctranslate2/translator.h:68-211,
+        python/cpp/translator.cc translate_file)."""
+        if bool(source_tokenize_fn) != bool(target_detokenize_fn):
+            raise ValueError(
+                "source_tokenize_fn and target_detokenize_fn should both "
+                "be set or none at all")
+        if target_path and source_tokenize_fn and not target_tokenize_fn:
+            raise ValueError(
+                "target_tokenize_fn should be set when passing a target "
+                "file")
         start = time.time()
         num_tokens = 0
         num_examples = 0
+        src_tok = source_tokenize_fn or (lambda text: text.split())
         with open(source_path, encoding="utf-8") as fin:
-            lines = [line.rstrip("\n").split() for line in fin]
+            lines = [src_tok(line.rstrip("\n")) for line in fin]
+        target_prefix = None
+        if target_path is not None:
+            tgt_tok = (target_tokenize_fn if source_tokenize_fn
+                       else (lambda text: text.split()))
+            with open(target_path, encoding="utf-8") as fin:
+                target_prefix = [tgt_tok(line.rstrip("\n")) for line in fin]
+            if len(target_prefix) != len(lines):
+                raise ValueError(
+                    "source and target files do not have the same number "
+                    f"of lines ({len(lines)} vs {len(target_prefix)})")
+        if with_scores:
+            kwargs.setdefault("return_scores", True)
         results = self.translate_batch(
-            lines, max_batch_size=max_batch_size, batch_type=batch_type, **kwargs)
+            lines, target_prefix=target_prefix,
+            max_batch_size=max_batch_size, batch_type=batch_type, **kwargs)
+        detok = target_detokenize_fn or (lambda tokens: " ".join(tokens))
         with open(output_path, "w", encoding="utf-8") as fout:
             for r in results:
-                tokens = r.hypotheses[0] if r.hypotheses else []
-                num_tokens += len(tokens)
+                hypotheses = r.hypotheses or [[]]
+                num_tokens += len(hypotheses[0])
                 num_examples += 1
-                fout.write(" ".join(tokens))
-                fout.write("\n")
+                for n, tokens in enumerate(hypotheses):
+                    line = detok(tokens)
+                    if with_scores:
+                        score = r.scores[n] if r.scores else 0
+                        line = f"{score} ||| {line}"
+                    fout.write(line)
+                    fout.write("\n")
         return ExecutionStats(
             num_tokens=num_tokens,
             num_examples=num_examples,

@@ -100,19 +100,23 @@ class Wav2Vec2(TaskAPIMixin):
         jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
+            files=kwargs.get("files"),
             fuse_qkv=not kwargs.get("tensor_parallel", False),
             device=jax_device)
         self.device = device if device != "auto" else (
             jax_device.platform if jax_device is not None else "auto")
         self.device_index = device_index
         self.intra_threads = intra_threads
-        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+        n_dev = (len(device_index)
+                 if isinstance(device_index, (list, tuple)) else 1)
+        self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
                                 max_queue_size=max_queue_size)
         self._tensor_parallel = bool(kwargs.get("tensor_parallel", False))
         enc = self.model.arch.encoder
         if enc is None or not enc.is_wav2vec2:
             raise ValueError(
                 f"The model at {model_path} is not a Wav2Vec2 model")
+        self._init_replicas(device, device_index)
 
     def encode(self, features, to_cpu: bool = False):
         """[B, C, T] raw features -> CTC logits (or hidden states when the

@@ -109,19 +109,23 @@ class Whisper(TaskAPIMixin):
         jax_device = resolve_device(device, device_index)
         self.model: LoadedModel = load_model(
             model_path, compute_type=compute_type,
+            files=kwargs.get("files"),
             fuse_qkv=not kwargs.get("tensor_parallel", False),
             device=jax_device)
         self.device = device if device != "auto" else (
             jax_device.platform if jax_device is not None else "auto")
         self.device_index = device_index
         self.intra_threads = intra_threads
-        self._pool = WorkerPool(num_workers=max(1, inter_threads),
+        n_dev = (len(device_index)
+                 if isinstance(device_index, (list, tuple)) else 1)
+        self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
                                 max_queue_size=max_queue_size)
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
         if self.model.arch.encoder is None or not self.model.arch.encoder.num_conv_layers:
             raise ValueError(
                 f"The model at {model_path} is not a Whisper model")
         self.engine = DecodingEngine(self.model)
+        self._init_replicas(device, device_index, DecodingEngine)
 
         v = self.model.target_vocabulary
         self._sot_id = v.bos_id
@@ -331,6 +335,7 @@ class Whisper(TaskAPIMixin):
             return_scores=return_scores,
             return_logits_vocab=return_logits_vocab,
             return_end_token=False,
+            include_eos_in_hypotheses=False,
             suppress_tokens=tuple(suppress_ids),
             suppress_tokens_begin=tuple(begin_ids),
             return_prefix=True,

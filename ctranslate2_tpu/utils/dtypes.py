@@ -64,6 +64,19 @@ def resolve_compute_type(
     """
     if platform is None:
         platform = jax.default_backend()
+    if isinstance(compute_type, dict):
+        # Per-device mapping (reference: Translator(compute_type={"cuda":
+        # "float16", "cpu": "int8"}), python/cpp/module.cc ComputeType
+        # dict overload). "cuda" doubles as the accelerator entry for
+        # users porting reference configs to TPU.
+        compute_type = (compute_type.get(platform)
+                        or (compute_type.get("cuda")
+                            if platform == "tpu" else None)
+                        or "default")
+    elif not isinstance(compute_type, (str, type(None))):
+        raise TypeError(
+            "compute_type must be a string or a {device: compute_type} "
+            f"dict, got {type(compute_type).__name__}")
     compute_type = compute_type or "default"
     if compute_type not in COMPUTE_TYPES:
         raise ValueError(f"unknown compute type: {compute_type!r}")

@@ -23,14 +23,19 @@ _LEVELS = {
 
 
 def set_log_level(level: int) -> None:
-    logger.setLevel(_LEVELS.get(level, logging.WARNING))
+    """Set the runtime log level. Accepts standard :mod:`logging` levels
+    (``logging.INFO``, ... — the reference binding's convention,
+    python/cpp/logging.cc) or the reference's ``CT2_VERBOSE`` -3..3
+    scale."""
+    if -3 <= level <= 3:
+        level = _LEVELS.get(level, logging.WARNING)
+    logger.setLevel(level)
 
 
 def get_log_level() -> int:
-    for k, v in _LEVELS.items():
-        if v == logger.level:
-            return k
-    return 0
+    """Current level as a standard :mod:`logging` level (reference:
+    ctranslate2.get_log_level returns logging.WARNING by default)."""
+    return logger.level or logging.WARNING
 
 
 def _init() -> None:

@@ -1,0 +1,309 @@
+"""API-surface parity tests mirroring the reference's
+python/tests/test_translator.py cases that had no analog here yet:
+logging, unicode paths, invalid inputs/options, model unload semantics,
+token streaming, per-callback batch/hypothesis ids, and raw-text file
+translation."""
+
+import collections
+import inspect
+import logging
+import os
+import shutil
+
+import pytest
+
+import ctranslate2_tpu
+from ctranslate2_tpu import Translator
+
+MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+
+SRC1 = ["آ", "ت", "ز", "م", "و", "ن"]
+SRC2 = ["آ", "ت", "ش", "ي", "س", "و", "ن"]
+HYP1 = ["a", "t", "z", "m", "o", "n"]
+HYP2 = ["a", "c", "h", "i", "s", "o", "n"]
+
+
+@pytest.fixture(scope="module")
+def translator():
+    return Translator(MODEL)
+
+
+# ---------------------------------------------------------------------------
+# Module-level API (reference: test_logging, test_get_supported_compute_types)
+# ---------------------------------------------------------------------------
+
+
+def test_logging_level_roundtrip():
+    assert ctranslate2_tpu.get_log_level() == logging.WARNING
+    ctranslate2_tpu.set_log_level(logging.INFO)
+    assert ctranslate2_tpu.get_log_level() == logging.INFO
+    # The reference's CT2_VERBOSE -3..3 scale is accepted too.
+    ctranslate2_tpu.set_log_level(2)
+    assert ctranslate2_tpu.get_log_level() == logging.DEBUG
+    ctranslate2_tpu.set_log_level(logging.WARNING)
+    assert ctranslate2_tpu.get_log_level() == logging.WARNING
+
+
+def test_get_supported_compute_types():
+    types = ctranslate2_tpu.get_supported_compute_types("cpu")
+    assert "float32" in types and "int8" in types and "bfloat16" in types
+    with pytest.raises(ValueError):
+        ctranslate2_tpu.get_supported_compute_types("cuda")
+
+
+# ---------------------------------------------------------------------------
+# Construction errors (reference: test_invalid_model_path,
+# test_invalid_model_type, test_invalid_device_settings, test_unicode_path)
+# ---------------------------------------------------------------------------
+
+
+def test_invalid_model_path():
+    with pytest.raises(Exception, match="xxx"):
+        Translator("xxx")
+
+
+def test_invalid_model_type():
+    from ctranslate2_tpu import Generator
+
+    with pytest.raises(ValueError, match="not a decoder-only"):
+        Generator(MODEL)
+
+
+def test_invalid_device_settings():
+    with pytest.raises(ValueError, match="device index"):
+        Translator(MODEL, device_index=[])
+    with pytest.raises(ValueError, match="device index"):
+        Translator(MODEL, device="cpu", device_index=[0, 99])
+
+
+def test_unicode_path(tmp_path):
+    dst = str(tmp_path / "测试" / "model")
+    shutil.copytree(MODEL, dst)
+    t = Translator(dst)
+    assert t.translate_batch([SRC1])[0].hypotheses[0] == HYP1
+
+
+# ---------------------------------------------------------------------------
+# Option validation (reference: test_invalid_translation_options{,_async})
+# ---------------------------------------------------------------------------
+
+
+def test_invalid_translation_options(translator):
+    with pytest.raises(ValueError, match="is greater than"):
+        translator.translate_batch(
+            [SRC1], min_decoding_length=10, max_decoding_length=5)
+
+
+def test_invalid_translation_options_async(translator):
+    outputs = translator.translate_batch(
+        [SRC1], min_decoding_length=10, max_decoding_length=5,
+        asynchronous=True)
+    for _ in range(2):
+        with pytest.raises(ValueError, match="is greater than"):
+            outputs[0].result()
+        assert outputs[0].done()
+
+
+# ---------------------------------------------------------------------------
+# Model unload (reference: test_model_unload{,_while_async_translation})
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("to_cpu", [False, True])
+def test_model_unload(to_cpu):
+    translator = Translator(MODEL)
+    translator.unload_model(to_cpu=to_cpu)
+    assert not translator.model_is_loaded
+    if not to_cpu:
+        with pytest.raises(RuntimeError, match="unloaded"):
+            translator.load_model()
+        return
+    translator.load_model()
+    assert translator.model_is_loaded
+    output = translator.translate_batch([SRC1])
+    assert output[0].hypotheses[0] == HYP1
+
+
+def test_model_unload_while_async_translation():
+    translator = Translator(MODEL)
+    # Warm up the jit cache so the async job is in flight briefly but the
+    # unload call below races with real work at least once in CI.
+    outputs = translator.translate_batch([SRC1], asynchronous=True)
+    translator.unload_model()
+    # Either the unload was skipped (job still active) or it ran after
+    # completion; the result must resolve correctly regardless.
+    assert outputs[0].result().hypotheses[0] == HYP1
+
+
+# ---------------------------------------------------------------------------
+# Token streaming (reference: test_token_streaming{,_exception})
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("return_log_prob", [True, False])
+def test_token_streaming(translator, return_log_prob):
+    expected = translator.translate_batch([SRC1], return_scores=True)[0]
+
+    step_results = translator.generate_tokens(
+        SRC1, return_log_prob=return_log_prob)
+    assert inspect.isgenerator(step_results) or hasattr(
+        step_results, "__next__")
+
+    tokens = []
+    cum_log_probs = 0.0
+    for step_result in step_results:
+        assert isinstance(step_result, ctranslate2_tpu.GenerationStepResult)
+        tokens.append(step_result.token)
+        if return_log_prob:
+            cum_log_probs += step_result.log_prob
+        else:
+            assert step_result.log_prob is None
+
+    assert tokens[: len(expected.hypotheses[0])] == expected.hypotheses[0]
+    if return_log_prob:
+        assert cum_log_probs / len(tokens) == pytest.approx(
+            expected.scores[0], abs=1e-4)
+
+
+def test_token_streaming_exception(translator):
+    step_results = translator.generate_tokens(
+        SRC1, min_decoding_length=2, max_decoding_length=1)
+    with pytest.raises(ValueError, match="decoding length"):
+        list(step_results)
+
+
+# ---------------------------------------------------------------------------
+# Callback ids (reference: test_callback_batch_id, test_callback_hypothesis_id)
+# ---------------------------------------------------------------------------
+
+
+def test_callback_hypothesis_id(translator):
+    hypotheses = collections.defaultdict(list)
+
+    def _callback(step_result):
+        assert step_result.batch_id == 0
+        hypotheses[step_result.hypothesis_id].append(step_result.token)
+
+    translator.translate_batch(
+        [SRC1], beam_size=1, sampling_topk=20, num_hypotheses=3,
+        callback=_callback)
+    assert len(hypotheses) == 3
+
+
+def test_callback_batch_id(translator):
+    # Inputs are internally sorted by length; returned batch ids must
+    # match the user's order.
+    source = [["ن"] * 1, ["ن"] * 2, ["ن"] * 3]
+    target_prefix = [["a"], ["b"], ["c"]]
+    seen = set()
+
+    def _callback(step_result):
+        if step_result.step == 0:
+            assert (step_result.token
+                    == target_prefix[step_result.batch_id][0])
+            seen.add(step_result.batch_id)
+        return True
+
+    translator.translate_batch(
+        source, target_prefix, max_batch_size=2, beam_size=1,
+        callback=_callback)
+    assert seen == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Raw-text file translation (reference: test_raw_file_translation{,_with_prefix})
+# ---------------------------------------------------------------------------
+
+
+def test_raw_file_translation(translator, tmp_path):
+    input_path = str(tmp_path / "input.txt")
+    output_path = str(tmp_path / "output.txt")
+    with open(input_path, "w", encoding="utf-8") as f:
+        f.write("آتزمون\n")
+        f.write("آتشيسون\n")
+
+    tokenize_fn = lambda text: list(text)  # noqa: E731
+    detokenize_fn = lambda tokens: "".join(tokens)  # noqa: E731
+
+    with pytest.raises(ValueError, match="target_detokenize_fn"):
+        translator.translate_file(
+            input_path, output_path, source_tokenize_fn=tokenize_fn)
+    with pytest.raises(ValueError, match="source_tokenize_fn"):
+        translator.translate_file(
+            input_path, output_path, target_detokenize_fn=detokenize_fn)
+
+    translator.translate_file(
+        input_path, output_path,
+        source_tokenize_fn=tokenize_fn,
+        target_detokenize_fn=detokenize_fn)
+    with open(output_path, encoding="utf-8") as f:
+        lines = f.readlines()
+    assert lines[0].strip() == "atzmon"
+    assert lines[1].strip() == "achison"
+
+
+def test_raw_file_translation_with_prefix(translator, tmp_path):
+    source_path = str(tmp_path / "input.txt")
+    target_path = str(tmp_path / "target.txt")
+    output_path = str(tmp_path / "output.txt")
+    with open(source_path, "w", encoding="utf-8") as f:
+        f.write("آتزمون\n")
+        f.write("آتشيسون\n")
+    with open(target_path, "w", encoding="utf-8") as f:
+        # Target written reversed to force a distinct tokenization.
+        f.write("sta\n")
+        f.write("\n")
+
+    source_tokenize_fn = lambda text: list(text)  # noqa: E731
+    target_tokenize_fn = lambda text: list(reversed(list(text)))  # noqa: E731
+    detokenize_fn = lambda tokens: "".join(tokens)  # noqa: E731
+
+    with pytest.raises(ValueError, match="target_tokenize_fn"):
+        translator.translate_file(
+            source_path, output_path, target_path=target_path,
+            source_tokenize_fn=source_tokenize_fn,
+            target_detokenize_fn=detokenize_fn)
+
+    translator.translate_file(
+        source_path, output_path, target_path=target_path,
+        source_tokenize_fn=source_tokenize_fn,
+        target_tokenize_fn=target_tokenize_fn,
+        target_detokenize_fn=detokenize_fn)
+    with open(output_path, encoding="utf-8") as f:
+        lines = f.readlines()
+    # First line constrained by the prefix "ats".
+    assert lines[0].strip().startswith("ats")
+    assert lines[1].strip() == "achison"
+
+
+def test_file_translation_with_prefix(translator, tmp_path):
+    source_path = str(tmp_path / "input.txt")
+    target_path = str(tmp_path / "target.txt")
+    output_path = str(tmp_path / "output.txt")
+    with open(source_path, "w", encoding="utf-8") as f:
+        f.write("آ ت ز م و ن\n")
+        f.write("آ ت ش ي س و ن\n")
+    with open(target_path, "w", encoding="utf-8") as f:
+        f.write("a t s\n")
+        f.write("\n")
+
+    translator.translate_file(
+        source_path, output_path, target_path=target_path)
+    with open(output_path, encoding="utf-8") as f:
+        lines = f.readlines()
+    assert lines[0].strip().startswith("a t s")
+    assert lines[1].strip() == "a c h i s o n"
+
+
+def test_file_translation_with_scores(translator, tmp_path):
+    source_path = str(tmp_path / "input.txt")
+    output_path = str(tmp_path / "output.txt")
+    with open(source_path, "w", encoding="utf-8") as f:
+        f.write("آ ت ز م و ن\n")
+
+    translator.translate_file(source_path, output_path, with_scores=True)
+    with open(output_path, encoding="utf-8") as f:
+        line = f.readline().strip()
+    score, text = line.split(" ||| ")
+    float(score)
+    assert text == "a t z m o n"

@@ -188,7 +188,7 @@ def test_whisper_encoder_surface(tmp_path):
     assert g.compute_type.startswith("int8")
     assert g.num_generators == 1 and g.num_workers == 1
     # Residency round-trip through the mixin.
-    g.unload_model()
+    g.unload_model(to_cpu=True)
     assert not g.model_is_loaded
     g.load_model()
     assert g.model_is_loaded
