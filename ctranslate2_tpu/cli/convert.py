@@ -20,12 +20,20 @@ def main(argv=None) -> int:
                             "int8_bfloat16", "int16", "float16", "bfloat16"])
     p.add_argument("--force", action="store_true")
     p.add_argument("--trust_remote_code", action="store_true")
+    p.add_argument("--activation_scales", default=None,
+                   help="Path to pre-computed SmoothQuant activation "
+                        "scales (torch.load-able)")
+    p.add_argument("--copy_files", nargs="+", default=None,
+                   help="Filenames to copy from the model directory to "
+                        "the converted directory")
     args = p.parse_args(argv)
 
     from ..converters.transformers_conv import TransformersConverter
 
     converter = TransformersConverter(
-        args.model, trust_remote_code=args.trust_remote_code)
+        args.model, trust_remote_code=args.trust_remote_code,
+        activation_scales=args.activation_scales,
+        copy_files=args.copy_files)
     out = converter.convert(args.output_dir, quantization=args.quantization,
                             force=args.force)
     print(out)

@@ -585,10 +585,13 @@ def load_mbart(b, model, config, tokenizer):
 
 @register("M2M100Config")
 def load_m2m100(b, model, config, tokenizer):
-    # M2M100 / NLLB: sinusoidal positions with offset 2, final layer norm.
+    # M2M100 / NLLB: sinusoidal positions with offset 2, final layer norm,
+    # and ALWAYS pre-norm — the HF modeling code hardcodes it and the
+    # config has no normalize_before field (reference forces
+    # model.config.normalize_before = True, transformers.py:483-486).
     cfg = _load_bart_like(b, model, config, tokenizer,
                           layernorm_embedding=False, final_norm=True,
-                          pos_offset=2)
+                          pos_offset=2, pre_norm=True)
     return cfg
 
 
@@ -849,15 +852,59 @@ def load_bert(b: ConvBuilder, model, config, tokenizer):
 # ---------------------------------------------------------------------------
 
 
+def _smooth_one(layer_norm, linears, act_scales):
+    """Fold SmoothQuant scales into a layer_norm -> linear(s) pair in
+    place: ln output is divided by s, every consumer weight column is
+    multiplied by s — numerically an identity for the float model, but it
+    moves activation outliers into the weights so int8 activation
+    quantization loses less (reference: converters/utils.py:78-105)."""
+    import torch
+
+    weight = torch.cat([lin.weight for lin in linears], dim=0)
+    weight_scales = weight.abs().amax(dim=0).clamp(min=1e-5)
+    scales = (act_scales.to(weight_scales.dtype)
+              / weight_scales).sqrt().clamp(min=1e-5)
+    layer_norm.weight.data /= scales
+    if getattr(layer_norm, "bias", None) is not None:
+        layer_norm.bias.data /= scales
+    for lin in linears:
+        lin.weight.data *= scales.reshape(1, -1)
+
+
+def _smooth_activation(model, config, activation_scales):
+    """Apply pre-computed SmoothQuant activation scales to the torch
+    modules before conversion (reference: TransformersConverter
+    activation_scales, transformers.py:161-165; OPT support,
+    transformers.py:561-575). The fold spans the fused q/k/v group since
+    they share the smoothed layer-norm output."""
+    name = type(config).__name__
+    if name != "OPTConfig":
+        raise NotImplementedError(
+            "No activation smoothing logic is defined for this model")
+    for i, layer in enumerate(model.model.decoder.layers):
+        scope = f"model.decoder.layers.{i}"
+        _smooth_one(
+            layer.self_attn_layer_norm,
+            [layer.self_attn.q_proj, layer.self_attn.k_proj,
+             layer.self_attn.v_proj],
+            activation_scales[f"{scope}.self_attn.q_proj"])
+        _smooth_one(
+            layer.final_layer_norm, [layer.fc1],
+            activation_scales[f"{scope}.fc1"])
+
+
 class TransformersConverter:
     """Convert a local HF Transformers checkpoint (or in-memory model)."""
 
     def __init__(self, model_name_or_path=None, model=None, tokenizer=None,
+                 activation_scales=None, copy_files=None,
                  load_as_float16: bool = False, low_cpu_mem_usage: bool = False,
                  trust_remote_code: bool = False):
         self._path = model_name_or_path
         self._model = model
         self._tokenizer = tokenizer
+        self._activation_scales = activation_scales
+        self._copy_files = copy_files
 
     def convert(self, output_dir: str, quantization: Optional[str] = None,
                 force: bool = False) -> str:
@@ -885,6 +932,15 @@ class TransformersConverter:
             raise ValueError(
                 f"No converter is registered for the model {config.__class__.__name__} "
                 f"(supported: {', '.join(sorted(LOADERS))})")
+
+        if self._activation_scales is not None:
+            import torch
+
+            scales = self._activation_scales
+            if isinstance(scales, str):
+                scales = torch.load(scales, map_location="cpu")
+            with torch.no_grad():
+                _smooth_activation(model, config, scales)
 
         b = ConvBuilder("", 1)
         extra_config = loader(b, model, config, tokenizer) or {}
@@ -914,6 +970,15 @@ class TransformersConverter:
         with open(os.path.join(output_dir, vocab_name), "w",
                   encoding="utf-8") as f:
             json.dump(tokens, f, ensure_ascii=False)
+        if self._copy_files:
+            import shutil
+
+            if not self._path:
+                raise ValueError(
+                    "copy_files requires a model_name_or_path directory")
+            for filename in self._copy_files:
+                shutil.copy(os.path.join(self._path, filename),
+                            os.path.join(output_dir, filename))
         return output_dir
 
 

@@ -577,6 +577,7 @@ def test_qwen3(tmp_path):
 
 
 def test_m2m100(tmp_path):
+    torch.manual_seed(0)
     cfg = transformers.M2M100Config(
         vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
         encoder_attention_heads=4, decoder_attention_heads=4,
@@ -605,8 +606,9 @@ def test_m2m100(tmp_path):
         theirs = model(
             input_ids=torch.tensor(src), decoder_input_ids=torch.tensor(tgt)
         ).logits.numpy()
-    # scale_embedding (sqrt(d)) amplifies f32 rounding vs torch.
-    np.testing.assert_allclose(ours, theirs, atol=1e-2, rtol=1e-3)
+    # Exact float32 parity (the loose 1e-2 tolerance here previously
+    # masked a pre-norm/post-norm conversion bug).
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
 
 
 def test_roberta(tmp_path):
@@ -694,3 +696,47 @@ def test_marian_hf(tmp_path):
         ).logits.numpy()
     np.testing.assert_allclose(np.asarray(logits), theirs,
                                atol=1e-2, rtol=1e-3)
+
+
+def test_opt_smoothquant_activation_scales(tmp_path):
+    """activation_scales smoothing is a numerical identity for the float
+    model: converting with scales must reproduce the HF logits, and the
+    folded layer norms must actually change (reference:
+    TransformersConverter activation_scales, transformers.py:161-165 +
+    converters/utils.py:78-105)."""
+    torch.manual_seed(0)
+    cfg = transformers.OPTConfig(
+        vocab_size=64, hidden_size=32, ffn_dim=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32)
+    model = transformers.OPTForCausalLM(cfg).eval()
+    theirs = _hf_logits(model, IDS)
+
+    scales = {}
+    for i in range(cfg.num_hidden_layers):
+        scope = f"model.decoder.layers.{i}"
+        scales[f"{scope}.self_attn.q_proj"] = (
+            torch.rand(cfg.hidden_size) * 4 + 0.1)
+        scales[f"{scope}.fc1"] = torch.rand(cfg.hidden_size) * 4 + 0.1
+
+    tok = DummyTokenizer(64)
+    out = str(tmp_path / "smooth")
+    TransformersConverter(model=model, tokenizer=tok,
+                          activation_scales=scales).convert(out, force=True)
+    ours, m = _our_logits(out, IDS)
+    np.testing.assert_allclose(ours, theirs[..., : ours.shape[-1]],
+                               atol=2e-3, rtol=1e-3)
+    # The smoothing really rescaled the torch modules (identity overall,
+    # not a no-op fold).
+    ln = model.model.decoder.layers[0].self_attn_layer_norm.weight
+    assert not torch.allclose(ln, torch.ones_like(ln) * ln.mean())
+
+
+def test_smoothquant_unsupported_model(tmp_path):
+    cfg = transformers.GPT2Config(
+        vocab_size=64, n_positions=64, n_embd=32, n_layer=1, n_head=4)
+    model = transformers.GPT2LMHeadModel(cfg).eval()
+    with pytest.raises(NotImplementedError, match="smoothing"):
+        TransformersConverter(
+            model=model, tokenizer=DummyTokenizer(64),
+            activation_scales={}).convert(str(tmp_path / "x"), force=True)
