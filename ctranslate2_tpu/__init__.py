@@ -5,7 +5,7 @@ __version__ = "0.1.0"
 
 from .runtime.translator import Translator
 from .runtime.generator import Generator
-from .runtime.encoder import Encoder
+from .runtime.encoder import Encoder, EncoderForwardOutput
 from .runtime.whisper import (
     Whisper,
     WhisperAlignmentResult,
@@ -23,6 +23,65 @@ from .runtime.results import (
 )
 from .models.loader import LoadedModel, load_model
 from .utils.logging import get_log_level, set_log_level
+from . import converters, models, specs
+
+# Reference exposes one async result class per task
+# (python/cpp/translator.cc etc.); here a single future-backed wrapper
+# plays all three roles.
+AsyncTranslationResult = AsyncResult
+AsyncGenerationResult = AsyncResult
+AsyncScoringResult = AsyncResult
+
+# Serialized dtype names, in wire-format id order (reference DataType enum,
+# include/ctranslate2/types.h; ids match model.bin dtype ids).
+from .formats.model_file import _DTYPE_IDS as _dtype_ids
+
+
+class DataType:
+    """Names of the serializable tensor dtypes (reference: ctranslate2.DataType)."""
+    float32, int8, int16, int32, float16, bfloat16 = (
+        "float32", "int8", "int16", "int32", "float16", "bfloat16")
+
+
+class Device:
+    """Supported device kinds (reference: ctranslate2.Device, minus CUDA)."""
+    cpu = "cpu"
+    tpu = "tpu"
+
+
+class MpiInfo:
+    """Multi-process topology introspection (reference: python/cpp/mpi.cc).
+
+    Ranks come from jax.distributed process indices instead of MPI."""
+
+    @staticmethod
+    def getNRanks() -> int:
+        import jax
+
+        return jax.process_count()
+
+    @staticmethod
+    def getCurRank() -> int:
+        import jax
+
+        return jax.process_index()
+
+    @staticmethod
+    def getLocalRank() -> int:
+        import jax
+
+        return jax.process_index()
+
+
+def get_cuda_device_count() -> int:
+    """Always 0: this runtime drives TPUs (reference: get_cuda_device_count)."""
+    return 0
+
+
+def get_tpu_device_count() -> int:
+    import jax
+
+    return len([d for d in jax.devices() if d.platform == "tpu"])
 
 _RANDOM_SEED = 0
 

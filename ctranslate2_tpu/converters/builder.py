@@ -117,6 +117,7 @@ class SpecBuilder:
 
         self.mf.config = config or {}
         self.mf.config.update(getattr(self, "_awq_config", {}))
+        self.mf.dedupe_aliases()
         self.mf.save(directory)
         if vocabulary is not None:
             with open(os.path.join(directory, "shared_vocabulary.json"), "w",
@@ -209,6 +210,7 @@ def build_decoder_only_model(
     seed: int = 1234,
     quantization: Optional[str] = None,
     vocabulary: Optional[Sequence[str]] = None,
+    tied_projection: bool = False,
 ):
     """Fabricate a TransformerDecoderSpec model directory (GPT-style)."""
     rng = np.random.default_rng(seed)
@@ -224,14 +226,16 @@ def build_decoder_only_model(
         b.add_attr(f"{sc}/alibi", 1, "int8")
     b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
 
-    b.add(f"{sc}/embeddings/weight", _rand(rng, vocab_size, d_model))
+    emb = _rand(rng, vocab_size, d_model)
+    b.add(f"{sc}/embeddings/weight", emb)
     if rotary_dim is None and not alibi:
         # Learned position embeddings.
         b.add(f"{sc}/position_encodings/encodings", _rand(rng, 512, d_model))
     b.add(f"{sc}/layer_norm/gamma", np.ones(d_model, np.float32))
     if not rms_norm:
         b.add(f"{sc}/layer_norm/beta", np.zeros(d_model, np.float32))
-    b.add(f"{sc}/projection/weight", _rand(rng, vocab_size, d_model))
+    b.add(f"{sc}/projection/weight",
+          emb.copy() if tied_projection else _rand(rng, vocab_size, d_model))
 
     for i in range(num_layers):
         ls = f"{sc}/layer_{i}"

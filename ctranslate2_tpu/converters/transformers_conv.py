@@ -842,7 +842,7 @@ def load_bert(b: ConvBuilder, model, config, tokenizer):
         b.set_layer_norm(f"{ls}/ffn/layer_norm", layer.output.LayerNorm)
 
     if getattr(base, "pooler", None) is not None:
-        b.set_linear("pooler", base.pooler.dense)
+        b.set_linear("pooler_dense", base.pooler.dense)
         b.add_attr("pooler_activation", ACTIVATION_IDS["tanh"], "int8")
     return {"layer_norm_epsilon": float(config.layer_norm_eps)}
 

@@ -57,6 +57,10 @@ _NUMPY_DTYPES = {
 
 _ITEM_SIZE_TO_DTYPE = {4: "float32", 1: "int8", 2: "int16"}
 
+# Attributes never turned into aliases even when equal across layers
+# (reference: python/ctranslate2/specs/model_spec.py:38).
+SKIP_CREATING_ALIAS = ("rotary_scaling_long_factor", "rotary_scaling_short_factor")
+
 
 def _bf16_to_f32(bits: np.ndarray) -> np.ndarray:
     return (bits.astype(np.uint32) << 16).view(np.float32)
@@ -156,6 +160,38 @@ class ModelFile:
         return iter(self.variables)
 
     # ---- serialization ----
+
+    def dedupe_aliases(self) -> int:
+        """Replace duplicate variables with aliases before saving.
+
+        Mirrors the reference's spec optimization: element-wise-equal
+        non-scalar variables are written once, keeping the alphabetically
+        first name and aliasing the rest (reference:
+        python/ctranslate2/specs/model_spec.py:169-190,385-414). Halves the
+        artifact size for tied embeddings / shared projections.
+        """
+        import hashlib
+
+        first: Dict[tuple, str] = {}
+        num_aliased = 0
+        for name in sorted(self.variables):
+            var = self.variables[name]
+            if var.array.size <= 1:
+                continue
+            attr = name.rsplit("/", 1)[-1]
+            if attr in SKIP_CREATING_ALIAS:
+                continue
+            payload = np.ascontiguousarray(var.array)
+            key = (var.dtype_name, var.shape,
+                   hashlib.blake2b(payload.tobytes(), digest_size=16).digest())
+            target = first.get(key)
+            if target is None:
+                first[key] = name
+            else:
+                del self.variables[name]
+                self.aliases[name] = target
+                num_aliased += 1
+        return num_aliased
 
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)

@@ -93,13 +93,14 @@ class Encoder(TaskAPIMixin):
             out_dtype=model.out_dtype)
 
         pooler_output = None
-        pooler = model.mf.get("pooler/weight")
+        # Reference scope name (transformer_spec.py:797 "pooler_dense").
+        pooler = model.mf.get("pooler_dense/weight")
         if pooler is not None:
             # BERT-style pooler: dense+tanh on the first token.
             from ..models.params import ParamsBuilder, finalize_params
 
             builder = ParamsBuilder(model.mf, model.policy)
-            pooler_params = finalize_params(builder.linear("pooler"))
+            pooler_params = finalize_params(builder.linear("pooler_dense"))
             act_id = int(model.mf.attribute("pooler_activation", 5))
             pooler_output = linear(
                 pooler_params, out[:, 0],

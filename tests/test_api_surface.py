@@ -33,6 +33,30 @@ def translator():
 # ---------------------------------------------------------------------------
 
 
+def test_package_exports():
+    """Every public name the reference package exports has an analog here
+    (reference: python/ctranslate2/__init__.py)."""
+    names = [
+        "AsyncGenerationResult", "AsyncScoringResult",
+        "AsyncTranslationResult", "DataType", "Device", "Encoder",
+        "EncoderForwardOutput", "ExecutionStats", "GenerationResult",
+        "GenerationStepResult", "Generator", "MpiInfo", "ScoringResult",
+        "TranslationResult", "Translator", "contains_model",
+        "get_cuda_device_count", "get_supported_compute_types",
+        "set_random_seed", "get_log_level", "set_log_level",
+        "converters", "models", "specs", "__version__",
+        # Task classes beyond the core set.
+        "Whisper", "Wav2Vec2", "Wav2Vec2Bert",
+    ]
+    missing = [n for n in names if not hasattr(ctranslate2_tpu, n)]
+    assert not missing, missing
+    assert ctranslate2_tpu.get_cuda_device_count() == 0
+    assert ctranslate2_tpu.contains_model(MODEL)
+    import ctranslate2_tpu.specs as specs
+
+    assert "SpecBuilder" in specs.__all__
+
+
 def test_logging_level_roundtrip():
     assert ctranslate2_tpu.get_log_level() == logging.WARNING
     ctranslate2_tpu.set_log_level(logging.INFO)

@@ -57,6 +57,50 @@ def test_roundtrip(tmp_path):
     assert loaded.config["bos_token"] == "<s>"
 
 
+def test_dedupe_aliases(tmp_path):
+    """Equal variables collapse to aliases at save time, keeping the
+    alphabetically first name (reference model_spec.py:169-190)."""
+    mf = ModelFile(spec_name="TransformerSpec", spec_revision=7, binary_version=6)
+    shared = np.arange(20, dtype=np.float32).reshape(5, 4)
+    mf.variables["decoder/projection/weight"] = make_variable(
+        "decoder/projection/weight", shared.copy())
+    mf.variables["decoder/embeddings/weight"] = make_variable(
+        "decoder/embeddings/weight", shared.copy())
+    mf.variables["decoder/other/weight"] = make_variable(
+        "decoder/other/weight", np.ones((5, 4), np.float32))
+    # Scalars and skip-listed attributes are never aliased.
+    mf.variables["a/scalar"] = make_variable("a/scalar", 3, "int32")
+    mf.variables["b/scalar"] = make_variable("b/scalar", 3, "int32")
+    mf.variables["l0/rotary_scaling_long_factor"] = make_variable(
+        "l0/rotary_scaling_long_factor", np.ones(4, np.float32))
+    mf.variables["l1/rotary_scaling_long_factor"] = make_variable(
+        "l1/rotary_scaling_long_factor", np.ones(4, np.float32))
+
+    assert mf.dedupe_aliases() == 1
+    assert "decoder/projection/weight" not in mf.variables
+    assert mf.aliases["decoder/projection/weight"] == "decoder/embeddings/weight"
+    assert "l1/rotary_scaling_long_factor" in mf.variables
+
+    mf.save(str(tmp_path))
+    loaded = load_model_file(str(tmp_path))
+    np.testing.assert_array_equal(
+        loaded.get("decoder/projection/weight").array, shared)
+
+
+def test_tied_embeddings_alias_roundtrip(tmp_path):
+    """A converted tied-embedding model stores the shared matrix once and
+    still loads and generates."""
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+    from ctranslate2_tpu.formats.model_file import load_model_file as load_mf
+    from ctranslate2_tpu.models.loader import load_model
+
+    d = build_decoder_only_model(str(tmp_path / "tied"), tied_projection=True)
+    mf = load_mf(d)
+    assert any("projection" in a for a in mf.aliases), mf.aliases
+    m = load_model(d, compute_type="float32")
+    assert m is not None
+
+
 def test_bfloat16_roundtrip(tmp_path):
     x = np.array([1.5, -2.25, 3.0], np.float32)
     var = make_variable("x", x, "bfloat16")

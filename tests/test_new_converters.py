@@ -223,7 +223,7 @@ def test_gemma4_logit_parity(tmp_path):
     logits, _, _ = T.decoder_forward_jit(
         m.arch, m.params, m.consts, ids_arr, jnp.int32(0), None, None, None,
         lengths=lengths, quantize_acts=False, out_dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=1e-4, rtol=1e-3)
 
 
 def test_gemma4_k_eq_v(tmp_path):
@@ -370,7 +370,7 @@ def test_mixformer_logit_parity(tmp_path):
     logits, _, _ = T.decoder_forward_jit(
         m.arch, m.params, m.consts, ids_arr, jnp.int32(0), None, None, None,
         lengths=lengths, quantize_acts=False, out_dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(logits), ref, atol=3e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=1e-4, rtol=1e-3)
 
 
 # ----------------------------------------------------------------------

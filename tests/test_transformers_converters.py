@@ -557,6 +557,13 @@ def test_bert_encoder_api_token_types(tmp_path):
     np.testing.assert_allclose(
         np.asarray(h.result().last_hidden_state, np.float32),
         np.asarray(out.last_hidden_state, np.float32))
+    # Pooler parity: reference scope "pooler_dense" + tanh on the first
+    # token (reference: src/models/language_model.cc:345-390,
+    # transformer_spec.py:797).
+    assert out.pooler_output is not None
+    np.testing.assert_allclose(
+        np.asarray(out.pooler_output, np.float32),
+        ref.pooler_output.numpy(), atol=2e-3, rtol=1e-3)
 
 
 def test_gemma2(tmp_path):
