@@ -289,12 +289,22 @@ def build_seq2seq_model(
     seed: int = 1234,
     quantization: Optional[str] = None,
     merged_attention: bool = False,
+    num_source_features: int = 1,
+    features_merge: str = "concat",
+    feature_vocab_size: int = 16,
+    zero_extra_features: bool = False,
 ):
     """Fabricate a TransformerSpec encoder-decoder model directory.
 
     With ``merged_attention``, decoder layers carry a ``memory_kv``
     projection and no separate cross-attention (the T5Gemma2 layout,
-    reference: src/layers/attention.cc:625-796)."""
+    reference: src/layers/attention.cc:625-796).
+
+    ``num_source_features > 1`` fabricates a source-factor model
+    (embeddings_0..N + embeddings_merge + per-feature vocabularies,
+    reference: src/layers/common.cc:49-148). With ``zero_extra_features``
+    and ``features_merge="add"`` the model is numerically identical to its
+    single-feature twin (same seed)."""
     rng = np.random.default_rng(seed)
     b = SpecBuilder("TransformerSpec", 7)
 
@@ -307,7 +317,8 @@ def build_seq2seq_model(
               _rand(rng, vocab_size, d_model))
         b.add(f"{sc}/layer_norm/gamma", np.ones(d_model, np.float32))
         b.add(f"{sc}/layer_norm/beta", np.zeros(d_model, np.float32))
-    b.add_attr("encoder/embeddings_merge", 0, "int8")
+    b.add_attr("encoder/embeddings_merge",
+               1 if features_merge in ("add", "sum") else 0, "int8")
     b.add("decoder/projection/weight", _rand(rng, vocab_size, d_model))
     b.add("decoder/projection/bias", _rand(rng, vocab_size))
 
@@ -327,12 +338,43 @@ def build_seq2seq_model(
             _add_attention(b, f"{ls}/attention", rng, d_model, num_heads, False)
         _add_ffn(b, f"{ls}/ffn", rng, d_model, d_ff)
 
+    if num_source_features > 1:
+        rng2 = np.random.default_rng(seed + 99)
+        extra = num_source_features - 1
+        if features_merge in ("add", "sum"):
+            dims = [d_model] * extra
+        else:
+            fd = 8
+            dims = [fd] * extra
+            # Shrink the main feature so concatenated dims sum to d_model.
+            b.add("encoder/embeddings_0/weight",
+                  _rand(rng2, vocab_size, d_model - fd * extra))
+        for i, dim in enumerate(dims, start=1):
+            w = (np.zeros((feature_vocab_size, dim), np.float32)
+                 if zero_extra_features
+                 else _rand(rng2, feature_vocab_size, dim))
+            b.add(f"encoder/embeddings_{i}/weight", w)
+
     b.quantize(quantization)
-    b.save(directory,
-           config={"unk_token": "<unk>", "bos_token": "<s>",
-                   "eos_token": "</s>", "add_source_bos": False,
-                   "add_source_eos": False, "decoder_start_token": "<s>"},
-           vocabulary=_default_vocab(vocab_size))
+    config = {"unk_token": "<unk>", "bos_token": "<s>",
+              "eos_token": "</s>", "add_source_bos": False,
+              "add_source_eos": False, "decoder_start_token": "<s>"}
+    if num_source_features > 1:
+        import json
+        import os
+
+        b.save(directory, config=config,
+               target_vocabulary=_default_vocab(vocab_size))
+        vocab_sizes = [vocab_size] + [feature_vocab_size] * (
+            num_source_features - 1)
+        for i, vs in enumerate(vocab_sizes, start=1):
+            with open(os.path.join(
+                    directory, f"source_{i}_vocabulary.json"),
+                    "w", encoding="utf-8") as f:
+                json.dump(_default_vocab(vs), f, ensure_ascii=False)
+    else:
+        b.save(directory, config=config,
+               vocabulary=_default_vocab(vocab_size))
     return directory
 
 

@@ -634,6 +634,10 @@ class ContinuousTranslator(ContinuousBatcher):
             raise NotImplementedError(
                 "merged-attention (T5Gemma2) models are not supported by "
                 "the continuous translator")
+        if model.arch.encoder.embeddings.num_features > 1:
+            raise NotImplementedError(
+                "source-factor models are not supported by the continuous "
+                "translator; use Translator.translate_batch")
         self._translator = translator
         self._max_src = max_source_len
         self._src_vocab = model.source_vocabularies[0]

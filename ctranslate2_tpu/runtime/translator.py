@@ -22,6 +22,30 @@ from .base import TaskAPIMixin
 from .pool import WorkerPool
 from .results import AsyncResult, ExecutionStats, ScoringResult, TranslationResult
 
+# Source-factor separator (reference: include/ctranslate2/utils.h:33).
+FEATURES_SEPARATOR = "￨"
+
+
+def extract_features(batch, num_features: int,
+                     separator: str = FEATURES_SEPARATOR):
+    """Split ``tok￨f1￨...`` factored tokens into per-feature token streams
+    ([F][B][T]) (reference: src/utils.cc:158-190)."""
+    if num_features == 1:
+        return [[list(tokens) for tokens in batch]]
+    features = [[] for _ in range(num_features)]
+    for tokens in batch:
+        for stream in features:
+            stream.append([])
+        for token in tokens:
+            fields = token.split(separator)
+            if len(fields) != num_features:
+                raise ValueError(
+                    f"Expected {num_features} input features, but token "
+                    f"'{token}' has {len(fields)} features")
+            for i, field in enumerate(fields):
+                features[i][-1].append(field)
+    return features
+
 
 class Translator(TaskAPIMixin):
     def __init__(
@@ -97,14 +121,31 @@ class Translator(TaskAPIMixin):
     def _target_vocab(self):
         return self.model.target_vocabulary
 
+    @property
+    def _num_input_features(self) -> int:
+        return self.model.arch.encoder.embeddings.num_features
+
     def _make_source_ids(self, source: Sequence[Sequence[str]], max_input_length: int):
+        """Convert (possibly ``￨``-factored) source tokens into per-feature
+        id batches, shape [F][B][T] (reference:
+        src/models/sequence_to_sequence.cc:144-166 + src/utils.cc:158-190)."""
         cfg = self.model.config
-        return self._source_vocab.tokens_to_ids(
-            source,
-            max_length=max_input_length,
-            add_bos=bool(cfg.get("add_source_bos", False)),
-            add_eos=bool(cfg.get("add_source_eos", False)),
-        )
+        num_features = self._num_input_features
+        vocabs = self.model.source_vocabularies
+        if len(vocabs) != num_features:
+            raise RuntimeError(
+                f"The encoder expects {num_features} input features, but "
+                f"{len(vocabs)} source vocabularies are loaded")
+        streams = extract_features(source, num_features)
+        return [
+            vocab.tokens_to_ids(
+                stream,
+                max_length=max_input_length,
+                add_bos=bool(cfg.get("add_source_bos", False)),
+                add_eos=bool(cfg.get("add_source_eos", False)),
+            )
+            for vocab, stream in zip(vocabs, streams)
+        ]
 
     def _decoder_start_id(self) -> Optional[int]:
         start = self.model.config.get("decoder_start_token", "<s>")
@@ -279,13 +320,24 @@ class Translator(TaskAPIMixin):
                 r.attention.append([[0.0] * 0 for _ in hypothesis])
         return r
 
-    def _encode_batch(self, source_ids):
-        model = self.model
-        padded, lengths = pad_batch(source_ids, length_multiple=1)
+    def _pad_feature_ids(self, feature_ids):
+        """Pad [F][B][T] feature id batches to one bucketed length.
+
+        Returns (ids, lengths): ids is a single [B,S] array for F==1 or a
+        tuple of per-feature arrays (all features share token positions)."""
+        padded, lengths = pad_batch(feature_ids[0], length_multiple=1)
         S = bucket_length(len(padded[0]), 8)
-        padded = [row + [0] * (S - len(row)) for row in padded]
-        ids_arr = jnp.asarray(padded, dtype=jnp.int32)
-        lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)
+        arrays = []
+        for stream in feature_ids:
+            p, _ = pad_batch(stream, length_multiple=1)
+            p = [row + [0] * (S - len(row)) for row in p]
+            arrays.append(jnp.asarray(p, dtype=jnp.int32))
+        ids = arrays[0] if len(arrays) == 1 else tuple(arrays)
+        return ids, jnp.asarray(lengths, dtype=jnp.int32)
+
+    def _encode_batch(self, feature_ids):
+        model = self.model
+        ids_arr, lengths_arr = self._pad_feature_ids(feature_ids)
         memory = T.encoder_forward_jit(
             model.arch, model.params, model.consts, ids_arr, lengths_arr,
             quantize_acts=model.policy.quantize_activations,
@@ -340,19 +392,20 @@ class Translator(TaskAPIMixin):
                           return_attention, callback, end_ids,
                           use_vmap: bool = False, batch_ids=None):
         tv = self._target_vocab
-        source_ids = self._make_source_ids(source, max_input_length)
+        feature_ids = self._make_source_ids(source, max_input_length)
+        source_ids = feature_ids[0]
+        # Factored models report/replace with the main-feature tokens
+        # (reference: sequence_to_sequence.cc:396).
+        source_tokens = (extract_features(source, self._num_input_features)[0]
+                         if self._num_input_features > 1 else source)
 
         # Pad source ids once; encoding is fused into the decode dispatch
         # unless a path needs the encoder output on the host.
-        padded, src_lengths = pad_batch(source_ids, length_multiple=1)
-        S = bucket_length(len(padded[0]), 8)
-        padded = [row + [0] * (S - len(row)) for row in padded]
-        enc_ids = jnp.asarray(padded, dtype=jnp.int32)
-        enc_lengths = jnp.asarray(src_lengths, dtype=jnp.int32)
+        enc_ids, enc_lengths = self._pad_feature_ids(feature_ids)
         memory = None
         memory_lengths = None
         if options.return_alternatives:
-            memory, memory_lengths = self._encode_batch(source_ids)
+            memory, memory_lengths = self._encode_batch(feature_ids)
 
         start_id = self._decoder_start_id()
         prefix_ids = None
@@ -394,8 +447,10 @@ class Translator(TaskAPIMixin):
         if use_vmap and self._vmap is not None:
             import dataclasses as _dc
 
+            # Factored inputs match vmap n-grams on the main feature
+            # (reference: sequence_to_sequence.cc:332).
             candidates = self._vmap.get_candidates(
-                [list(s) for s in source], prefix_ids or [])
+                [list(s) for s in source_tokens], prefix_ids or [])
             run_params, to_output, to_original = (
                 self._restricted_output_params(candidates))
             token_map = jnp.asarray(to_original, dtype=jnp.int32)
@@ -470,7 +525,7 @@ class Translator(TaskAPIMixin):
                         for t, tok in enumerate(hyps[h]):
                             if tok == tv.unk_token and t < len(rows):
                                 best = int(np.argmax(rows[t]))
-                                hyps[h][t] = source[i][best]
+                                hyps[h][t] = source_tokens[i][best]
             r = TranslationResult(
                 hypotheses=hyps,
                 scores=dr.scores if options.return_scores else [],
@@ -528,7 +583,7 @@ class Translator(TaskAPIMixin):
 
         compute_idx = []
         for i in range(len(source)):
-            if len(self._make_source_ids([source[i]], max_input_length)[0]) == 0:
+            if len(self._make_source_ids([source[i]], max_input_length)[0][0]) == 0:
                 r = ScoringResult()
                 ids = tv.tokens_to_ids([target[i]], max_input_length)[0]
                 for t in ids:

@@ -16,6 +16,58 @@ def translator():
     return Translator("/root/reference/tests/data/models/v2/aren-transliteration")
 
 
+def test_source_factors(tmp_path):
+    """Factored source input ('tok￨feat'): separator splitting, per-feature
+    vocabularies, and the reference's error on missing features
+    (reference: src/utils.cc:158-190, src/models/sequence_to_sequence.cc:
+    144-166, python/tests/test_opennmt_py.py source-features case)."""
+    import numpy as np
+
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    plain = build_seq2seq_model(str(tmp_path / "plain"), seed=7)
+    fact = build_seq2seq_model(
+        str(tmp_path / "fact"), seed=7, num_source_features=2,
+        features_merge="add", zero_extra_features=True)
+    t_plain = Translator(plain)
+    t_fact = Translator(fact)
+    src = [["tok4", "tok9", "tok17"], ["tok5", "tok11"]]
+
+    with pytest.raises(ValueError, match="features"):
+        t_fact.translate_batch(src)
+
+    factored = [[f"{tok}￨tok{j % 8}" for j, tok in enumerate(ex)]
+                for ex in src]
+    r_fact = t_fact.translate_batch(factored, beam_size=2, return_scores=True)
+    r_plain = t_plain.translate_batch(src, beam_size=2, return_scores=True)
+    # A zeroed 'add' feature is numerically a no-op: outputs must match the
+    # single-feature twin exactly.
+    for a, b in zip(r_fact, r_plain):
+        assert a.hypotheses == b.hypotheses
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-4)
+
+    # Concat-merge factored model runs end to end (greedy + beam).
+    cat = build_seq2seq_model(str(tmp_path / "cat"), seed=7,
+                              num_source_features=2,
+                              features_merge="concat")
+    t_cat = Translator(cat)
+    for beam in (1, 2):
+        out = t_cat.translate_batch(factored, beam_size=beam)
+        assert len(out) == 2
+
+
+def test_golden_matrix_all_versions_and_compute_types(any_tiny_model_path):
+    """Golden beam-search outputs over every serialization version ×
+    requested compute type, exercising quantize-on-load and
+    dequantize-on-load (reference: tests/translator_test.cc:50-70
+    parameterization)."""
+    for compute_type in ("float32", "int8", "int16", "bfloat16"):
+        t = Translator(any_tiny_model_path, compute_type=compute_type)
+        res = t.translate_batch([SRC1, SRC2], beam_size=2)
+        assert res[0].hypotheses[0] == list("atzmon"), compute_type
+        assert res[1].hypotheses[0] == list("achison"), compute_type
+
+
 @pytest.mark.parametrize("max_batch_size", [0, 1])
 def test_batch_translation(translator, max_batch_size):
     output = translator.translate_batch(
