@@ -55,6 +55,12 @@ def test_package_exports():
     import ctranslate2_tpu.specs as specs
 
     assert "SpecBuilder" in specs.__all__
+    # Reference ctranslate2.models namespace (python/ctranslate2/models/).
+    from ctranslate2_tpu import models as models_ns
+
+    for n in ("Whisper", "Wav2Vec2", "Wav2Vec2Bert",
+              "WhisperGenerationResult"):
+        assert getattr(models_ns, n) is not None
 
 
 def test_logging_level_roundtrip():
