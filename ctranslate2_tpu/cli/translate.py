@@ -95,29 +95,65 @@ def main(argv=None) -> int:
     start = time.time()
     num_tokens = 0
 
-    lines = [line.rstrip("\n").split() for line in src]
-    tgt_lines = None
-    if tgt is not None:
-        tgt_lines = [line.rstrip("\n").split() for line in tgt]
+    # Streaming consume loop like the reference client: read a window of
+    # read_batch_size lines, submit async, drain finished results in order
+    # (reference: cli/translator.cc → consume_batches,
+    # replica_pool.h:191-226).
+    import collections
+    import itertools
 
-    if args.task == "score":
-        results = translator.score_batch(
-            lines, tgt_lines, max_batch_size=args.batch_size,
-            batch_type=args.batch_type)
-        for r in results:
-            num_tokens += len(r.tokens)
-            out.write("%f ||| %s\n" % (r.normalized_score(), " ".join(r.tokens)))
-    else:
-        results = translator.translate_batch(
-            lines, tgt_lines, max_batch_size=args.batch_size,
-            batch_type=args.batch_type, **options)
-        for r in results:
-            for h in range(len(r.hypotheses)):
-                num_tokens += len(r.hypotheses[h])
-                if args.with_score and r.scores:
-                    out.write("%f ||| " % r.scores[h])
-                out.write(" ".join(r.hypotheses[h]))
-                out.write("\n")
+    read_bs = args.read_batch_size
+    if read_bs <= 0:
+        read_bs = (args.batch_size if args.batch_size == 1
+                   else args.batch_size * 16)
+    if read_bs <= 0:
+        read_bs = None
+
+    pending = collections.deque()
+
+    def write_score(r):
+        nonlocal num_tokens
+        num_tokens += len(r.tokens)
+        out.write("%f ||| %s\n" % (r.normalized_score(), " ".join(r.tokens)))
+
+    def write_translation(r):
+        nonlocal num_tokens
+        for h in range(len(r.hypotheses)):
+            num_tokens += len(r.hypotheses[h])
+            if args.with_score and r.scores:
+                out.write("%f ||| " % r.scores[h])
+            out.write(" ".join(r.hypotheses[h]))
+            out.write("\n")
+
+    writer = write_score if args.task == "score" else write_translation
+
+    def drain(blocking):
+        while pending and (blocking or pending[0].done()):
+            writer(pending.popleft().result())
+
+    while True:
+        window = list(itertools.islice(src, read_bs))
+        if not window:
+            break
+        lines = [line.rstrip("\n").split() for line in window]
+        tgt_lines = None
+        if tgt is not None:
+            tgt_lines = [line.rstrip("\n").split()
+                         for line in itertools.islice(tgt, len(window))]
+            if len(tgt_lines) != len(lines):
+                raise SystemExit(
+                    "source and target files do not have the same number "
+                    "of lines")
+        if args.task == "score":
+            pending.extend(translator.score_batch(
+                lines, tgt_lines, max_batch_size=args.batch_size,
+                batch_type=args.batch_type, asynchronous=True))
+        else:
+            pending.extend(translator.translate_batch(
+                lines, tgt_lines, max_batch_size=args.batch_size,
+                batch_type=args.batch_type, asynchronous=True, **options))
+        drain(blocking=False)
+    drain(blocking=True)
 
     elapsed = time.time() - start
     if args.log_throughput:

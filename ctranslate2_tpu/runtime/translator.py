@@ -682,40 +682,84 @@ class Translator(TaskAPIMixin):
             raise ValueError(
                 "target_tokenize_fn should be set when passing a target "
                 "file")
+        import collections
+        import itertools
+
         start = time.time()
         num_tokens = 0
         num_examples = 0
         src_tok = source_tokenize_fn or (lambda text: text.split())
-        with open(source_path, encoding="utf-8") as fin:
-            lines = [src_tok(line.rstrip("\n")) for line in fin]
-        target_prefix = None
-        if target_path is not None:
-            tgt_tok = (target_tokenize_fn if source_tokenize_fn
-                       else (lambda text: text.split()))
-            with open(target_path, encoding="utf-8") as fin:
-                target_prefix = [tgt_tok(line.rstrip("\n")) for line in fin]
-            if len(target_prefix) != len(lines):
-                raise ValueError(
-                    "source and target files do not have the same number "
-                    f"of lines ({len(lines)} vs {len(target_prefix)})")
         if with_scores:
             kwargs.setdefault("return_scores", True)
-        results = self.translate_batch(
-            lines, target_prefix=target_prefix,
-            max_batch_size=max_batch_size, batch_type=batch_type, **kwargs)
         detok = target_detokenize_fn or (lambda tokens: " ".join(tokens))
-        with open(output_path, "w", encoding="utf-8") as fout:
-            for r in results:
-                hypotheses = r.hypotheses or [[]]
-                num_tokens += len(hypotheses[0])
-                num_examples += 1
-                for n, tokens in enumerate(hypotheses):
-                    line = detok(tokens)
-                    if with_scores:
-                        score = r.scores[n] if r.scores else 0
-                        line = f"{score} ||| {line}"
-                    fout.write(line)
-                    fout.write("\n")
+
+        # Streaming consume loop (reference: consume_batches,
+        # include/ctranslate2/replica_pool.h:191-226): read a window of
+        # read_batch_size examples, submit async, drain finished results in
+        # order while reading the next window — bounded memory + read /
+        # compute / write overlap.
+        if read_batch_size <= 0:
+            read_batch_size = (max_batch_size if max_batch_size == 1
+                               else max_batch_size * 16)
+        if read_batch_size <= 0:
+            read_batch_size = None  # unbounded window (max_batch_size == 0)
+
+        pending = collections.deque()
+
+        def write_result(fout, r):
+            nonlocal num_tokens, num_examples
+            hypotheses = r.hypotheses or [[]]
+            num_tokens += len(hypotheses[0])
+            num_examples += 1
+            for n, tokens in enumerate(hypotheses):
+                line = detok(tokens)
+                if with_scores:
+                    score = r.scores[n] if r.scores else 0
+                    line = f"{score} ||| {line}"
+                fout.write(line)
+                fout.write("\n")
+
+        def pop_results(fout, blocking):
+            while pending and (blocking or pending[0].done()):
+                write_result(fout, pending.popleft().result())
+
+        fin_tgt = None
+        tgt_tok = (target_tokenize_fn if source_tokenize_fn
+                   else (lambda text: text.split()))
+        try:
+            fin = open(source_path, encoding="utf-8")
+            if target_path is not None:
+                fin_tgt = open(target_path, encoding="utf-8")
+            with open(output_path, "w", encoding="utf-8") as fout:
+                while True:
+                    window = list(itertools.islice(fin, read_batch_size))
+                    if not window:
+                        break
+                    lines = [src_tok(line.rstrip("\n")) for line in window]
+                    target_prefix = None
+                    if fin_tgt is not None:
+                        tgt_window = list(itertools.islice(
+                            fin_tgt, len(window)))
+                        if len(tgt_window) != len(window):
+                            raise ValueError(
+                                "source and target files do not have the "
+                                "same number of lines")
+                        target_prefix = [
+                            tgt_tok(line.rstrip("\n")) for line in tgt_window]
+                    pending.extend(self.translate_batch(
+                        lines, target_prefix=target_prefix,
+                        max_batch_size=max_batch_size, batch_type=batch_type,
+                        asynchronous=True, **kwargs))
+                    pop_results(fout, blocking=False)
+                if fin_tgt is not None and fin_tgt.readline():
+                    raise ValueError(
+                        "source and target files do not have the same "
+                        "number of lines")
+                pop_results(fout, blocking=True)
+        finally:
+            fin.close()
+            if fin_tgt is not None:
+                fin_tgt.close()
         return ExecutionStats(
             num_tokens=num_tokens,
             num_examples=num_examples,
@@ -729,28 +773,60 @@ class Translator(TaskAPIMixin):
         """Score a parallel file pair, writing ``mean_score ||| target``
         lines (reference: include/ctranslate2/translator.h score_file and
         python/cpp/translator.cc)."""
+        import collections
+        import itertools
+
         start = time.time()
-        with open(source_path, encoding="utf-8") as f:
-            sources = [line.rstrip("\n").split() for line in f]
-        with open(target_path, encoding="utf-8") as f:
-            targets = [line.rstrip("\n").split() for line in f]
-        results = self.score_batch(
-            sources, targets, max_batch_size=max_batch_size,
-            batch_type=batch_type, **kwargs)
         num_tokens = 0
-        with open(output_path, "w", encoding="utf-8") as fout:
-            for r in results:
-                num_tokens += len(r.tokens)
-                mean = (sum(r.tokens_score) / len(r.tokens_score)
-                        if r.tokens_score else 0.0)
-                line = f"{mean:.6f} ||| {' '.join(r.tokens)}"
-                if with_tokens_score:
-                    line += " ||| " + " ".join(
-                        f"{s:.6f}" for s in r.tokens_score)
-                fout.write(line + "\n")
+        num_examples = 0
+        read_batch_size = (max_batch_size if max_batch_size == 1
+                           else max_batch_size * 16) or None
+        pending = collections.deque()
+
+        def write_result(fout, r):
+            nonlocal num_tokens, num_examples
+            num_tokens += len(r.tokens)
+            num_examples += 1
+            mean = (sum(r.tokens_score) / len(r.tokens_score)
+                    if r.tokens_score else 0.0)
+            line = f"{mean:.6f} ||| {' '.join(r.tokens)}"
+            if with_tokens_score:
+                line += " ||| " + " ".join(
+                    f"{s:.6f}" for s in r.tokens_score)
+            fout.write(line + "\n")
+
+        def pop_results(fout, blocking):
+            while pending and (blocking or pending[0].done()):
+                write_result(fout, pending.popleft().result())
+
+        # Same streaming consume loop as translate_file (reference:
+        # replica_pool.h:191-226 via score_text_file).
+        with open(source_path, encoding="utf-8") as fsrc, \
+                open(target_path, encoding="utf-8") as ftgt, \
+                open(output_path, "w", encoding="utf-8") as fout:
+            while True:
+                src_window = list(itertools.islice(fsrc, read_batch_size))
+                if not src_window:
+                    break
+                tgt_window = list(itertools.islice(ftgt, len(src_window)))
+                if len(tgt_window) != len(src_window):
+                    raise ValueError(
+                        "source and target files do not have the same "
+                        "number of lines")
+                pending.extend(self.score_batch(
+                    [line.split() for line in src_window],
+                    [line.split() for line in tgt_window],
+                    max_batch_size=max_batch_size, batch_type=batch_type,
+                    asynchronous=True, **kwargs))
+                pop_results(fout, blocking=False)
+            if ftgt.readline():
+                raise ValueError(
+                    "source and target files do not have the same number "
+                    "of lines")
+            pop_results(fout, blocking=True)
         return ExecutionStats(
             num_tokens=num_tokens,
-            num_examples=len(results),
+            num_examples=num_examples,
             total_time_in_ms=(time.time() - start) * 1000.0,
         )
 

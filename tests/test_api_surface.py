@@ -240,6 +240,75 @@ def test_callback_batch_id(translator):
     assert seen == {0, 1, 2}
 
 
+def test_file_translation_streaming_windows(translator, tmp_path):
+    """translate_file streams read_batch_size windows with in-order writes
+    (reference consume_batches, replica_pool.h:191-226); a window smaller
+    than the file must produce the identical output, and target/source
+    line-count mismatches raise."""
+    input_path = str(tmp_path / "in.txt")
+    with open(input_path, "w", encoding="utf-8") as f:
+        for _ in range(3):
+            f.write(" ".join(SRC1) + "\n")
+            f.write(" ".join(SRC2) + "\n")
+
+    out_all = str(tmp_path / "out_all.txt")
+    out_win = str(tmp_path / "out_win.txt")
+    stats = translator.translate_file(input_path, out_all)
+    assert stats.num_examples == 6
+    stats = translator.translate_file(
+        input_path, out_win, max_batch_size=2, read_batch_size=2)
+    assert stats.num_examples == 6
+    with open(out_all) as a, open(out_win) as b:
+        assert a.read() == b.read()
+    expected = [" ".join(HYP1), " ".join(HYP2)] * 3
+    assert open(out_win).read().splitlines() == expected
+
+    # Line-count mismatch in the prefix file raises (both directions).
+    short_tgt = str(tmp_path / "short.txt")
+    with open(short_tgt, "w", encoding="utf-8") as f:
+        f.write("a\n")
+    with pytest.raises(ValueError, match="same number of lines"):
+        translator.translate_file(
+            input_path, str(tmp_path / "x.txt"), target_path=short_tgt,
+            read_batch_size=2)
+    long_tgt = str(tmp_path / "long.txt")
+    with open(long_tgt, "w", encoding="utf-8") as f:
+        for _ in range(7):
+            f.write("a\n")
+    with pytest.raises(ValueError, match="same number of lines"):
+        translator.translate_file(
+            input_path, str(tmp_path / "x.txt"), target_path=long_tgt,
+            read_batch_size=2)
+
+
+def test_score_file_streaming(translator, tmp_path):
+    src = str(tmp_path / "src.txt")
+    tgt = str(tmp_path / "tgt.txt")
+    with open(src, "w", encoding="utf-8") as f:
+        for _ in range(4):
+            f.write(" ".join(SRC1) + "\n")
+    with open(tgt, "w", encoding="utf-8") as f:
+        for _ in range(4):
+            f.write(" ".join(HYP1) + "\n")
+    out_all = str(tmp_path / "s_all.txt")
+    out_win = str(tmp_path / "s_win.txt")
+    translator.score_file(src, tgt, out_all)
+    stats = translator.score_file(src, tgt, out_win, max_batch_size=1)
+    assert stats.num_examples == 4
+
+    def parse(path):
+        rows = [line.split(" ||| ") for line in open(path)]
+        return ([float(r[0]) for r in rows], [r[1] for r in rows])
+
+    scores_a, toks_a = parse(out_all)
+    scores_b, toks_b = parse(out_win)
+    assert toks_a == toks_b and len(scores_a) == 4
+    # Different batch shapes reorder reductions: scores match to float32
+    # noise, not bit-exactly.
+    for sa, sb in zip(scores_a, scores_b):
+        assert abs(sa - sb) < 1e-4
+
+
 # ---------------------------------------------------------------------------
 # Raw-text file translation (reference: test_raw_file_translation{,_with_prefix})
 # ---------------------------------------------------------------------------
