@@ -39,8 +39,11 @@ from .formats.model_file import _DTYPE_IDS as _dtype_ids
 
 class DataType:
     """Names of the serializable tensor dtypes (reference: ctranslate2.DataType)."""
-    float32, int8, int16, int32, float16, bfloat16 = (
-        "float32", "int8", "int16", "int32", "float16", "bfloat16")
+
+
+for _name in _dtype_ids:
+    setattr(DataType, _name, _name)
+del _name
 
 
 class Device:
@@ -68,6 +71,17 @@ class MpiInfo:
 
     @staticmethod
     def getLocalRank() -> int:
+        """Node-local rank. Taken from the launcher's environment when
+        available (the reference derives it from hostname grouping,
+        src/devices.cc:162-186); falls back to the global index, which is
+        correct for one process per host — the standard JAX topology."""
+        import os
+
+        for var in ("OMPI_COMM_WORLD_LOCAL_RANK", "SLURM_LOCALID",
+                    "LOCAL_RANK", "MPI_LOCALRANKID"):
+            value = os.environ.get(var)
+            if value is not None:
+                return int(value)
         import jax
 
         return jax.process_index()

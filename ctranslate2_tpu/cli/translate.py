@@ -95,21 +95,43 @@ def main(argv=None) -> int:
     start = time.time()
     num_tokens = 0
 
-    # Streaming consume loop like the reference client: read a window of
-    # read_batch_size lines, submit async, drain finished results in order
+    # Streaming consume loop like the reference client
     # (reference: cli/translator.cc → consume_batches,
     # replica_pool.h:191-226).
-    import collections
     import itertools
 
-    read_bs = args.read_batch_size
-    if read_bs <= 0:
-        read_bs = (args.batch_size if args.batch_size == 1
-                   else args.batch_size * 16)
-    if read_bs <= 0:
-        read_bs = None
+    from ..runtime.batching import consume_stream, default_read_batch_size
 
-    pending = collections.deque()
+    read_bs = default_read_batch_size(args.read_batch_size, args.batch_size)
+
+    def read_window():
+        window = list(itertools.islice(src, read_bs))
+        if not window:
+            if tgt is not None and tgt.readline():
+                raise SystemExit(
+                    "source and target files do not have the same number "
+                    "of lines")
+            return None
+        lines = [line.rstrip("\n").split() for line in window]
+        tgt_lines = None
+        if tgt is not None:
+            tgt_lines = [line.rstrip("\n").split()
+                         for line in itertools.islice(tgt, len(window))]
+            if len(tgt_lines) != len(lines):
+                raise SystemExit(
+                    "source and target files do not have the same number "
+                    "of lines")
+        return lines, tgt_lines
+
+    def submit(window):
+        lines, tgt_lines = window
+        if args.task == "score":
+            return translator.score_batch(
+                lines, tgt_lines, max_batch_size=args.batch_size,
+                batch_type=args.batch_type, asynchronous=True)
+        return translator.translate_batch(
+            lines, tgt_lines, max_batch_size=args.batch_size,
+            batch_type=args.batch_type, asynchronous=True, **options)
 
     def write_score(r):
         nonlocal num_tokens
@@ -126,34 +148,8 @@ def main(argv=None) -> int:
             out.write("\n")
 
     writer = write_score if args.task == "score" else write_translation
-
-    def drain(blocking):
-        while pending and (blocking or pending[0].done()):
-            writer(pending.popleft().result())
-
-    while True:
-        window = list(itertools.islice(src, read_bs))
-        if not window:
-            break
-        lines = [line.rstrip("\n").split() for line in window]
-        tgt_lines = None
-        if tgt is not None:
-            tgt_lines = [line.rstrip("\n").split()
-                         for line in itertools.islice(tgt, len(window))]
-            if len(tgt_lines) != len(lines):
-                raise SystemExit(
-                    "source and target files do not have the same number "
-                    "of lines")
-        if args.task == "score":
-            pending.extend(translator.score_batch(
-                lines, tgt_lines, max_batch_size=args.batch_size,
-                batch_type=args.batch_type, asynchronous=True))
-        else:
-            pending.extend(translator.translate_batch(
-                lines, tgt_lines, max_batch_size=args.batch_size,
-                batch_type=args.batch_type, asynchronous=True, **options))
-        drain(blocking=False)
-    drain(blocking=True)
+    consume_stream(read_window, submit, writer,
+                   max_pending=4 * (read_bs or 0))
 
     elapsed = time.time() - start
     if args.log_throughput:

@@ -81,3 +81,54 @@ def pad_batch(
     max_len = round_up(max_len, length_multiple)
     padded = [list(x) + [pad_id] * (max_len - len(x)) for x in ids]
     return padded, lengths
+
+
+def default_read_batch_size(read_batch_size: int, max_batch_size: int):
+    """The reference's read-window default: 16 batches worth, or the batch
+    itself at batch size 1 (replica_pool.h:210-211). Returns None for an
+    unbounded window (max_batch_size == 0)."""
+    if read_batch_size > 0:
+        return read_batch_size
+    size = max_batch_size if max_batch_size == 1 else max_batch_size * 16
+    return size if size > 0 else None
+
+
+def consume_stream(read_window, submit, write, max_pending: int = 0):
+    """The reference consume_batches loop (replica_pool.h:191-226): read a
+    window of examples, submit it asynchronously, and drain finished
+    results in submission order — overlapping read, compute and write.
+
+    ``read_window()`` returns the next window (falsy at EOF); ``submit``
+    maps a window to a sequence of AsyncResults; ``write`` consumes one
+    resolved result. ``max_pending`` (>0) bounds in-flight results by
+    blocking on the oldest — the analog of the reference's
+    max_queued_batches backpressure.
+    """
+    import collections
+
+    pending = collections.deque()
+
+    def drain(blocking):
+        while pending and (blocking or pending[0].done()):
+            write(pending.popleft().result())
+
+    try:
+        while True:
+            window = read_window()
+            if not window:
+                break
+            pending.extend(submit(window))
+            drain(blocking=False)
+            while max_pending and len(pending) > max_pending:
+                write(pending.popleft().result())
+        drain(blocking=True)
+    except BaseException:
+        # Let in-flight work settle before propagating: tearing down the
+        # interpreter while worker threads are mid-compute aborts inside
+        # the XLA runtime.
+        while pending:
+            try:
+                pending.popleft().result()
+            except Exception:
+                pass
+        raise

@@ -93,14 +93,17 @@ class Encoder(TaskAPIMixin):
             out_dtype=model.out_dtype)
 
         pooler_output = None
-        # Reference scope name (transformer_spec.py:797 "pooler_dense").
-        pooler = model.mf.get("pooler_dense/weight")
-        if pooler is not None:
+        # Reference scope name (transformer_spec.py:797 "pooler_dense");
+        # "pooler" is kept for artifacts written by earlier versions of
+        # this converter.
+        scope = next((s for s in ("pooler_dense", "pooler")
+                      if model.mf.get(s + "/weight") is not None), None)
+        if scope is not None:
             # BERT-style pooler: dense+tanh on the first token.
             from ..models.params import ParamsBuilder, finalize_params
 
             builder = ParamsBuilder(model.mf, model.policy)
-            pooler_params = finalize_params(builder.linear("pooler_dense"))
+            pooler_params = finalize_params(builder.linear(scope))
             act_id = int(model.mf.attribute("pooler_activation", 5))
             pooler_output = linear(
                 pooler_params, out[:, 0],

@@ -125,18 +125,19 @@ class Translator(TaskAPIMixin):
     def _num_input_features(self) -> int:
         return self.model.arch.encoder.embeddings.num_features
 
-    def _make_source_ids(self, source: Sequence[Sequence[str]], max_input_length: int):
-        """Convert (possibly ``￨``-factored) source tokens into per-feature
-        id batches, shape [F][B][T] (reference:
-        src/models/sequence_to_sequence.cc:144-166 + src/utils.cc:158-190)."""
-        cfg = self.model.config
+    def _source_feature_streams(self, source: Sequence[Sequence[str]]):
+        """Split ``￨``-factored tokens once, validating the vocabulary
+        count (reference: src/models/sequence_to_sequence.cc:144-166)."""
         num_features = self._num_input_features
-        vocabs = self.model.source_vocabularies
-        if len(vocabs) != num_features:
+        if len(self.model.source_vocabularies) != num_features:
             raise RuntimeError(
                 f"The encoder expects {num_features} input features, but "
-                f"{len(vocabs)} source vocabularies are loaded")
-        streams = extract_features(source, num_features)
+                f"{len(self.model.source_vocabularies)} source vocabularies "
+                "are loaded")
+        return extract_features(source, num_features)
+
+    def _ids_from_streams(self, streams, max_input_length: int):
+        cfg = self.model.config
         return [
             vocab.tokens_to_ids(
                 stream,
@@ -144,8 +145,14 @@ class Translator(TaskAPIMixin):
                 add_bos=bool(cfg.get("add_source_bos", False)),
                 add_eos=bool(cfg.get("add_source_eos", False)),
             )
-            for vocab, stream in zip(vocabs, streams)
+            for vocab, stream in zip(self.model.source_vocabularies, streams)
         ]
+
+    def _make_source_ids(self, source: Sequence[Sequence[str]], max_input_length: int):
+        """Convert (possibly ``￨``-factored) source tokens into per-feature
+        id batches, shape [F][B][T]."""
+        return self._ids_from_streams(
+            self._source_feature_streams(source), max_input_length)
 
     def _decoder_start_id(self) -> Optional[int]:
         start = self.model.config.get("decoder_start_token", "<s>")
@@ -325,11 +332,13 @@ class Translator(TaskAPIMixin):
 
         Returns (ids, lengths): ids is a single [B,S] array for F==1 or a
         tuple of per-feature arrays (all features share token positions)."""
-        padded, lengths = pad_batch(feature_ids[0], length_multiple=1)
-        S = bucket_length(len(padded[0]), 8)
         arrays = []
+        lengths = None
+        S = None
         for stream in feature_ids:
-            p, _ = pad_batch(stream, length_multiple=1)
+            p, l = pad_batch(stream, length_multiple=1)
+            if lengths is None:
+                lengths, S = l, bucket_length(len(p[0]), 8)
             p = [row + [0] * (S - len(row)) for row in p]
             arrays.append(jnp.asarray(p, dtype=jnp.int32))
         ids = arrays[0] if len(arrays) == 1 else tuple(arrays)
@@ -392,12 +401,12 @@ class Translator(TaskAPIMixin):
                           return_attention, callback, end_ids,
                           use_vmap: bool = False, batch_ids=None):
         tv = self._target_vocab
-        feature_ids = self._make_source_ids(source, max_input_length)
+        streams = self._source_feature_streams(source)
+        feature_ids = self._ids_from_streams(streams, max_input_length)
         source_ids = feature_ids[0]
         # Factored models report/replace with the main-feature tokens
         # (reference: sequence_to_sequence.cc:396).
-        source_tokens = (extract_features(source, self._num_input_features)[0]
-                         if self._num_input_features > 1 else source)
+        source_tokens = streams[0]
 
         # Pad source ids once; encoding is fused into the decode dispatch
         # unless a path needs the encoder output on the host.
@@ -682,84 +691,75 @@ class Translator(TaskAPIMixin):
             raise ValueError(
                 "target_tokenize_fn should be set when passing a target "
                 "file")
-        import collections
+        import contextlib
         import itertools
+
+        from .batching import consume_stream, default_read_batch_size
 
         start = time.time()
         num_tokens = 0
         num_examples = 0
         src_tok = source_tokenize_fn or (lambda text: text.split())
+        tgt_tok = target_tokenize_fn or (lambda text: text.split())
         if with_scores:
             kwargs.setdefault("return_scores", True)
         detok = target_detokenize_fn or (lambda tokens: " ".join(tokens))
 
         # Streaming consume loop (reference: consume_batches,
-        # include/ctranslate2/replica_pool.h:191-226): read a window of
-        # read_batch_size examples, submit async, drain finished results in
-        # order while reading the next window — bounded memory + read /
-        # compute / write overlap.
-        if read_batch_size <= 0:
-            read_batch_size = (max_batch_size if max_batch_size == 1
-                               else max_batch_size * 16)
-        if read_batch_size <= 0:
-            read_batch_size = None  # unbounded window (max_batch_size == 0)
+        # include/ctranslate2/replica_pool.h:191-226).
+        read_batch_size = default_read_batch_size(
+            read_batch_size, max_batch_size)
 
-        pending = collections.deque()
+        with contextlib.ExitStack() as stack:
+            fin = stack.enter_context(open(source_path, encoding="utf-8"))
+            fin_tgt = (stack.enter_context(open(target_path,
+                                                encoding="utf-8"))
+                       if target_path is not None else None)
+            fout = stack.enter_context(
+                open(output_path, "w", encoding="utf-8"))
 
-        def write_result(fout, r):
-            nonlocal num_tokens, num_examples
-            hypotheses = r.hypotheses or [[]]
-            num_tokens += len(hypotheses[0])
-            num_examples += 1
-            for n, tokens in enumerate(hypotheses):
-                line = detok(tokens)
-                if with_scores:
-                    score = r.scores[n] if r.scores else 0
-                    line = f"{score} ||| {line}"
-                fout.write(line)
-                fout.write("\n")
+            def read_window():
+                window = list(itertools.islice(fin, read_batch_size))
+                if not window:
+                    if fin_tgt is not None and fin_tgt.readline():
+                        raise ValueError(
+                            "source and target files do not have the same "
+                            "number of lines")
+                    return None
+                lines = [src_tok(line.rstrip("\n")) for line in window]
+                target_prefix = None
+                if fin_tgt is not None:
+                    tgt_window = list(itertools.islice(fin_tgt, len(window)))
+                    if len(tgt_window) != len(window):
+                        raise ValueError(
+                            "source and target files do not have the same "
+                            "number of lines")
+                    target_prefix = [
+                        tgt_tok(line.rstrip("\n")) for line in tgt_window]
+                return lines, target_prefix
 
-        def pop_results(fout, blocking):
-            while pending and (blocking or pending[0].done()):
-                write_result(fout, pending.popleft().result())
+            def submit(window):
+                lines, target_prefix = window
+                return self.translate_batch(
+                    lines, target_prefix=target_prefix,
+                    max_batch_size=max_batch_size, batch_type=batch_type,
+                    asynchronous=True, **kwargs)
 
-        fin_tgt = None
-        tgt_tok = (target_tokenize_fn if source_tokenize_fn
-                   else (lambda text: text.split()))
-        try:
-            fin = open(source_path, encoding="utf-8")
-            if target_path is not None:
-                fin_tgt = open(target_path, encoding="utf-8")
-            with open(output_path, "w", encoding="utf-8") as fout:
-                while True:
-                    window = list(itertools.islice(fin, read_batch_size))
-                    if not window:
-                        break
-                    lines = [src_tok(line.rstrip("\n")) for line in window]
-                    target_prefix = None
-                    if fin_tgt is not None:
-                        tgt_window = list(itertools.islice(
-                            fin_tgt, len(window)))
-                        if len(tgt_window) != len(window):
-                            raise ValueError(
-                                "source and target files do not have the "
-                                "same number of lines")
-                        target_prefix = [
-                            tgt_tok(line.rstrip("\n")) for line in tgt_window]
-                    pending.extend(self.translate_batch(
-                        lines, target_prefix=target_prefix,
-                        max_batch_size=max_batch_size, batch_type=batch_type,
-                        asynchronous=True, **kwargs))
-                    pop_results(fout, blocking=False)
-                if fin_tgt is not None and fin_tgt.readline():
-                    raise ValueError(
-                        "source and target files do not have the same "
-                        "number of lines")
-                pop_results(fout, blocking=True)
-        finally:
-            fin.close()
-            if fin_tgt is not None:
-                fin_tgt.close()
+            def write_result(r):
+                nonlocal num_tokens, num_examples
+                hypotheses = r.hypotheses or [[]]
+                num_tokens += len(hypotheses[0])
+                num_examples += 1
+                for n, tokens in enumerate(hypotheses):
+                    line = detok(tokens)
+                    if with_scores:
+                        score = r.scores[n] if r.scores else 0
+                        line = f"{score} ||| {line}"
+                    fout.write(line)
+                    fout.write("\n")
+
+            consume_stream(read_window, submit, write_result,
+                           max_pending=4 * (read_batch_size or 0))
         return ExecutionStats(
             num_tokens=num_tokens,
             num_examples=num_examples,
@@ -768,62 +768,63 @@ class Translator(TaskAPIMixin):
 
     def score_file(self, source_path: str, target_path: str,
                    output_path: str, max_batch_size: int = 32,
+                   read_batch_size: int = 0,
                    batch_type: str = "examples",
                    with_tokens_score: bool = False, **kwargs) -> ExecutionStats:
         """Score a parallel file pair, writing ``mean_score ||| target``
         lines (reference: include/ctranslate2/translator.h score_file and
-        python/cpp/translator.cc)."""
-        import collections
+        python/cpp/translator.cc). Streams like translate_file."""
         import itertools
+
+        from .batching import consume_stream, default_read_batch_size
 
         start = time.time()
         num_tokens = 0
         num_examples = 0
-        read_batch_size = (max_batch_size if max_batch_size == 1
-                           else max_batch_size * 16) or None
-        pending = collections.deque()
+        read_batch_size = default_read_batch_size(
+            read_batch_size, max_batch_size)
 
-        def write_result(fout, r):
-            nonlocal num_tokens, num_examples
-            num_tokens += len(r.tokens)
-            num_examples += 1
-            mean = (sum(r.tokens_score) / len(r.tokens_score)
-                    if r.tokens_score else 0.0)
-            line = f"{mean:.6f} ||| {' '.join(r.tokens)}"
-            if with_tokens_score:
-                line += " ||| " + " ".join(
-                    f"{s:.6f}" for s in r.tokens_score)
-            fout.write(line + "\n")
-
-        def pop_results(fout, blocking):
-            while pending and (blocking or pending[0].done()):
-                write_result(fout, pending.popleft().result())
-
-        # Same streaming consume loop as translate_file (reference:
-        # replica_pool.h:191-226 via score_text_file).
         with open(source_path, encoding="utf-8") as fsrc, \
                 open(target_path, encoding="utf-8") as ftgt, \
                 open(output_path, "w", encoding="utf-8") as fout:
-            while True:
+
+            def read_window():
                 src_window = list(itertools.islice(fsrc, read_batch_size))
                 if not src_window:
-                    break
+                    if ftgt.readline():
+                        raise ValueError(
+                            "source and target files do not have the same "
+                            "number of lines")
+                    return None
                 tgt_window = list(itertools.islice(ftgt, len(src_window)))
                 if len(tgt_window) != len(src_window):
                     raise ValueError(
                         "source and target files do not have the same "
                         "number of lines")
-                pending.extend(self.score_batch(
+                return src_window, tgt_window
+
+            def submit(window):
+                src_window, tgt_window = window
+                return self.score_batch(
                     [line.split() for line in src_window],
                     [line.split() for line in tgt_window],
                     max_batch_size=max_batch_size, batch_type=batch_type,
-                    asynchronous=True, **kwargs))
-                pop_results(fout, blocking=False)
-            if ftgt.readline():
-                raise ValueError(
-                    "source and target files do not have the same number "
-                    "of lines")
-            pop_results(fout, blocking=True)
+                    asynchronous=True, **kwargs)
+
+            def write_result(r):
+                nonlocal num_tokens, num_examples
+                num_tokens += len(r.tokens)
+                num_examples += 1
+                mean = (sum(r.tokens_score) / len(r.tokens_score)
+                        if r.tokens_score else 0.0)
+                line = f"{mean:.6f} ||| {' '.join(r.tokens)}"
+                if with_tokens_score:
+                    line += " ||| " + " ".join(
+                        f"{s:.6f}" for s in r.tokens_score)
+                fout.write(line + "\n")
+
+            consume_stream(read_window, submit, write_result,
+                           max_pending=4 * (read_batch_size or 0))
         return ExecutionStats(
             num_tokens=num_tokens,
             num_examples=num_examples,

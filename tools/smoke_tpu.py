@@ -160,9 +160,36 @@ def t_whisper_shaped():
     assert r.sequences_ids[0] is not None
 
 
+@section("files+factors: streaming translate_file + factored source")
+def t_files_factors():
+    import os
+    import tempfile
+
+    from ctranslate2_tpu import Translator
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    t = Translator(MODEL)
+    d = tempfile.mkdtemp(prefix="smoke_files_")
+    src = os.path.join(d, "in.txt")
+    out = os.path.join(d, "out.txt")
+    with open(src, "w", encoding="utf-8") as f:
+        for _ in range(5):
+            f.write(" ".join(SRC1) + "\n")
+    stats = t.translate_file(src, out, max_batch_size=2, read_batch_size=2)
+    assert stats.num_examples == 5
+    assert open(out).read().splitlines() == [" ".join(HYP1)] * 5
+
+    fact = build_seq2seq_model(os.path.join(d, "fact"),
+                               num_source_features=2,
+                               features_merge="concat")
+    tf = Translator(fact)
+    r = tf.translate_batch([["tok4￨tok1", "tok9￨tok2"]], beam_size=2)
+    assert len(r) == 1
+
+
 if __name__ == "__main__":
     for fn in [t_translator, t_generator, t_continuous, t_awq, t_flash,
-               t_whisper_shaped]:
+               t_whisper_shaped, t_files_factors]:
         fn()
     print("FAILURES:", FAILS or "none")
     sys.exit(1 if FAILS else 0)
