@@ -65,13 +65,25 @@ class Encoder(TaskAPIMixin):
         return AsyncResult(
             self._pool.submit(self.forward_batch, inputs, token_type_ids))
 
-    def forward_batch(self, inputs: Sequence[Sequence[str]],
+    def forward_batch(self, inputs,
                       token_type_ids: Optional[Sequence[Sequence[int]]] = None
                       ) -> EncoderForwardOutput:
+        """``inputs``: batch of token strings, batch of token ids, or an id
+        array (the reference's BatchTokens/BatchIds/StorageView variants,
+        python/cpp/encoder.cc:15-40)."""
+        import numpy as _np
+
         model = self.model
         vocab = (model.source_vocabularies[0]
                  if model.source_vocabularies else model.target_vocabulary)
-        ids = [[vocab.to_id(t) for t in seq] for seq in inputs]
+        if hasattr(inputs, "shape"):
+            ids = _np.asarray(inputs).tolist()
+        else:
+            ids = [
+                [t if isinstance(t, (int, _np.integer)) else vocab.to_id(t)
+                 for t in seq]
+                for seq in inputs
+            ]
         padded, lengths = pad_batch(ids, length_multiple=8, min_length=8)
         ids_arr = jnp.asarray(padded, dtype=jnp.int32)
         lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)

@@ -114,6 +114,18 @@ def test_forward_batch(generator):
     out = generator.forward_batch([["tok1", "tok2", "tok3"]])
     assert out.shape[0] == 1
     assert out.shape[-1] == 32
+    # Ids and array inputs match the token-string variant (the reference's
+    # BatchTokens/BatchIds/StorageView overloads, generator.cc:99-115).
+    import numpy as np
+
+    ids = [[generator._vocab.to_id(t) for t in ["tok1", "tok2", "tok3"]]]
+    np.testing.assert_array_equal(
+        np.asarray(generator.forward_batch(ids), np.float32),
+        np.asarray(out, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(generator.forward_batch(np.asarray(ids, np.int32)),
+                   np.float32),
+        np.asarray(out, np.float32))
 
 
 @pytest.mark.parametrize("kwargs", [

@@ -564,6 +564,12 @@ def test_bert_encoder_api_token_types(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out.pooler_output, np.float32),
         ref.pooler_output.numpy(), atol=2e-3, rtol=1e-3)
+    # Id-list input matches token-string input (reference
+    # BatchTokens/BatchIds variants, encoder.cc:15-40).
+    out_ids = enc.forward_batch([[4, 9, 17, 23, 5, 11, 30, 8]])
+    np.testing.assert_array_equal(
+        np.asarray(out_ids.last_hidden_state, np.float32),
+        np.asarray(out.last_hidden_state, np.float32))
 
 
 def test_gemma2(tmp_path):
