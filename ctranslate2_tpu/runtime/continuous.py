@@ -92,6 +92,7 @@ class ContinuousBatcher:
         prefill_bucket: int = 16,
         steps_per_sync: int = 8,
         speculation_k: int = 0,
+        draft_model=None,
     ):
         if model.arch.decoder.alibi:
             raise NotImplementedError(
@@ -105,6 +106,8 @@ class ContinuousBatcher:
                 raise NotImplementedError(
                     "speculation is not supported with sliding-window ring "
                     "caches yet")
+        if draft_model is not None and speculation_k <= 1:
+            raise ValueError("draft_model requires speculation_k > 1")
         self.model = model
         self._vocab = model.target_vocabulary
         self._num_slots = num_slots
@@ -150,6 +153,41 @@ class ContinuousBatcher:
         self._prefill_fns = {}
         self._insert_fn = jax.jit(
             T.cache_insert_row, donate_argnums=(0,))
+
+        # Draft-MODEL speculation (lossless, same verify machinery as
+        # prompt-lookup): a small model proposes spec_k-1 tokens in ONE
+        # scanned dispatch; the target verifies them in one T=spec_k
+        # forward. The draft's cache needs no rollback — its valid prefix
+        # always equals the target's accepted prefix, because a draft
+        # token is only fed (and cached) at position p+1 after the target
+        # accepted the token at position p.
+        self._draft_model = None
+        if draft_model is not None:
+            dm = draft_model
+            if isinstance(dm, str):
+                from ..models.loader import load_model as _load_model
+
+                dm = _load_model(dm, compute_type="default")
+            dm = getattr(dm, "model", dm)  # accept Generator or LoadedModel
+            if not dm.is_decoder_only:
+                raise ValueError("draft_model must be a decoder-only model")
+            if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
+                raise NotImplementedError(
+                    "ALiBi / sliding-window draft models are not supported")
+            if len(dm.target_vocabulary) != len(self._vocab):
+                raise ValueError(
+                    "draft model vocabulary size "
+                    f"({len(dm.target_vocabulary)}) must match the target "
+                    f"model ({len(self._vocab)})")
+            dm.ensure_consts(capacity)
+            self._draft_model = dm
+            self._draft_cache = T.init_self_cache(
+                dm.arch, num_slots, capacity, dtype=dm.kv_dtype,
+                stacked=dm.scan_layers, ring=True)
+            self._draft_fn = self._build_draft_fn()
+            self._draft_prefill_fns = {}
+            self._draft_insert = jax.jit(
+                T.cache_insert_row, donate_argnums=(0,))
 
         # Host slot state.
         self._slots: List[Optional[_Request]] = [None] * num_slots
@@ -235,6 +273,9 @@ class ContinuousBatcher:
             "spec_tokens_per_dispatch": (
                 self._accepted_tokens / max(self._spec_dispatches, 1)
                 if self._spec_k > 1 else None),
+            "spec_draft": (None if self._spec_k <= 1 else
+                           "model" if self._draft_model is not None
+                           else "prompt-lookup"),
         }
 
     @property
@@ -326,6 +367,71 @@ class ContinuousBatcher:
 
         return jax.jit(step, donate_argnums=(2,))
 
+    def _build_draft_fn(self):
+        dm = self._draft_model
+        arch = dm.arch
+        quantize_acts = dm.policy.quantize_activations
+        out_dtype = dm.out_dtype
+        K = self._spec_k
+
+        def draft(params, consts, cache, last, pos):
+            # last [S]: the latest accepted token; propose K-1 greedy
+            # continuations, advancing per-row positions pos+j. The scan
+            # runs K feeds (not K-1) so the LAST proposal's K/V is cached
+            # too: when the target accepts all drafts plus its bonus token,
+            # the next round starts at pos+K and must attend position
+            # pos+K-1 — which only the extra feed has written.
+            def body(carry, j):
+                tok, cache = carry
+                logits, cache, _ = T.decoder_forward(
+                    arch, params, consts, tok[:, None], pos + j, cache,
+                    None, None, quantize_acts=quantize_acts,
+                    out_dtype=out_dtype)
+                l = logits[:, -1].astype(jnp.float32)
+                # Mirror the verifier's unconditional suppressions so a
+                # suppressed token never wastes a draft position.
+                l = proc.disable_tokens(l, self._suppress_ids)
+                nxt = jnp.argmax(l, axis=-1).astype(jnp.int32)
+                return (nxt, cache), nxt
+
+            (_, cache), drafts = jax.lax.scan(
+                body, (last, cache), jnp.arange(K, dtype=jnp.int32))
+            return jnp.transpose(drafts)[:, : K - 1], cache  # [S, K-1]
+
+        return jax.jit(draft, donate_argnums=(2,))
+
+    def _draft_prefill(self, slot: int, ids):
+        """Prefill the draft model's cache row for a newly admitted prompt
+        (one extra small-model dispatch per admit)."""
+        dm = self._draft_model
+        P = _round_up(len(ids), self._prefill_bucket)
+        padded = np.zeros((1, P), np.int32)
+        padded[0, : len(ids)] = ids
+        fn = self._draft_prefill_fns.get(P)
+        if fn is None:
+            arch = dm.arch
+            quantize_acts = dm.policy.quantize_activations
+            out_dtype = dm.out_dtype
+            kv_dtype = dm.kv_dtype
+            stacked = dm.scan_layers
+
+            def prefill(params, consts, ids_arr, length):
+                cache = T.init_self_cache(arch, 1, P, dtype=kv_dtype,
+                                          stacked=stacked, ring=True)
+                _, cache, _ = T.decoder_forward(
+                    arch, params, consts, ids_arr, jnp.int32(0), cache,
+                    None, None, lengths=length[None],
+                    quantize_acts=quantize_acts, out_dtype=out_dtype,
+                    fresh_prefill=True)
+                return cache
+
+            fn = jax.jit(prefill)
+            self._draft_prefill_fns[P] = fn
+        sub = fn(dm.params, dm.consts, jnp.asarray(padded),
+                 jnp.int32(len(ids)))
+        self._draft_cache = self._draft_insert(
+            self._draft_cache, sub, jnp.int32(slot))
+
     def _draft(self, req, k: int):
         """Prompt-lookup draft: continue the latest match of the current
         bigram in the request's own context; pad with the last token."""
@@ -347,13 +453,21 @@ class ContinuousBatcher:
         tokens = np.zeros((S, K), np.int32)
         min_len = np.zeros(S, np.int32)
         gen_len = np.zeros(S, np.int32)
+        pos = np.minimum(self._pos, self._capacity - K)
+        model_drafts = None
+        if self._draft_model is not None:
+            drafts_d, self._draft_cache = self._draft_fn(
+                self._draft_model.params, self._draft_model.consts,
+                self._draft_cache, jnp.asarray(self._tokens),
+                jnp.asarray(pos))
+            model_drafts = np.asarray(drafts_d)
         for i in active:
             req = self._slots[i]
             min_len[i] = req.min_length
             gen_len[i] = len(req.generated)
             tokens[i, 0] = self._tokens[i]
-            tokens[i, 1:] = self._draft(req, K - 1)
-        pos = np.minimum(self._pos, self._capacity - K)
+            tokens[i, 1:] = (model_drafts[i] if model_drafts is not None
+                             else self._draft(req, K - 1))
 
         ids_d, scores_d, self._cache = self._step_fn(
             model.params, model.consts, self._cache,
@@ -555,6 +669,8 @@ class ContinuousBatcher:
             self._key, jnp.int32(self._step_count))
         self._cache = self._insert_fn(
             self._cache, sub_cache, jnp.int32(slot))
+        if self._draft_model is not None:
+            self._draft_prefill(slot, ids)
         first = int(tok)
         req.generated.append(first)
         req.score += float(score)
@@ -638,6 +754,10 @@ class ContinuousTranslator(ContinuousBatcher):
             raise NotImplementedError(
                 "source-factor models are not supported by the continuous "
                 "translator; use Translator.translate_batch")
+        if kw.get("draft_model") is not None:
+            raise NotImplementedError(
+                "draft-model speculation is not supported by the "
+                "continuous translator yet (prompt-lookup speculation is)")
         self._translator = translator
         self._max_src = max_source_len
         self._src_vocab = model.source_vocabularies[0]

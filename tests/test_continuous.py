@@ -301,6 +301,59 @@ def test_speculation_validation(gen_model):
         _batcher(gen_model, speculation_k=4, sampling_topk=5)
 
 
+# ----------------------------------------------------------------------
+# Draft-MODEL speculative decoding (lossless under greedy).
+# ----------------------------------------------------------------------
+
+
+def test_draft_model_speculation(gen_model, tmp_path):
+    prompts = [["tok1", "tok2", "tok3"], ["tok2"],
+               ["tok4", "tok1", "tok4", "tok1"]]
+    expected = [
+        gen_model.generate_batch([p], max_length=24,
+                                 include_prompt_in_result=False)[0]
+        for p in prompts
+    ]
+
+    # An UNRELATED draft model: speculation must stay lossless even when
+    # every proposal is wrong.
+    draft_dir = build_decoder_only_model(str(tmp_path / "draft"),
+                                         num_layers=1, seed=4242)
+    cb = _batcher(gen_model, num_slots=3, speculation_k=4,
+                  draft_model=draft_dir)
+    try:
+        futures = [cb.submit(p, max_length=24) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=600).sequences_ids[0] == \
+                e.sequences_ids[0]
+        assert cb.stats()["spec_draft"] == "model"
+    finally:
+        cb.close()
+
+    # A PERFECT draft (the target itself): outputs identical and most
+    # dispatches accept multiple tokens.
+    cb2 = _batcher(gen_model, num_slots=3, speculation_k=4,
+                   draft_model=gen_model)
+    try:
+        futures = [cb2.submit(p, max_length=24) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=600).sequences_ids[0] == \
+                e.sequences_ids[0]
+        assert cb2.stats()["spec_tokens_per_dispatch"] > 1.5
+    finally:
+        cb2.close()
+
+
+def test_draft_model_validation(gen_model, tmp_path):
+    draft_dir = build_decoder_only_model(str(tmp_path / "d1"), num_layers=1)
+    with pytest.raises(ValueError, match="speculation_k"):
+        _batcher(gen_model, draft_model=draft_dir)
+    small_vocab = build_decoder_only_model(str(tmp_path / "d2"),
+                                           vocab_size=32)
+    with pytest.raises(ValueError, match="vocabulary size"):
+        _batcher(gen_model, speculation_k=4, draft_model=small_vocab)
+
+
 @pytest.mark.parametrize("spec_k", [3])
 def test_translator_speculation_matches_greedy(spec_k):
     from ctranslate2_tpu import ContinuousTranslator, Translator
