@@ -47,10 +47,13 @@ def gen_traffic(vocab, n, max_new, seed):
     return out
 
 
-def bench_continuous(gen, traffic, slots, capacity):
+def bench_continuous(gen, traffic, slots, capacity, speculation_k=0,
+                     draft_model=None):
     from ctranslate2_tpu import ContinuousBatcher
 
-    cb = ContinuousBatcher(gen, num_slots=slots, capacity=capacity)
+    cb = ContinuousBatcher(gen, num_slots=slots, capacity=capacity,
+                           speculation_k=speculation_k,
+                           draft_model=draft_model)
     try:
         # Warmup compile.
         cb.submit(traffic[0][0], max_length=4).result(timeout=600)
@@ -75,9 +78,10 @@ def bench_continuous(gen, traffic, slots, capacity):
             tokens += len(f.result().sequences_ids[0])
         dt = time.time() - t0
         latencies = done_at
+        spec_rate = cb.stats()["spec_tokens_per_dispatch"]
     finally:
         cb.close()
-    return tokens, dt, latencies
+    return tokens, dt, latencies, spec_rate
 
 
 def bench_sequential(gen, traffic, slots):
@@ -102,7 +106,7 @@ def bench_sequential(gen, traffic, slots):
             tokens += min(len(r.sequences_ids[0]), new)
             latencies.append(done)
     dt = time.time() - t0
-    return tokens, dt, latencies
+    return tokens, dt, latencies, None
 
 
 def main():
@@ -116,6 +120,13 @@ def main():
     ap.add_argument("--d-model", type=int, default=256)
     ap.add_argument("--quantization", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speculation_k", type=int, default=0,
+                    help="also run the continuous engine with speculation")
+    ap.add_argument("--draft_layers", type=int, default=0,
+                    help=">0: fabricate an N-layer draft model (same "
+                         "geometry/vocab) for draft-model speculation")
+    ap.add_argument("--draft_model", default=None,
+                    help="existing draft model directory")
     args = ap.parse_args()
 
     from ctranslate2_tpu import Generator
@@ -127,14 +138,38 @@ def main():
     vocab = [t for t in vocab if not t.startswith("<")][:200]
     traffic = gen_traffic(vocab, args.requests, args.max_new, args.seed)
 
-    for name, fn in [
+    draft = args.draft_model
+    if draft is None and args.draft_layers > 0:
+        import tempfile
+
+        from ctranslate2_tpu.converters.builder import (
+            build_decoder_only_model,
+        )
+
+        draft = build_decoder_only_model(
+            tempfile.mkdtemp(prefix="bench_draft_"), vocab_size=256,
+            num_layers=args.draft_layers, num_heads=8,
+            d_model=args.d_model, d_ff=4 * args.d_model, num_heads_kv=4,
+            rotary_dim=args.d_model // 8, glu=True, rms_norm=True)
+
+    runs = [
         ("sequential", lambda: bench_sequential(gen, traffic, args.slots)),
         ("continuous", lambda: bench_continuous(
             gen, traffic, args.slots, args.capacity)),
-    ]:
-        tokens, dt, lat = fn()
+    ]
+    if args.speculation_k > 1:
+        runs.append(("continuous+spec", lambda: bench_continuous(
+            gen, traffic, args.slots, args.capacity,
+            speculation_k=args.speculation_k)))
+        if draft is not None:
+            runs.append(("continuous+draft", lambda: bench_continuous(
+                gen, traffic, args.slots, args.capacity,
+                speculation_k=args.speculation_k, draft_model=draft)))
+
+    for name, fn in runs:
+        tokens, dt, lat, spec_rate = fn()
         lat.sort()
-        print(json.dumps({
+        row = {
             "engine": name,
             "requests": len(traffic),
             "tokens": tokens,
@@ -142,7 +177,10 @@ def main():
             "total_s": round(dt, 2),
             "p50_latency_s": round(lat[len(lat) // 2], 3),
             "p95_latency_s": round(lat[int(len(lat) * 0.95)], 3),
-        }))
+        }
+        if spec_rate is not None:
+            row["spec_tokens_per_dispatch"] = round(spec_rate, 2)
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":
