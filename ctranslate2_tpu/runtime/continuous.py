@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..decoding import processors as proc
 from ..decoding.sampling import sample_tokens
 from ..models import transformer as T
-from .results import GenerationResult
+from .results import GenerationResult, GenerationStepResult
 
 
 def _round_up(x: int, m: int) -> int:
@@ -52,9 +52,14 @@ class _Request:
     min_length: int
     temperature: float = 0.0  # 0 = the batcher's default
     future: Future = field(default_factory=Future)
+    # Token-streaming callback (reference GenerationStepResult callback
+    # semantics: return True to stop this request early).
+    callback: Optional[object] = None
     # Filled while decoding:
     generated: List[int] = field(default_factory=list)
     score: float = 0.0
+    stopped: bool = False
+    callback_error: Optional[BaseException] = None
 
 
 class ContinuousBatcher:
@@ -224,9 +229,16 @@ class ContinuousBatcher:
 
     def submit(self, prompt: Sequence[str], *, max_length: int = 256,
                min_length: int = 0,
-               sampling_temperature: float = None) -> Future:
+               sampling_temperature: float = None,
+               callback=None) -> Future:
         """Queue one prompt; the Future resolves to a GenerationResult
-        holding the GENERATED continuation (prompt not included)."""
+        holding the GENERATED continuation (prompt not included).
+
+        ``callback`` streams tokens: called with a GenerationStepResult
+        per generated token from the scheduler thread (keep it cheap — it
+        blocks the decode loop); return True to stop this request early
+        (reference callback semantics). A callback exception cancels the
+        request and surfaces through its future."""
         if self._closed:
             raise RuntimeError("The batcher is closed")
         if not prompt:
@@ -243,10 +255,33 @@ class ContinuousBatcher:
         # the chunked prefill path (see _prefill_chunked).
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length,
-                       temperature=sampling_temperature or 0.0)
+                       temperature=sampling_temperature or 0.0,
+                       callback=callback)
         self._queue.put(req)
         self._wake.set()
         return req.future
+
+    def _emit(self, req: _Request, tok: int, score: float) -> None:
+        """Append one generated token and stream it to the request's
+        callback (is_last reflects the end/max-length conditions the
+        decode loops break on)."""
+        req.generated.append(tok)
+        req.score += score
+        if req.callback is None or req.stopped:
+            return
+        done = ((tok in self._end_ids
+                 and len(req.generated) > req.min_length)
+                or len(req.generated) >= req.max_length)
+        try:
+            if req.callback(GenerationStepResult(
+                    step=len(req.generated) - 1, batch_id=0,
+                    token_id=tok, hypothesis_id=0,
+                    token=self._vocab.to_token(tok),
+                    is_last=done)):
+                req.stopped = True
+        except BaseException as e:  # noqa: BLE001
+            req.callback_error = e
+            req.stopped = True
 
     @property
     def num_active_slots(self) -> int:
@@ -484,15 +519,14 @@ class ContinuousBatcher:
             emitted = 0
             for j in range(K):
                 tok = int(greedy[i, j])
-                req.generated.append(tok)
-                req.score += float(scores[i, j])
+                self._emit(req, tok, float(scores[i, j]))
                 self._tokens[i] = tok
                 emitted = j + 1
                 self._accepted_tokens += 1
                 if (tok in self._end_ids
                         and len(req.generated) > req.min_length):
                     break
-                if len(req.generated) >= req.max_length:
+                if len(req.generated) >= req.max_length or req.stopped:
                     break
                 # The next fed token (draft) must equal this greedy target
                 # or verification stops here.
@@ -569,8 +603,7 @@ class ContinuousBatcher:
                 [req.temperature or self._temperature or 1.0], jnp.float32))
         self._cache = self._insert_fn(self._cache, cache, jnp.int32(slot))
         first = int(tok[0])
-        req.generated.append(first)
-        req.score += float(score[0])
+        self._emit(req, first, float(score[0]))
         self._slots[slot] = req
         self._pos[slot] = len(ids)
         self._tokens[slot] = first
@@ -622,6 +655,8 @@ class ContinuousBatcher:
                 done = True
             elif len(req.generated) >= req.max_length:
                 done = True
+            elif req.stopped:
+                done = True  # callback requested stop (or raised)
             elif int(self._pos[i]) + max(self._block, self._spec_k) \
                     > self._capacity:
                 done = True  # slot capacity exhausted
@@ -633,6 +668,10 @@ class ContinuousBatcher:
         self._slots[slot] = None
         self._tokens_out += len(req.generated)
         self._requests_done += 1
+        if req.callback_error is not None:
+            if not req.future.done():
+                req.future.set_exception(req.callback_error)
+            return
         result = GenerationResult(
             sequences=[[v.to_token(t) for t in req.generated]],
             sequences_ids=[list(req.generated)],
@@ -672,8 +711,7 @@ class ContinuousBatcher:
         if self._draft_model is not None:
             self._draft_prefill(slot, ids)
         first = int(tok)
-        req.generated.append(first)
-        req.score += float(score)
+        self._emit(req, first, float(score))
         self._slots[slot] = req
         self._pos[slot] = len(ids)
         self._tokens[slot] = first
@@ -708,10 +746,11 @@ class ContinuousBatcher:
             req = self._slots[i]
             for j in range(self._block):
                 tok = int(ids[j, i])
-                req.generated.append(tok)
-                req.score += float(scores[j, i])
+                self._emit(req, tok, float(scores[j, i]))
                 self._tokens[i] = tok
                 self._pos[i] += 1
+                if req.stopped:
+                    break
                 # Stop consuming once this request is done (its remaining
                 # block tokens are a discarded speculative continuation);
                 # _harvest frees the slot right after.

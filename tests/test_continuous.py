@@ -302,6 +302,61 @@ def test_speculation_validation(gen_model):
 
 
 # ----------------------------------------------------------------------
+# Token-streaming callbacks.
+# ----------------------------------------------------------------------
+
+
+def test_streaming_callback(gen_model):
+    expected = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    cb = _batcher(gen_model)
+    try:
+        seen = []
+
+        def on_tok(sr):
+            seen.append((sr.step, sr.token_id, sr.is_last))
+
+        r = cb.submit(["tok1", "tok2"], max_length=12,
+                      callback=on_tok).result(timeout=300)
+        ids = r.sequences_ids[0]
+        assert ids == expected
+        streamed = [t for _, t, _ in seen]
+        # The stripped end token may trail the streamed sequence.
+        assert streamed[: len(ids)] == ids
+        assert [s for s, _, _ in seen] == list(range(len(seen)))
+        assert seen[-1][2] or len(streamed) == len(ids)
+    finally:
+        cb.close()
+
+
+def test_streaming_early_stop(gen_model):
+    cb = _batcher(gen_model)
+    try:
+        r = cb.submit(["tok1"], max_length=32,
+                      callback=lambda sr: sr.step >= 2).result(timeout=300)
+        assert len(r.sequences_ids[0]) == 3
+    finally:
+        cb.close()
+
+
+def test_streaming_callback_exception(gen_model):
+    cb = _batcher(gen_model)
+    try:
+        def boom(sr):
+            raise RuntimeError("boom")
+
+        f = cb.submit(["tok1"], max_length=8, callback=boom)
+        with pytest.raises(RuntimeError, match="boom"):
+            f.result(timeout=300)
+        # Other requests are unaffected.
+        ok = cb.submit(["tok1"], max_length=8).result(timeout=300)
+        assert ok.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+# ----------------------------------------------------------------------
 # Draft-MODEL speculative decoding (lossless under greedy).
 # ----------------------------------------------------------------------
 
