@@ -173,26 +173,8 @@ class ContinuousBatcher:
                 from ..models.loader import load_model as _load_model
 
                 dm = _load_model(dm, compute_type="default")
-            dm = getattr(dm, "model", dm)  # accept Generator or LoadedModel
-            if not dm.is_decoder_only:
-                raise ValueError("draft_model must be a decoder-only model")
-            if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
-                raise NotImplementedError(
-                    "ALiBi / sliding-window draft models are not supported")
-            if len(dm.target_vocabulary) != len(self._vocab):
-                raise ValueError(
-                    "draft model vocabulary size "
-                    f"({len(dm.target_vocabulary)}) must match the target "
-                    f"model ({len(self._vocab)})")
-            dm.ensure_consts(capacity)
-            self._draft_model = dm
-            self._draft_cache = T.init_self_cache(
-                dm.arch, num_slots, capacity, dtype=dm.kv_dtype,
-                stacked=dm.scan_layers, ring=True)
-            self._draft_fn = self._build_draft_fn()
-            self._draft_prefill_fns = {}
-            self._draft_insert = jax.jit(
-                T.cache_insert_row, donate_argnums=(0,))
+            # Accept a task object (Generator/Translator) or a LoadedModel.
+            self._init_draft(getattr(dm, "model", dm))
 
         # Host slot state.
         self._slots: List[Optional[_Request]] = [None] * num_slots
@@ -217,6 +199,27 @@ class ContinuousBatcher:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._closed = False
         self._wake = threading.Event()
+
+    def _init_draft(self, dm):
+        if not dm.is_decoder_only:
+            raise ValueError("draft_model must be a decoder-only model")
+        if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
+            raise NotImplementedError(
+                "ALiBi / sliding-window draft models are not supported")
+        if len(dm.target_vocabulary) != len(self._vocab):
+            raise ValueError(
+                "draft model vocabulary size "
+                f"({len(dm.target_vocabulary)}) must match the target "
+                f"model ({len(self._vocab)})")
+        dm.ensure_consts(self._capacity)
+        self._draft_model = dm
+        self._draft_cache = T.init_self_cache(
+            dm.arch, self._num_slots, self._capacity, dtype=dm.kv_dtype,
+            stacked=dm.scan_layers, ring=True)
+        self._draft_fn = self._build_draft_fn()
+        self._draft_prefill_fns = {}
+        self._draft_insert = jax.jit(
+            T.cache_insert_row, donate_argnums=(0,))
 
     def _start_loop(self):
         self._thread = threading.Thread(
@@ -793,10 +796,6 @@ class ContinuousTranslator(ContinuousBatcher):
             raise NotImplementedError(
                 "source-factor models are not supported by the continuous "
                 "translator; use Translator.translate_batch")
-        if kw.get("draft_model") is not None:
-            raise NotImplementedError(
-                "draft-model speculation is not supported by the "
-                "continuous translator yet (prompt-lookup speculation is)")
         self._translator = translator
         self._max_src = max_source_len
         self._src_vocab = model.source_vocabularies[0]
@@ -892,9 +891,19 @@ class ContinuousTranslator(ContinuousBatcher):
 
     def _get_encode(self, padded_len: int):
         fn = self._encode_fns.get(padded_len)
-        if fn is not None:
-            return fn
-        model = self.model
+        if fn is None:
+            fn = self._make_encode_fn(self.model, padded_len)
+            self._encode_fns[padded_len] = fn
+        return fn
+
+    def _get_draft_encode(self, padded_len: int):
+        fn = self._draft_encode_fns.get(padded_len)
+        if fn is None:
+            fn = self._make_encode_fn(self._draft_model, padded_len)
+            self._draft_encode_fns[padded_len] = fn
+        return fn
+
+    def _make_encode_fn(self, model, padded_len: int):
         arch = model.arch
         quantize_acts = model.policy.quantize_activations
         out_dtype = model.out_dtype
@@ -916,9 +925,7 @@ class ContinuousTranslator(ContinuousBatcher):
                 for m in mem_kv
             ]
 
-        fn = jax.jit(encode)
-        self._encode_fns[padded_len] = fn
-        return fn
+        return jax.jit(encode)
 
     def _prefill_into_slot(self, slot: int, req: _Request):
         model = self.model
@@ -931,6 +938,13 @@ class ContinuousTranslator(ContinuousBatcher):
             model.params, model.consts, jnp.asarray(padded),
             jnp.int32(min(len(ids), P)))
         self._mem = self._mem_insert(self._mem, sub, jnp.int32(slot))
+        if self._draft_model is not None:
+            dm = self._draft_model
+            dsub = self._get_draft_encode(P)(
+                dm.params, dm.consts, jnp.asarray(padded),
+                jnp.int32(min(len(ids), P)))
+            self._draft_mem = self._draft_mem_insert(
+                self._draft_mem, dsub, jnp.int32(slot))
         self._slots[slot] = req
         self._src_len[slot] = min(len(ids), P)
         self._pos[slot] = 0
@@ -940,6 +954,95 @@ class ContinuousTranslator(ContinuousBatcher):
         self._prefix[slot, :] = 0
         self._prefix[slot, : len(prefix)] = prefix
         self._plen[slot] = len(prefix)
+
+    def _init_draft(self, dm):
+        """Encoder-decoder draft model: per-slot cross-attention memory of
+        its own plus a parallel self-cache; the draft encodes the same
+        source at admit and proposes K-1 target tokens per round."""
+        if not dm.is_sequence_to_sequence:
+            raise ValueError(
+                "the continuous translator's draft_model must be an "
+                "encoder-decoder model")
+        if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
+            raise NotImplementedError(
+                "ALiBi / sliding-window draft models are not supported")
+        if any(l.self_attention.has_memory_kv
+               for l in dm.arch.decoder.layers):
+            raise NotImplementedError(
+                "merged-attention draft models are not supported")
+        if dm.arch.encoder.embeddings.num_features > 1:
+            raise NotImplementedError(
+                "source-factor draft models are not supported")
+        if len(dm.target_vocabulary) != len(self._vocab):
+            raise ValueError(
+                "draft model vocabulary size "
+                f"({len(dm.target_vocabulary)}) must match the target "
+                f"model ({len(self._vocab)})")
+        if len(dm.source_vocabularies[0]) != len(self._src_vocab):
+            raise ValueError(
+                "draft model source vocabulary size must match the "
+                "target model")
+        dm.ensure_consts(self._capacity)
+        self._draft_model = dm
+        self._draft_cache = T.init_self_cache(
+            dm.arch, self._num_slots, self._capacity, dtype=dm.kv_dtype,
+            stacked=dm.scan_layers, ring=True)
+        self._draft_mem = []
+        for layer in dm.arch.decoder.layers:
+            a = layer.cross_attention
+            if a is None:
+                self._draft_mem.append(None)
+                continue
+            shape = (self._num_slots, a.num_heads_kv, self._max_src,
+                     a.head_dim)
+            self._draft_mem.append({
+                "k": jnp.zeros(shape, dm.out_dtype),
+                "v": jnp.zeros(shape, dm.out_dtype),
+            })
+        self._draft_encode_fns = {}
+        self._draft_mem_insert = jax.jit(
+            self._mem_insert_impl, donate_argnums=(0,))
+        self._draft_fn = self._build_draft_fn()
+
+    def _build_draft_fn(self):
+        dm = self._draft_model
+        arch = dm.arch
+        quantize_acts = dm.policy.quantize_activations
+        out_dtype = dm.out_dtype
+        K = self._spec_k
+        S_max = self._max_src
+
+        def draft(params, consts, cache, mem, src_len, last, pos,
+                  gen_len, prefix, plen):
+            from ..ops import attention as attn_ops
+
+            mem_bias = attn_ops.length_mask_bias(src_len, S_max)
+
+            # Same K-feed scan as the decoder-only draft (the extra feed
+            # keeps the bonus-token path cache-complete), with the forced
+            # target prefix applied INSIDE the scan so the draft cache
+            # matches the accepted stream during the forced phase.
+            def body(carry, j):
+                tok, cache = carry
+                logits, cache, _ = T.decoder_forward(
+                    arch, params, consts, tok[:, None], pos + j, cache,
+                    mem, mem_bias, quantize_acts=quantize_acts,
+                    out_dtype=out_dtype)
+                l = logits[:, -1].astype(jnp.float32)
+                l = proc.disable_tokens(l, self._suppress_ids)
+                nxt = jnp.argmax(l, axis=-1).astype(jnp.int32)
+                idx = gen_len + j
+                forced = jnp.take_along_axis(
+                    prefix, jnp.minimum(idx, prefix.shape[1] - 1)[:, None],
+                    axis=1)[:, 0]
+                nxt = jnp.where(idx < plen, forced, nxt)
+                return (nxt, cache), nxt
+
+            (_, cache), drafts = jax.lax.scan(
+                body, (last, cache), jnp.arange(K, dtype=jnp.int32))
+            return jnp.transpose(drafts)[:, : K - 1], cache
+
+        return jax.jit(draft, donate_argnums=(2,))
 
     def _draft(self, req, k: int):
         # Translation drafts from the TARGET side only (source ids live in
@@ -1047,9 +1150,20 @@ class ContinuousTranslator(ContinuousBatcher):
             req = self._slots[i]
             min_len[i] = req.min_length
             gen_len[i] = len(req.generated)
-            tokens[i, 0] = self._tokens[i]
-            tokens[i, 1:] = self._draft(req, K - 1)
         pos = np.minimum(self._pos, self._capacity - K)
+        model_drafts = None
+        if self._draft_model is not None:
+            dm = self._draft_model
+            drafts_d, self._draft_cache = self._draft_fn(
+                dm.params, dm.consts, self._draft_cache, self._draft_mem,
+                jnp.asarray(self._src_len), jnp.asarray(self._tokens),
+                jnp.asarray(pos), jnp.asarray(gen_len),
+                jnp.asarray(self._prefix), jnp.asarray(self._plen))
+            model_drafts = np.asarray(drafts_d)
+        for i in active:
+            tokens[i, 0] = self._tokens[i]
+            tokens[i, 1:] = (model_drafts[i] if model_drafts is not None
+                             else self._draft(self._slots[i], K - 1))
 
         greedy_d, scores_d, self._cache = self._step_fn(
             model.params, model.consts, self._cache, self._mem,

@@ -436,3 +436,69 @@ def test_translator_speculation_matches_greedy(spec_k):
         assert got == ref.hypotheses[0]
     finally:
         ct.close()
+
+
+def test_translator_draft_model_speculation(tmp_path):
+    """Encoder-decoder draft-model speculation stays lossless (wrong and
+    perfect drafts), including under forced target prefixes."""
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    srcs = [["آ", "ت", "ز", "م", "و", "ن"],
+            ["آ", "ت", "ش", "ي", "س", "و", "ن"]]
+    t = Translator(MODEL)
+    v = t.model.target_vocabulary
+    expected = t.translate_batch(srcs, beam_size=1)
+
+    # Perfect draft: the target itself. Outputs identical, and most
+    # dispatches accept multiple tokens.
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32, speculation_k=4,
+                              draft_model=t)
+    try:
+        futures = [ct.submit(s, max_length=32) for s in srcs]
+        for f, e in zip(futures, expected):
+            got = [v.to_token(i)
+                   for i in f.result(timeout=600).sequences_ids[0]]
+            assert got == e.hypotheses[0]
+        assert ct.stats()["spec_tokens_per_dispatch"] > 1.5
+        assert ct.stats()["spec_draft"] == "model"
+        # Forced prefix + draft model stays lossless.
+        pf = ct.submit(srcs[0], max_length=32,
+                       target_prefix=["a", "t", "s"])
+        got = [v.to_token(i)
+               for i in pf.result(timeout=600).sequences_ids[0]]
+        ref = t.translate_batch([srcs[0]], target_prefix=[["a", "t", "s"]],
+                                beam_size=1)[0]
+        assert got == ref.hypotheses[0]
+    finally:
+        ct.close()
+
+    # An imperfect draft (the INT8 artifact: same vocabulary, quantization
+    # noise in the logits): still lossless.
+    ct2 = ContinuousTranslator(t, num_slots=2, capacity=128,
+                               max_source_len=32, speculation_k=4,
+                               draft_model=MODEL + "-i8")
+    try:
+        futures = [ct2.submit(s, max_length=32) for s in srcs]
+        for f, e in zip(futures, expected):
+            got = [v.to_token(i)
+                   for i in f.result(timeout=600).sequences_ids[0]]
+            assert got == e.hypotheses[0]
+    finally:
+        ct2.close()
+
+    # Geometry-mismatched (wrong) draft via a synthetic seq2seq model is
+    # rejected on vocabulary size.
+    other = build_seq2seq_model(str(tmp_path / "other"))
+    with pytest.raises(ValueError, match="vocabulary size"):
+        ContinuousTranslator(t, num_slots=2, capacity=128,
+                             max_source_len=32, speculation_k=4,
+                             draft_model=other)
+    # A decoder-only draft is rejected for the translator.
+    dec = build_decoder_only_model(str(tmp_path / "dec"))
+    with pytest.raises(ValueError, match="encoder-decoder"):
+        ContinuousTranslator(t, num_slots=2, capacity=128,
+                             max_source_len=32, speculation_k=4,
+                             draft_model=dec)
