@@ -132,3 +132,29 @@ def consume_stream(read_window, submit, write, max_pending: int = 0):
             except Exception:
                 pass
         raise
+
+
+def normalize_input_ids(inputs, vocab, lengths=None):
+    """Coerce a forward_batch input — batch of token strings, batch of
+    token ids, or a dense id array (the reference's BatchTokens/BatchIds/
+    StorageView variants) — into a list of id lists.
+
+    ``lengths`` (only meaningful for dense arrays, which carry no natural
+    per-row length) trims each row to its true length so padding is not
+    attended/scored as real tokens.
+    """
+    import numpy as np
+
+    if hasattr(inputs, "shape"):
+        rows = np.asarray(inputs).tolist()
+        if lengths is not None:
+            rows = [row[:int(n)] for row, n in zip(rows, lengths)]
+        return rows
+    if lengths is not None:
+        raise ValueError(
+            "lengths is only accepted with a dense id array input")
+    return [
+        [t if isinstance(t, (int, np.integer)) else vocab.to_id(t)
+         for t in seq]
+        for seq in inputs
+    ]

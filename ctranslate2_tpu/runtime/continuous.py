@@ -280,7 +280,7 @@ class ContinuousBatcher:
                     step=len(req.generated) - 1, batch_id=0,
                     token_id=tok, hypothesis_id=0,
                     token=self._vocab.to_token(tok),
-                    is_last=done)):
+                    score=score, is_last=done)):
                 req.stopped = True
         except BaseException as e:  # noqa: BLE001
             req.callback_error = e
@@ -841,10 +841,12 @@ class ContinuousTranslator(ContinuousBatcher):
     def submit(self, source: Sequence[str], *, max_length: int = 256,
                min_length: int = 0,
                sampling_temperature: float = None,
-               target_prefix: Sequence[str] = None) -> Future:
+               target_prefix: Sequence[str] = None,
+               callback=None) -> Future:
         """Queue one tokenized source sentence; the Future resolves to a
         GenerationResult holding the target tokens (including the forced
-        ``target_prefix``, reference return_prefix semantics)."""
+        ``target_prefix``, reference return_prefix semantics). ``callback``
+        streams target tokens (same contract as ContinuousBatcher.submit)."""
         if self._closed:
             raise RuntimeError("The batcher is closed")
         if not source:
@@ -870,7 +872,8 @@ class ContinuousTranslator(ContinuousBatcher):
                     f"max_target_prefix ({self._max_prefix})")
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length + len(prefix_ids),
-                       temperature=sampling_temperature or 0.0)
+                       temperature=sampling_temperature or 0.0,
+                       callback=callback)
         req.prefix_ids = prefix_ids
         self._queue.put(req)
         self._wake.set()
@@ -1181,15 +1184,14 @@ class ContinuousTranslator(ContinuousBatcher):
             emitted = 0
             for j in range(K):
                 tok = int(greedy[i, j])
-                req.generated.append(tok)
-                req.score += float(scores[i, j])
+                self._emit(req, tok, float(scores[i, j]))
                 self._tokens[i] = tok
                 emitted = j + 1
                 self._accepted_tokens += 1
                 if (tok in self._end_ids
                         and len(req.generated) > req.min_length):
                     break
-                if len(req.generated) >= req.max_length:
+                if len(req.generated) >= req.max_length or req.stopped:
                     break
                 if j + 1 < K and int(tokens[i, j + 1]) != tok:
                     break
@@ -1222,12 +1224,11 @@ class ContinuousTranslator(ContinuousBatcher):
             req = self._slots[i]
             for j in range(self._block):
                 tok = int(ids[j, i])
-                req.generated.append(tok)
-                req.score += float(scores[j, i])
+                self._emit(req, tok, float(scores[j, i]))
                 self._tokens[i] = tok
                 self._pos[i] += 1
                 if (tok in self._end_ids
                         and len(req.generated) > req.min_length):
                     break
-                if len(req.generated) >= req.max_length:
+                if len(req.generated) >= req.max_length or req.stopped:
                     break

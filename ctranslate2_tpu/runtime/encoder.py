@@ -57,33 +57,29 @@ class Encoder(TaskAPIMixin):
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
         self._init_replicas(device, device_index)
 
-    def forward_batch_async(self, inputs, token_type_ids=None):
+    def forward_batch_async(self, inputs, lengths=None, token_type_ids=None):
         """Future-backed encoder forward (reference:
         include/ctranslate2/encoder.h:9-25 forward_batch_async)."""
         from .results import AsyncResult
 
         return AsyncResult(
-            self._pool.submit(self.forward_batch, inputs, token_type_ids))
+            self._pool.submit(self.forward_batch, inputs, lengths=lengths,
+                              token_type_ids=token_type_ids))
 
     def forward_batch(self, inputs,
+                      lengths=None,
                       token_type_ids: Optional[Sequence[Sequence[int]]] = None
                       ) -> EncoderForwardOutput:
         """``inputs``: batch of token strings, batch of token ids, or an id
         array (the reference's BatchTokens/BatchIds/StorageView variants,
-        python/cpp/encoder.cc:15-40)."""
-        import numpy as _np
+        python/cpp/encoder.cc:15-40); ``lengths`` gives the true row
+        lengths for a padded dense array."""
+        from .batching import normalize_input_ids
 
         model = self.model
         vocab = (model.source_vocabularies[0]
                  if model.source_vocabularies else model.target_vocabulary)
-        if hasattr(inputs, "shape"):
-            ids = _np.asarray(inputs).tolist()
-        else:
-            ids = [
-                [t if isinstance(t, (int, _np.integer)) else vocab.to_id(t)
-                 for t in seq]
-                for seq in inputs
-            ]
+        ids = normalize_input_ids(inputs, vocab, lengths)
         padded, lengths = pad_batch(ids, length_multiple=8, min_length=8)
         ids_arr = jnp.asarray(padded, dtype=jnp.int32)
         lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)

@@ -443,25 +443,18 @@ class Generator(TaskAPIMixin):
                 results[i] = future.result()[pos]
         return results
 
-    def forward_batch(self, inputs,
+    def forward_batch(self, inputs, lengths=None,
                       return_log_probs: bool = False):
         """Full-sequence logits (reference: language_model.cc:279-299).
 
         ``inputs``: batch of token strings, batch of token ids, or an
         id array (the reference's BatchTokens/BatchIds/StorageView
-        variants, python/cpp/generator.cc:99-115)."""
-        import numpy as _np
+        variants, python/cpp/generator.cc:99-115); ``lengths`` gives the
+        true row lengths for a padded dense array."""
+        from .batching import normalize_input_ids
 
         model = self.model
-        v = self._vocab
-        if hasattr(inputs, "shape"):
-            ids = _np.asarray(inputs).tolist()
-        else:
-            ids = [
-                [t if isinstance(t, (int, _np.integer)) else v.to_id(t)
-                 for t in seq]
-                for seq in inputs
-            ]
+        ids = normalize_input_ids(inputs, self._vocab, lengths)
         padded, lengths = pad_batch(ids, length_multiple=8, min_length=8)
         ids_arr = jnp.asarray(padded, dtype=jnp.int32)
         lengths_arr = jnp.asarray(lengths, dtype=jnp.int32)

@@ -438,6 +438,28 @@ def test_translator_speculation_matches_greedy(spec_k):
         ct.close()
 
 
+def test_translator_streaming_callback():
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    t = Translator(MODEL)
+    v = t.model.target_vocabulary
+    src = ["آ", "ت", "ز", "م", "و", "ن"]
+    expected = t.translate_batch([src], beam_size=1)[0].hypotheses[0]
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32)
+    try:
+        seen = []
+        r = ct.submit(src, max_length=32,
+                      callback=lambda sr: seen.append(sr.token)
+                      ).result(timeout=600)
+        got = [v.to_token(i) for i in r.sequences_ids[0]]
+        assert got == expected
+        assert seen[: len(got)] == got
+    finally:
+        ct.close()
+
+
 def test_translator_draft_model_speculation(tmp_path):
     """Encoder-decoder draft-model speculation stays lossless (wrong and
     perfect drafts), including under forced target prefixes."""

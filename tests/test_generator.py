@@ -126,6 +126,13 @@ def test_forward_batch(generator):
         np.asarray(generator.forward_batch(np.asarray(ids, np.int32)),
                    np.float32),
         np.asarray(out, np.float32))
+    # A padded dense array with explicit lengths scores like the ragged
+    # batch (pads must not be attended as real tokens).
+    padded = np.zeros((1, 6), np.int32)
+    padded[0, :3] = ids[0]
+    out_len = generator.forward_batch(padded, lengths=[3])
+    np.testing.assert_array_equal(
+        np.asarray(out_len, np.float32), np.asarray(out, np.float32))
 
 
 @pytest.mark.parametrize("kwargs", [

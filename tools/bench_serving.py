@@ -146,8 +146,12 @@ def main():
             build_decoder_only_model,
         )
 
+        # Match the target model's vocabulary so the draft verifies.
+        tv_full = gen.model.target_vocabulary
         draft = build_decoder_only_model(
-            tempfile.mkdtemp(prefix="bench_draft_"), vocab_size=256,
+            tempfile.mkdtemp(prefix="bench_draft_"),
+            vocab_size=len(tv_full),
+            vocabulary=[tv_full.to_token(i) for i in range(len(tv_full))],
             num_layers=args.draft_layers, num_heads=8,
             d_model=args.d_model, d_ff=4 * args.d_model, num_heads_kv=4,
             rotary_dim=args.d_model // 8, glu=True, rms_norm=True)
