@@ -438,6 +438,32 @@ def test_translator_speculation_matches_greedy(spec_k):
         ct.close()
 
 
+@pytest.mark.parametrize("kwargs", [
+    dict(num_heads_kv=2, glu=True, rms_norm=True),   # GQA / Llama-style
+    dict(quantization="int8"),                       # quantized weights
+    dict(rotary_dim=0),                              # full-dim RoPE
+])
+def test_continuous_spec_architecture_sweep(tmp_path, kwargs):
+    """Continuous + speculation stays token-identical to generate_batch
+    across architecture variants (GQA/GLU/RMS, int8, full RoPE)."""
+    d = build_decoder_only_model(str(tmp_path / "m"), **kwargs)
+    ct = "int8" if kwargs.get("quantization") == "int8" else "default"
+    gen = Generator(d, compute_type=ct)
+    prompts = [["tok1", "tok2", "tok3"], ["tok4"]]
+    expected = [
+        gen.generate_batch([p], max_length=20,
+                           include_prompt_in_result=False)[0].sequences_ids[0]
+        for p in prompts
+    ]
+    cb = _batcher(gen, num_slots=2, speculation_k=3)
+    try:
+        futs = [cb.submit(p, max_length=20) for p in prompts]
+        assert [f.result(timeout=600).sequences_ids[0]
+                for f in futs] == expected
+    finally:
+        cb.close()
+
+
 def test_translator_streaming_callback():
     from ctranslate2_tpu import ContinuousTranslator, Translator
 
