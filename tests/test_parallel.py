@@ -268,6 +268,18 @@ def test_continuous_batcher_under_mesh(llama_dir):
             cb.close()
     assert r.sequences_ids[0] == expected.sequences_ids[0]
 
+    # Speculative verify steps (T=K forwards) under the same mesh stay
+    # lossless.
+    with jax.set_mesh(mesh):
+        cbs = ContinuousBatcher(g, num_slots=2, capacity=128,
+                                speculation_k=3)
+        try:
+            rs = cbs.submit(["tok1", "tok2"],
+                            max_length=8).result(timeout=600)
+        finally:
+            cbs.close()
+    assert rs.sequences_ids[0] == expected.sequences_ids[0]
+
 
 def test_initialize_distributed_single_process():
     """Multi-host wiring smoke test at process_count=1 (the analog of the
