@@ -218,8 +218,6 @@ class ContinuousBatcher:
             stacked=dm.scan_layers, ring=True)
         self._draft_fn = self._build_draft_fn()
         self._draft_prefill_fns = {}
-        self._draft_insert = jax.jit(
-            T.cache_insert_row, donate_argnums=(0,))
 
     def _start_loop(self):
         self._thread = threading.Thread(
@@ -467,7 +465,9 @@ class ContinuousBatcher:
             self._draft_prefill_fns[P] = fn
         sub = fn(dm.params, dm.consts, jnp.asarray(padded),
                  jnp.int32(len(ids)))
-        self._draft_cache = self._draft_insert(
+        # _insert_fn is shape-polymorphic (jit caches per cache geometry),
+        # so the target's jitted insert serves the draft cache too.
+        self._draft_cache = self._insert_fn(
             self._draft_cache, sub, jnp.int32(slot))
 
     def _draft(self, req, k: int):
@@ -515,8 +515,12 @@ class ContinuousBatcher:
             jnp.int32(self._step_count + 0x40000000))
         self._step_count += 1
         self._slot_steps += len(active)
-        greedy = np.asarray(ids_d)
-        scores = np.asarray(scores_d, np.float32)
+        self._accept_spec_round(active, np.asarray(ids_d),
+                                np.asarray(scores_d, np.float32), tokens, K)
+
+    def _accept_spec_round(self, active, greedy, scores, tokens, K):
+        """Consume one speculative verify dispatch: accept greedy targets
+        until an end/stop condition or the first draft mismatch."""
         for i in active:
             req = self._slots[i]
             emitted = 0
@@ -1177,26 +1181,8 @@ class ContinuousTranslator(ContinuousBatcher):
             jnp.int32(self._step_count + 0x40000000))
         self._step_count += 1
         self._slot_steps += len(active)
-        greedy = np.asarray(greedy_d)
-        scores = np.asarray(scores_d, np.float32)
-        for i in active:
-            req = self._slots[i]
-            emitted = 0
-            for j in range(K):
-                tok = int(greedy[i, j])
-                self._emit(req, tok, float(scores[i, j]))
-                self._tokens[i] = tok
-                emitted = j + 1
-                self._accepted_tokens += 1
-                if (tok in self._end_ids
-                        and len(req.generated) > req.min_length):
-                    break
-                if len(req.generated) >= req.max_length or req.stopped:
-                    break
-                if j + 1 < K and int(tokens[i, j + 1]) != tok:
-                    break
-            self._pos[i] += emitted
-            self._spec_dispatches += 1
+        self._accept_spec_round(active, np.asarray(greedy_d),
+                                np.asarray(scores_d, np.float32), tokens, K)
 
     def _decode_step(self, active: List[int]):
         model = self.model
