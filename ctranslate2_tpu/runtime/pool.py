@@ -34,14 +34,22 @@ class WorkerPool:
 
     Mirrors the blocking-put semantics of the reference JobQueue
     (reference: include/ctranslate2/thread_pool.h:16-60): when
-    ``max_queue_size`` jobs are pending, ``submit`` blocks, providing
-    back-pressure for streaming producers.
+    ``max_queued_batches`` jobs are pending, ``submit`` blocks, providing
+    back-pressure for streaming producers. Reference value convention
+    (replica_pool.h:252-255): 0 = automatic (4 per worker), -1 =
+    unlimited, >0 = that bound.
     """
 
-    def __init__(self, num_workers: int = 1, max_queue_size: int = 0):
+    def __init__(self, num_workers: int = 1, max_queued_batches: int = 0):
         import queue
 
-        self._queue: "queue.Queue" = queue.Queue(maxsize=max(0, max_queue_size))
+        if max_queued_batches == 0:
+            maxsize = 4 * max(1, num_workers)
+        elif max_queued_batches < 0:
+            maxsize = 0  # unbounded
+        else:
+            maxsize = max_queued_batches
+        self._queue: "queue.Queue" = queue.Queue(maxsize=maxsize)
         self._closed = False
         self._active = 0
         self._lock = threading.Lock()

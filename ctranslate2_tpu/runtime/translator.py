@@ -56,7 +56,7 @@ class Translator(TaskAPIMixin):
         device_index=0,
         inter_threads: int = 1,
         intra_threads: int = 0,
-        max_queue_size: int = 0,
+        max_queued_batches: int = 0,
         **kwargs,
     ):
         # tensor_parallel loads head-aligned (unfused) QKV shards
@@ -85,7 +85,8 @@ class Translator(TaskAPIMixin):
         n_dev = (len(device_index)
                  if isinstance(device_index, (list, tuple)) else 1)
         self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
-                                max_queue_size=max_queue_size)
+                                max_queued_batches=kwargs.get("max_queue_size",
+                                                       max_queued_batches))
         self.engine = DecodingEngine(self.model)
         self._init_replicas(device, device_index, DecodingEngine)
         self._vmap = None

@@ -91,7 +91,7 @@ class Wav2Vec2(TaskAPIMixin):
     def __init__(self, model_path: str, device: str = "auto",
                  compute_type: str = "default", device_index=0,
                  inter_threads: int = 1, intra_threads: int = 0,
-                 max_queue_size: int = 0, **kwargs):
+                 max_queued_batches: int = 0, **kwargs):
         from ..models.loader import resolve_device
         from .pool import WorkerPool
 
@@ -110,7 +110,8 @@ class Wav2Vec2(TaskAPIMixin):
         n_dev = (len(device_index)
                  if isinstance(device_index, (list, tuple)) else 1)
         self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
-                                max_queue_size=max_queue_size)
+                                max_queued_batches=kwargs.get("max_queue_size",
+                                                       max_queued_batches))
         self._tensor_parallel = bool(kwargs.get("tensor_parallel", False))
         enc = self.model.arch.encoder
         if enc is None or not enc.is_wav2vec2:

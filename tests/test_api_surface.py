@@ -63,6 +63,24 @@ def test_package_exports():
         assert getattr(models_ns, n) is not None
 
 
+def test_max_queued_batches_arg():
+    """Reference ctor arg name and value convention (replica_pool.h:252-255:
+    0 = auto 4/worker, -1 = unlimited); the old max_queue_size alias still
+    works."""
+    t = Translator(MODEL, max_queued_batches=2)
+    assert t._pool._queue.maxsize == 2
+    t2 = Translator(MODEL, max_queued_batches=-1)
+    assert t2._pool._queue.maxsize == 0  # unbounded
+    t3 = Translator(MODEL, inter_threads=2)
+    assert t3._pool._queue.maxsize == 8  # auto: 4 per worker
+    t4 = Translator(MODEL, max_queue_size=3)
+    assert t4._pool._queue.maxsize == 3
+    # Submitting more work than the bound still completes (blocking put).
+    rs = t.translate_batch([SRC1] * 12, max_batch_size=1,
+                           asynchronous=True)
+    assert [r.result().hypotheses[0] for r in rs] == [HYP1] * 12
+
+
 def test_logging_level_roundtrip():
     assert ctranslate2_tpu.get_log_level() == logging.WARNING
     ctranslate2_tpu.set_log_level(logging.INFO)
