@@ -56,6 +56,7 @@ class Encoder(TaskAPIMixin):
                                 max_queued_batches=kwargs.get("max_queue_size",
                                                        max_queued_batches))
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
+        self._apply_flash_flag(kwargs)
         self._init_replicas(device, device_index)
 
     def forward_batch_async(self, inputs, lengths=None, token_type_ids=None):

@@ -62,6 +62,7 @@ class Generator(TaskAPIMixin):
                                 max_queued_batches=kwargs.get("max_queue_size",
                                                        max_queued_batches))
         self.engine = DecodingEngine(self.model)
+        self._apply_flash_flag(kwargs)
         self._init_replicas(device, device_index, DecodingEngine)
         # Static-prompt state cache
         # (reference: include/ctranslate2/layers/decoder.h:102-110).

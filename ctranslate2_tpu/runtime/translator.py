@@ -88,6 +88,7 @@ class Translator(TaskAPIMixin):
                                 max_queued_batches=kwargs.get("max_queue_size",
                                                        max_queued_batches))
         self.engine = DecodingEngine(self.model)
+        self._apply_flash_flag(kwargs)
         self._init_replicas(device, device_index, DecodingEngine)
         self._vmap = None
         if self.model.vmap_path:

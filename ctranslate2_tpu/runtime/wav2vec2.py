@@ -117,6 +117,7 @@ class Wav2Vec2(TaskAPIMixin):
         if enc is None or not enc.is_wav2vec2:
             raise ValueError(
                 f"The model at {model_path} is not a Wav2Vec2 model")
+        self._apply_flash_flag(kwargs)
         self._init_replicas(device, device_index)
 
     def encode(self, features, to_cpu: bool = False):

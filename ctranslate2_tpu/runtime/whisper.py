@@ -126,6 +126,7 @@ class Whisper(TaskAPIMixin):
             raise ValueError(
                 f"The model at {model_path} is not a Whisper model")
         self.engine = DecodingEngine(self.model)
+        self._apply_flash_flag(kwargs)
         self._init_replicas(device, device_index, DecodingEngine)
 
         v = self.model.target_vocabulary
