@@ -373,10 +373,10 @@ def self_attention_block(
         # Q/K/V as if cache-less — prefill attention costs O(T^2) and can
         # take the flash kernel, instead of O(T * capacity) masked reads.
         if "k_scale" in cache:
-            new_cache = _update_int8_cache(cache, k, v, w_off)
+            new_cache = _update_int8_cache(cache, k, v, w_off, ring=ring)
         else:
-            new_cache = {"k": _cache_write(cache["k"], k, w_off),
-                         "v": _cache_write(cache["v"], v, w_off)}
+            new_cache = {"k": _cache_write(cache["k"], k, w_off, ring=ring),
+                         "v": _cache_write(cache["v"], v, w_off, ring=ring)}
         cache = None
 
     if cache is not None and "k_scale" in cache:
@@ -419,7 +419,7 @@ def self_attention_block(
             return out, new_cache
         # Prefill / CPU fallback: dequantize the whole cache for the XLA
         # masked-attention path.
-        new_cache = _update_int8_cache(cache, k, v, w_off)
+        new_cache = _update_int8_cache(cache, k, v, w_off, ring=ring)
         k, v = _dequantize_cache(new_cache, q.dtype)
     elif cache is not None:
         if (q.shape[2] == 1 and beam_chain is None
@@ -461,8 +461,8 @@ def self_attention_block(
                           and rel_positions is None
                           and position_bias is None)
         if not use_chain_attn:
-            ck = _cache_write(cache["k"], k, w_off)
-            cv = _cache_write(cache["v"], v, w_off)
+            ck = _cache_write(cache["k"], k, w_off, ring=ring)
+            cv = _cache_write(cache["v"], v, w_off, ring=ring)
             new_cache = {"k": ck, "v": cv}
             k, v = ck, cv
 
@@ -1048,10 +1048,12 @@ def init_self_cache(arch: ArchSpec, batch: int, capacity: int,
     return [layer_cache(layer.self_attention) for layer in spec.layers]
 
 
-def _cache_write(buf, new, offset):
+def _cache_write(buf, new, offset, ring: int = 0):
     """Write ``new`` [B, H, T, D] into ``buf`` [B, H, C, D] at time slot
     ``offset`` — scalar (uniform positions) or [B] vector (continuous
-    batching / speculative verify; lowers to a scatter)."""
+    batching / speculative verify; lowers to a scatter). ``ring`` wraps
+    each written position into the ring buffer (vector offsets may carry
+    a pre-wrapped slot; re-wrapping is idempotent)."""
     if getattr(offset, "ndim", 0) > 0:
         B, T = buf.shape[0], new.shape[2]
         if T == 1:
@@ -1059,6 +1061,8 @@ def _cache_write(buf, new, offset):
                 new[:, :, 0].astype(buf.dtype))
         rows = jnp.arange(B)[:, None]
         cols = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        if ring:
+            cols = jnp.mod(cols, ring)
         # [B, T] advanced indices broadcast; heads slice stays in place:
         # result positions [B, T, H, D] must match the moved-axes value.
         return buf.at[rows, :, cols].set(
@@ -1067,16 +1071,16 @@ def _cache_write(buf, new, offset):
         buf, new.astype(buf.dtype), (0, 0, offset, 0))
 
 
-def _update_int8_cache(cache: dict, k, v, offset):
+def _update_int8_cache(cache: dict, k, v, offset, ring: int = 0):
     """Quantize and append new K/V vectors at ``offset``."""
     from ..kernels.decode_attention import quantize_kv
 
     k8, ks = quantize_kv(k)
     v8, vs = quantize_kv(v)
-    return _append_int8_cache(cache, k8, ks, v8, vs, offset)
+    return _append_int8_cache(cache, k8, ks, v8, vs, offset, ring=ring)
 
 
-def _append_int8_cache(cache: dict, k8, ks, v8, vs, offset):
+def _append_int8_cache(cache: dict, k8, ks, v8, vs, offset, ring: int = 0):
     if getattr(offset, "ndim", 0) > 0:
         # Per-row write positions (continuous batching / speculative
         # verify).
@@ -1093,6 +1097,8 @@ def _append_int8_cache(cache: dict, k8, ks, v8, vs, offset):
             }
         rows = jnp.arange(B)[:, None]
         cols = offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        if ring:
+            cols = jnp.mod(cols, ring)
         return {
             "k": cache["k"].at[rows, :, cols].set(jnp.swapaxes(k8, 1, 2)),
             "v": cache["v"].at[rows, :, cols].set(jnp.swapaxes(v8, 1, 2)),

@@ -99,12 +99,13 @@ def ring_window_bias(num_queries: int, ring: int, window: int, offset=0):
     """
     j = jnp.arange(ring, dtype=jnp.int32)
     if getattr(offset, "ndim", 0) > 0:
-        assert num_queries == 1
-        q = offset[:, None]
-        d = jnp.mod(q - j[None, :], ring)
-        valid = (d < window) & (d <= q)
+        # Per-row positions; num_queries > 1 = a speculative verify chunk
+        # whose query t sits at absolute position offset[b] + t.
+        q = offset[:, None] + jnp.arange(num_queries, dtype=jnp.int32)[None]
+        d = jnp.mod(q[:, :, None] - j[None, None, :], ring)
+        valid = (d < window) & (d <= q[:, :, None])
         return jnp.where(valid, 0.0, NEG_INF).astype(
-            jnp.float32)[:, None, None, :]
+            jnp.float32)[:, None, :, :]
     q = jnp.arange(num_queries, dtype=jnp.int32)[:, None] + offset
     d = jnp.mod(q - j[None, :], ring)
     valid = (d < window) & (d <= q)

@@ -108,9 +108,18 @@ class ContinuousBatcher:
                     "speculation requires greedy decoding (losslessness of "
                     "draft verification is only guaranteed under argmax)")
             if T.ring_capacity(model.arch):
-                raise NotImplementedError(
-                    "speculation is not supported with sliding-window ring "
-                    "caches yet")
+                # Ring verify chunks reuse the ring_window_bias formula,
+                # which is exact while a chunk spans at most one window.
+                min_window = min(
+                    (l.self_attention.sliding_window
+                     for l in model.arch.decoder.layers
+                     if l.self_attention.sliding_window > 1),
+                    default=0)
+                if min_window and speculation_k > min_window:
+                    raise ValueError(
+                        f"speculation_k ({speculation_k}) must not exceed "
+                        f"the smallest sliding window ({min_window}) of a "
+                        "ring-cached model")
         if draft_model is not None and speculation_k <= 1:
             raise ValueError("draft_model requires speculation_k > 1")
         self.model = model

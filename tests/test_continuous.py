@@ -438,6 +438,30 @@ def test_translator_speculation_matches_greedy(spec_k):
         ct.close()
 
 
+def test_speculation_with_ring_window(tmp_path):
+    """Speculative verify chunks on sliding-window RING caches: lossless
+    across multiple ring wraps (Mistral/Gemma-style serving)."""
+    d = build_decoder_only_model(str(tmp_path / "w"), sliding_window=8,
+                                 rotary_dim=0)
+    gen = Generator(d)
+    prompts = [["tok1", "tok2", "tok3"], ["tok4"]]
+    expected = [
+        gen.generate_batch([p], max_length=40,
+                           include_prompt_in_result=False)[0].sequences_ids[0]
+        for p in prompts
+    ]
+    cb = _batcher(gen, num_slots=2, speculation_k=4, capacity=256)
+    try:
+        futs = [cb.submit(p, max_length=40) for p in prompts]
+        assert [f.result(timeout=600).sequences_ids[0]
+                for f in futs] == expected
+    finally:
+        cb.close()
+    # A verify chunk must fit inside the smallest window.
+    with pytest.raises(ValueError, match="sliding window"):
+        _batcher(gen, speculation_k=9)
+
+
 @pytest.mark.parametrize("kwargs", [
     dict(num_heads_kv=2, glu=True, rms_norm=True),   # GQA / Llama-style
     dict(quantization="int8"),                       # quantized weights

@@ -1,0 +1,23 @@
+#!/bin/bash
+# One-stop on-chip validation + benchmark sweep (run when a TPU is
+# attached; results land in /tmp/onchip/).
+set -u
+export PYTHONPATH=/root/repo:/root/.axon_site
+OUT=${1:-/tmp/onchip}
+mkdir -p "$OUT"
+cd /root/repo
+
+run() {
+  name=$1; shift
+  echo "=== $name ==="
+  timeout 3600 "$@" 2>&1 | tee "$OUT/$name.log" | tail -5
+}
+
+run smoke python tools/smoke_tpu.py
+run bench python bench.py
+run bench_int8 env BENCH_COMPUTE=int8 python bench.py
+run llama python bench_llama.py
+run serving python tools/bench_serving.py --requests 48 --speculation_k 4 --draft_layers 1
+run flash python tools/bench_flash.py
+run quality python tools/quality_parity.py
+echo "=== done; logs in $OUT ==="
