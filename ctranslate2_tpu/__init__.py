@@ -12,7 +12,11 @@ from .runtime.whisper import (
     WhisperGenerationResult,
 )
 from .runtime.wav2vec2 import Wav2Vec2, Wav2Vec2Bert
-from .runtime.continuous import ContinuousBatcher, ContinuousTranslator
+from .runtime.continuous import (
+    ContinuousBatcher,
+    ContinuousTranslator,
+    ContinuousWhisper,
+)
 from .runtime.results import (
     AsyncResult,
     ExecutionStats,

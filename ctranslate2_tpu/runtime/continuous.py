@@ -821,16 +821,20 @@ class ContinuousTranslator(ContinuousBatcher):
         self._start_id = model.target_vocabulary.to_id(start)
         # Force the decoder-only check off; init the shared machinery.
         self._init_common(model, **kw)
+        self._init_seq2seq_state(max_target_prefix)
+        self._start_loop()
 
-        # Per-slot cross-attention memory (zeros attend as masked).
-        spec = model.arch.decoder
+    def _init_seq2seq_state(self, max_target_prefix: int):
+        """Per-slot cross-attention memory (zeros attend as masked) and
+        forced target-prefix buffers."""
+        model = self.model
         self._mem = []
-        for layer in spec.layers:
+        for layer in model.arch.decoder.layers:
             a = layer.cross_attention
             if a is None:
                 self._mem.append(None)
                 continue
-            shape = (self._num_slots, a.num_heads_kv, max_source_len,
+            shape = (self._num_slots, a.num_heads_kv, self._max_src,
                      a.head_dim)
             self._mem.append({
                 "k": jnp.zeros(shape, model.out_dtype),
@@ -846,7 +850,6 @@ class ContinuousTranslator(ContinuousBatcher):
         self._plen = np.zeros(self._num_slots, np.int32)
         self._encode_fns = {}
         self._mem_insert = jax.jit(self._mem_insert_impl, donate_argnums=(0,))
-        self._start_loop()
 
     # ContinuousBatcher.__init__ is replaced by _init_common + _start_loop
     # so this subclass can set up memory buffers in between; see below.
@@ -1063,7 +1066,7 @@ class ContinuousTranslator(ContinuousBatcher):
     def _draft(self, req, k: int):
         # Translation drafts from the TARGET side only (source ids live in
         # a different vocabulary space).
-        ctx = [self._start_id] + req.generated
+        ctx = [getattr(req, "start_id", None) or self._start_id] + req.generated
         draft = []
         if len(ctx) >= 3:
             a, b = ctx[-2], ctx[-1]
@@ -1227,3 +1230,128 @@ class ContinuousTranslator(ContinuousBatcher):
                     break
                 if len(req.generated) >= req.max_length or req.stopped:
                     break
+
+
+class ContinuousWhisper(ContinuousTranslator):
+    """Iteration-level serving for Whisper-style speech models (beyond the
+    reference, whose Whisper runs batches to completion).
+
+    ``submit(features, prompt)`` encodes the request's mel features
+    [n_mels, frames] into the slot's cross-attention memory (one
+    dispatch) and forces the prompt (the SOT token sequence) exactly like
+    a target prefix. Whisper's timestamp-rules processor is NOT applied —
+    serve with ``<|notimestamps|>`` prompts; the model's config
+    ``suppress_ids`` are suppressed every step.
+    """
+
+    def __init__(self, whisper, *, max_target_prefix: int = 16, **kw):
+        model = whisper.model
+        enc = model.arch.encoder
+        if enc is None or not enc.num_conv_layers:
+            raise ValueError(
+                "ContinuousWhisper requires a Whisper-style speech model")
+        self._translator = whisper
+        # The encoder output capacity is the sinusoidal PE table length
+        # (max_source_positions; reference src/layers/whisper.cc:44-49).
+        self._max_src = int(
+            model.params["encoder"]["position_encodings"].shape[0])
+        self._src_vocab = None
+        self._start_id = None  # per request: prompt[0]
+        if "end_token" not in kw and "<|endoftext|>" in model.target_vocabulary:
+            kw["end_token"] = "<|endoftext|>"
+        self._init_common(model, **kw)
+        sup = tuple(int(i) for i in (model.config.get("suppress_ids") or ()))
+        self._suppress_ids = tuple(sorted(set(self._suppress_ids) | set(sup)))
+        self._init_seq2seq_state(max_target_prefix)
+        self._speech_encode_fns = {}
+        self._start_loop()
+
+    def _init_draft(self, dm):
+        raise NotImplementedError(
+            "draft-model speculation is not supported by ContinuousWhisper "
+            "yet (prompt-lookup speculation is)")
+
+    def submit(self, features, prompt: Sequence, *, max_length: int = 256,
+               min_length: int = 0,
+               sampling_temperature: float = None,
+               callback=None) -> Future:
+        """Queue one audio segment: ``features`` [n_mels, frames] mel
+        input, ``prompt`` the SOT token sequence (tokens or ids). The
+        Future resolves to a GenerationResult with the generated target
+        tokens (prompt excluded, reference return-prompt=False
+        convention for serving)."""
+        if self._closed:
+            raise RuntimeError("The batcher is closed")
+        if not prompt:
+            raise ValueError("The prompt must contain at least one token")
+        v = self._vocab
+        ids = [t if isinstance(t, int) else v.to_id(t, allow_unk=False)
+               for t in prompt]
+        if len(ids) - 1 > self._max_prefix:
+            raise ValueError(
+                f"prompt length {len(ids)} exceeds max_target_prefix + 1 "
+                f"({self._max_prefix + 1})")
+        if max_length + max(self._block, self._spec_k) > self._capacity:
+            raise ValueError("max_length exceeds the slot capacity")
+        feats = np.asarray(features, np.float32)
+        if feats.ndim != 2:
+            raise ValueError(
+                "features must be one segment of shape [n_mels, frames]")
+        req = _Request(prompt_ids=[], max_length=max_length,
+                       min_length=min_length + (len(ids) - 1),
+                       temperature=sampling_temperature or 0.0,
+                       callback=callback)
+        req.start_id = ids[0]
+        req.prefix_ids = ids[1:]
+        req.features = feats
+        self._queue.put(req)
+        self._wake.set()
+        return req.future
+
+    def _get_speech_encode(self, frames: int):
+        fn = self._speech_encode_fns.get(frames)
+        if fn is not None:
+            return fn
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+        S_max = self._max_src
+
+        def encode(params, consts, feats):
+            memory = T.speech_encoder_forward(
+                arch, params, consts, feats,
+                quantize_acts=quantize_acts, out_dtype=out_dtype)
+            mem_kv = T.precompute_memory(arch, params, memory,
+                                         quantize_acts=quantize_acts)
+            pad = S_max - memory.shape[1]
+
+            def pad_kv(a):
+                return jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+            return [
+                None if m is None else {k: pad_kv(v) for k, v in m.items()}
+                for m in mem_kv
+            ]
+
+        fn = jax.jit(encode)
+        self._speech_encode_fns[frames] = fn
+        return fn
+
+    def _prefill_into_slot(self, slot: int, req: _Request):
+        model = self.model
+        feats = req.features[None]  # [1, n_mels, frames]
+        sub = self._get_speech_encode(feats.shape[-1])(
+            model.params, model.consts, jnp.asarray(feats))
+        self._mem = self._mem_insert(self._mem, sub, jnp.int32(slot))
+        self._slots[slot] = req
+        # Encoder output length: frames // 2 (the stride-2 conv), capped
+        # by the PE table.
+        self._src_len[slot] = min(feats.shape[-1] // 2, self._max_src)
+        self._pos[slot] = 0
+        self._tokens[slot] = req.start_id
+        self._temps[slot] = req.temperature or self._temperature or 1.0
+        prefix = req.prefix_ids or []
+        self._prefix[slot, :] = 0
+        self._prefix[slot, : len(prefix)] = prefix
+        self._plen[slot] = len(prefix)

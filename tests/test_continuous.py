@@ -507,6 +507,59 @@ def test_continuous_spec_architecture_sweep(tmp_path, kwargs):
         cb.close()
 
 
+def test_continuous_whisper(tmp_path):
+    """Speech serving: per-request mel encode into slot memory + forced
+    SOT prompt; matches a bare greedy decode (config suppress_ids, no
+    timestamp rules)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ctranslate2_tpu import ContinuousWhisper, Whisper
+    from ctranslate2_tpu.converters.builder import build_whisper_model
+    from ctranslate2_tpu.decoding.options import DecodingOptions
+
+    d, vocab = build_whisper_model(str(tmp_path / "w"))
+    w = Whisper(d)
+    v = w.model.target_vocabulary
+    rng = np.random.default_rng(0)
+    feats = [rng.standard_normal((24, 64)).astype(np.float32)
+             for _ in range(3)]
+    prompt = ["<|startoftranscript|>", "<|en|>", "<|transcribe|>",
+              "<|notimestamps|>"]
+    prompt_ids = [v.to_id(t) for t in prompt]
+    sup = tuple(int(i) for i in w.model.config["suppress_ids"])
+    eot = v.to_id("<|endoftext|>")
+
+    expected = []
+    for f in feats:
+        mem = w.encode(f[None])
+        opts = DecodingOptions(beam_size=1, max_length=16, min_length=0,
+                               suppress_tokens=sup, num_hypotheses=1,
+                               return_prefix=True)
+        rs = w.engine.decode(
+            [prompt_ids[0]], opts, memory=mem,
+            memory_lengths=jnp.asarray([mem.shape[1]]),
+            prefix_ids=[prompt_ids[1:]], end_ids=(eot,))
+        expected.append(rs[0].hypotheses[0])
+
+    cw = ContinuousWhisper(w, num_slots=2, capacity=64)
+    try:
+        futs = [cw.submit(f, prompt, max_length=16) for f in feats]
+        got = [f.result(timeout=600).sequences_ids[0] for f in futs]
+    finally:
+        cw.close()
+    assert got == expected
+
+    # Prompt-lookup speculation stays lossless for speech serving too.
+    cw2 = ContinuousWhisper(w, num_slots=2, capacity=64, speculation_k=3)
+    try:
+        futs = [cw2.submit(f, prompt, max_length=16) for f in feats]
+        got2 = [f.result(timeout=600).sequences_ids[0] for f in futs]
+    finally:
+        cw2.close()
+    assert got2 == expected
+
+
 def test_translator_streaming_callback():
     from ctranslate2_tpu import ContinuousTranslator, Translator
 
