@@ -148,6 +148,9 @@ class ArchSpec:
     encoder: Optional[EncoderSpec] = None
     decoder: Optional[DecoderSpec] = None
     ln_epsilon: Optional[float] = None  # from config.json; None -> per-norm default
+    # Per-model flash dispatch threshold override (the flash_attention
+    # constructor flag sets 0). Part of the arch so jit caches key on it.
+    flash_min_len: Optional[int] = None
 
 
 def norm_epsilon(spec: ArchSpec, has_beta: bool) -> float:

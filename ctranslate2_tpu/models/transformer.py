@@ -235,7 +235,7 @@ def _qk_norms(arch, ap, spec, q, k, v):
 
 def _flash_eligible(spec: AttentionSpec, q, k, alibi_bias, position_bias,
                     rel_positions, flash_lengths,
-                    alibi_slopes=None) -> bool:
+                    alibi_slopes=None, min_len=None) -> bool:
     """Static dispatch decision for the Pallas flash-attention kernel.
 
     Measured crossover (tools/bench_flash.py, B4/H16/D128 causal bf16,
@@ -255,7 +255,8 @@ def _flash_eligible(spec: AttentionSpec, q, k, alibi_bias, position_bias,
         return False
     if alibi_bias is not None and alibi_slopes is None:
         return False
-    threshold = int(os.environ.get("CT2TPU_FLASH_MIN_LEN", "2048"))
+    threshold = (min_len if min_len is not None
+                 else int(os.environ.get("CT2TPU_FLASH_MIN_LEN", "2048")))
     return q.shape[2] >= threshold and k.shape[2] >= threshold
 
 
@@ -515,7 +516,8 @@ def self_attention_block(
     if (cache is None
             and _flash_eligible(spec, q, k, alibi_bias, position_bias,
                                 rel_positions, flash_lengths,
-                                alibi_slopes=alibi_slopes)):
+                                alibi_slopes=alibi_slopes,
+                                min_len=arch.flash_min_len)):
         from ..kernels.flash_attention import flash_attention
 
         ctx = flash_attention(

@@ -59,15 +59,16 @@ def causal_mask_bias(num_queries: int, num_keys: int, offset=0):
 def sliding_window_bias(num_queries: int, num_keys: int, window: int, offset=0):
     """Restrict attention to the last ``window`` keys (inclusive of self).
 
-    ``offset`` may be a [B] vector (per-row decode positions); then Tq
-    must be 1 and the result is [B, 1, 1, Tk].
+    ``offset`` may be a [B] vector (per-row decode positions; row b's
+    query i sits at absolute position offset[b] + i, e.g. a speculative
+    verify chunk); then the result is [B, 1, Tq, Tk].
     """
     if getattr(offset, "ndim", 0) > 0:
-        assert num_queries == 1
-        k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
-        valid = k_pos > offset[:, None] - window
-        return jnp.where(valid, 0.0, NEG_INF).astype(
-            jnp.float32)[:, None, None, :]
+        q_pos = (offset[:, None, None]
+                 + jnp.arange(num_queries, dtype=jnp.int32)[None, :, None])
+        k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, None, :]
+        valid = k_pos > q_pos - window
+        return jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
     q_pos = jnp.arange(num_queries, dtype=jnp.int32)[:, None] + offset
     k_pos = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
     valid = k_pos > q_pos - window

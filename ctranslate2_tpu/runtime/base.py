@@ -49,19 +49,20 @@ class TaskAPIMixin:
     def engine(self, value):
         self._engine = value
 
-    @staticmethod
-    def _apply_flash_flag(kwargs) -> None:
+    def _apply_flash_flag(self, kwargs) -> None:
         """Honor the reference's ``flash_attention`` constructor flag.
 
         The reference opts INTO FA2 with it (python/cpp/translator.cc:295);
         here flash attention is dispatched automatically by measured
-        crossover, so True removes the length threshold (process-wide,
-        like CT2TPU_FLASH_MIN_LEN=0) and False keeps automatic dispatch.
+        crossover, so True removes the length threshold FOR THIS MODEL
+        (the threshold lives on the arch spec, which keys the jit caches)
+        and False keeps automatic dispatch.
         """
         if kwargs.get("flash_attention"):
-            import os
+            import dataclasses
 
-            os.environ["CT2TPU_FLASH_MIN_LEN"] = "0"
+            self._model.arch = dataclasses.replace(
+                self._model.arch, flash_min_len=0)
 
     def _init_replicas(self, device: str, device_index, engine_factory=None):
         """Build one (model, engine) replica per requested device.

@@ -922,16 +922,21 @@ class ContinuousTranslator(ContinuousBatcher):
             self._draft_encode_fns[padded_len] = fn
         return fn
 
-    def _make_encode_fn(self, model, padded_len: int):
+    def _make_encode_fn(self, model, padded_len: int, speech: bool = False):
         arch = model.arch
         quantize_acts = model.policy.quantize_activations
         out_dtype = model.out_dtype
         S_max = self._max_src
 
-        def encode(params, consts, ids, length):
-            memory = T.encoder_forward(
-                arch, params, consts, ids, length[None],
-                quantize_acts=quantize_acts, out_dtype=out_dtype)
+        def encode(params, consts, ids, length=None):
+            if speech:
+                memory = T.speech_encoder_forward(
+                    arch, params, consts, ids,
+                    quantize_acts=quantize_acts, out_dtype=out_dtype)
+            else:
+                memory = T.encoder_forward(
+                    arch, params, consts, ids, length[None],
+                    quantize_acts=quantize_acts, out_dtype=out_dtype)
             mem_kv = T.precompute_memory(arch, params, memory,
                                          quantize_acts=quantize_acts)
             pad = S_max - memory.shape[1]
@@ -1066,7 +1071,10 @@ class ContinuousTranslator(ContinuousBatcher):
     def _draft(self, req, k: int):
         # Translation drafts from the TARGET side only (source ids live in
         # a different vocabulary space).
-        ctx = [getattr(req, "start_id", None) or self._start_id] + req.generated
+        start = getattr(req, "start_id", None)
+        if start is None:
+            start = self._start_id
+        ctx = [start] + req.generated
         draft = []
         if len(ctx) >= 3:
             a, b = ctx[-2], ctx[-1]
@@ -1277,9 +1285,10 @@ class ContinuousWhisper(ContinuousTranslator):
                callback=None) -> Future:
         """Queue one audio segment: ``features`` [n_mels, frames] mel
         input, ``prompt`` the SOT token sequence (tokens or ids). The
-        Future resolves to a GenerationResult with the generated target
-        tokens (prompt excluded, reference return-prompt=False
-        convention for serving)."""
+        Future resolves to a GenerationResult whose tokens start with the
+        forced prompt tail (``prompt[1:]``, like ContinuousTranslator's
+        target_prefix) followed by the transcription; the start token
+        itself is excluded."""
         if self._closed:
             raise RuntimeError("The batcher is closed")
         if not prompt:
@@ -1297,6 +1306,11 @@ class ContinuousWhisper(ContinuousTranslator):
         if feats.ndim != 2:
             raise ValueError(
                 "features must be one segment of shape [n_mels, frames]")
+        # Stride-2 conv output length is ceil(frames / 2) (kernel 3, pad 1).
+        if (feats.shape[-1] + 1) // 2 > self._max_src:
+            raise ValueError(
+                f"features length {feats.shape[-1]} exceeds the encoder "
+                f"capacity ({2 * self._max_src} frames)")
         req = _Request(prompt_ids=[], max_length=max_length,
                        min_length=min_length + (len(ids) - 1),
                        temperature=sampling_temperature or 0.0,
@@ -1309,33 +1323,15 @@ class ContinuousWhisper(ContinuousTranslator):
         return req.future
 
     def _get_speech_encode(self, frames: int):
+        # One executable per distinct frame count. Whisper serving feeds a
+        # FIXED mel length (the 30 s window padded upstream, as in the
+        # reference), so this compiles once; zero-padding variable frames
+        # here would be wrong — the speech encoder attends all frames
+        # unmasked, like the reference's (src/layers/whisper.cc:25-62).
         fn = self._speech_encode_fns.get(frames)
-        if fn is not None:
-            return fn
-        model = self.model
-        arch = model.arch
-        quantize_acts = model.policy.quantize_activations
-        out_dtype = model.out_dtype
-        S_max = self._max_src
-
-        def encode(params, consts, feats):
-            memory = T.speech_encoder_forward(
-                arch, params, consts, feats,
-                quantize_acts=quantize_acts, out_dtype=out_dtype)
-            mem_kv = T.precompute_memory(arch, params, memory,
-                                         quantize_acts=quantize_acts)
-            pad = S_max - memory.shape[1]
-
-            def pad_kv(a):
-                return jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
-
-            return [
-                None if m is None else {k: pad_kv(v) for k, v in m.items()}
-                for m in mem_kv
-            ]
-
-        fn = jax.jit(encode)
-        self._speech_encode_fns[frames] = fn
+        if fn is None:
+            fn = self._make_encode_fn(self.model, frames, speech=True)
+            self._speech_encode_fns[frames] = fn
         return fn
 
     def _prefill_into_slot(self, slot: int, req: _Request):
@@ -1345,9 +1341,9 @@ class ContinuousWhisper(ContinuousTranslator):
             model.params, model.consts, jnp.asarray(feats))
         self._mem = self._mem_insert(self._mem, sub, jnp.int32(slot))
         self._slots[slot] = req
-        # Encoder output length: frames // 2 (the stride-2 conv), capped
-        # by the PE table.
-        self._src_len[slot] = min(feats.shape[-1] // 2, self._max_src)
+        # Encoder output length: ceil(frames / 2) (the stride-2 conv with
+        # kernel 3, padding 1), capped by the PE table.
+        self._src_len[slot] = min((feats.shape[-1] + 1) // 2, self._max_src)
         self._pos[slot] = 0
         self._tokens[slot] = req.start_id
         self._temps[slot] = req.temperature or self._temperature or 1.0

@@ -29,6 +29,16 @@ def current_worker_index() -> Optional[int]:
     return getattr(_worker_tls, "index", None)
 
 
+def resolve_max_queued_batches(kwargs: dict, max_queued_batches: int) -> int:
+    """Resolve the ctor arg, honoring the legacy ``max_queue_size`` alias
+    with its ORIGINAL meaning (0 = unbounded, vs the reference convention's
+    0 = automatic)."""
+    if "max_queue_size" in kwargs:
+        legacy = kwargs["max_queue_size"]
+        return -1 if legacy == 0 else legacy
+    return max_queued_batches
+
+
 class WorkerPool:
     """Fixed set of worker threads draining a bounded FIFO job queue.
 
@@ -94,7 +104,12 @@ class WorkerPool:
             return
         self._closed = True
         for _ in self._workers:
-            self._queue.put(None)
+            # Never block on a full (bounded) queue at shutdown — workers
+            # re-post the sentinel when they see _closed (see _run).
+            try:
+                self._queue.put_nowait(None)
+            except Exception:
+                break
         for w in self._workers:
             w.join(timeout=timeout)
 
@@ -107,9 +122,18 @@ class WorkerPool:
     # ------------------------------------------------------------------
 
     def _run(self, index: int):
+        import queue as _queue
+
         _worker_tls.index = index
         while True:
-            job = self._queue.get()
+            try:
+                job = self._queue.get(timeout=0.5)
+            except _queue.Empty:
+                # Sentinels may not fit in a full bounded queue at close();
+                # the timeout makes shutdown sentinel-independent.
+                if self._closed:
+                    return
+                continue
             if job is None:
                 return
             future, fn, args, kwargs = job

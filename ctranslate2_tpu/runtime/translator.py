@@ -19,7 +19,7 @@ from ..models.loader import LoadedModel, load_model, resolve_device
 from ..ops import attention as attn_ops
 from .batching import bucket_length, pad_batch, rebatch_input
 from .base import TaskAPIMixin
-from .pool import WorkerPool
+from .pool import WorkerPool, resolve_max_queued_batches
 from .results import AsyncResult, ExecutionStats, ScoringResult, TranslationResult
 
 # Source-factor separator (reference: include/ctranslate2/utils.h:33).
@@ -85,8 +85,8 @@ class Translator(TaskAPIMixin):
         n_dev = (len(device_index)
                  if isinstance(device_index, (list, tuple)) else 1)
         self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
-                                max_queued_batches=kwargs.get("max_queue_size",
-                                                       max_queued_batches))
+                                max_queued_batches=resolve_max_queued_batches(
+                                    kwargs, max_queued_batches))
         self.engine = DecodingEngine(self.model)
         self._apply_flash_flag(kwargs)
         self._init_replicas(device, device_index, DecodingEngine)

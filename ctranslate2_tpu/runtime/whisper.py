@@ -102,7 +102,7 @@ class Whisper(TaskAPIMixin):
                  inter_threads: int = 1, intra_threads: int = 0,
                  max_queued_batches: int = 0, **kwargs):
         from ..models.loader import resolve_device
-        from .pool import WorkerPool
+        from .pool import WorkerPool, resolve_max_queued_batches
 
         # tensor_parallel loads head-aligned (unfused) QKV shards
         # (reference ctor flag: include/ctranslate2/replica_pool.h).
@@ -119,8 +119,8 @@ class Whisper(TaskAPIMixin):
         n_dev = (len(device_index)
                  if isinstance(device_index, (list, tuple)) else 1)
         self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),
-                                max_queued_batches=kwargs.get("max_queue_size",
-                                                       max_queued_batches))
+                                max_queued_batches=resolve_max_queued_batches(
+                                    kwargs, max_queued_batches))
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
         if self.model.arch.encoder is None or not self.model.arch.encoder.num_conv_layers:
             raise ValueError(

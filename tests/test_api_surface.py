@@ -47,6 +47,7 @@ def test_package_exports():
         "converters", "models", "specs", "__version__",
         # Task classes beyond the core set.
         "Whisper", "Wav2Vec2", "Wav2Vec2Bert",
+        "ContinuousBatcher", "ContinuousTranslator", "ContinuousWhisper",
     ]
     missing = [n for n in names if not hasattr(ctranslate2_tpu, n)]
     assert not missing, missing
@@ -75,6 +76,9 @@ def test_max_queued_batches_arg():
     assert t3._pool._queue.maxsize == 8  # auto: 4 per worker
     t4 = Translator(MODEL, max_queue_size=3)
     assert t4._pool._queue.maxsize == 3
+    # The legacy alias keeps its ORIGINAL meaning: 0 = unbounded.
+    t5 = Translator(MODEL, max_queue_size=0)
+    assert t5._pool._queue.maxsize == 0
     # Submitting more work than the bound still completes (blocking put).
     rs = t.translate_batch([SRC1] * 12, max_batch_size=1,
                            asynchronous=True)

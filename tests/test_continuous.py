@@ -462,6 +462,26 @@ def test_speculation_with_ring_window(tmp_path):
         _batcher(gen, speculation_k=9)
 
 
+def test_speculation_with_window_mask_no_ring(tmp_path, monkeypatch):
+    """Windowed models WITHOUT ring caches (mixed windows / ring disabled)
+    speculate through the masked linear-cache path — the multi-query
+    per-row sliding_window_bias."""
+    monkeypatch.setenv("CT2TPU_WINDOW_RING", "0")
+    d = build_decoder_only_model(str(tmp_path / "wm"), sliding_window=8,
+                                 rotary_dim=0)
+    gen = Generator(d)
+    expected = gen.generate_batch(
+        [["tok1", "tok2"]], max_length=30,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    cb = _batcher(gen, num_slots=2, speculation_k=4, capacity=256)
+    try:
+        got = cb.submit(["tok1", "tok2"],
+                        max_length=30).result(timeout=600).sequences_ids[0]
+    finally:
+        cb.close()
+    assert got == expected
+
+
 def test_speculation_with_ring_window_int8_kv(tmp_path, monkeypatch):
     """Ring + speculation + INT8 KV cache: the quantized-cache scatter
     also wraps ring positions; spec stays lossless vs the int8 baseline."""
