@@ -271,6 +271,43 @@ class ContinuousBatcher:
         self._wake.set()
         return req.future
 
+    def stream(self, *args, **kwargs):
+        """Iterator of GenerationStepResults for one request — the
+        serving-side analog of ``generate_tokens``. Arguments are passed
+        to :meth:`submit`. Closing the iterator (``break`` +
+        ``.close()``, or garbage collection) stops the request early;
+        request errors re-raise at the end of iteration."""
+        import queue as _queue
+
+        q: "_queue.Queue" = _queue.Queue()
+        stop = threading.Event()
+
+        def on_token(sr):
+            q.put(sr)
+            return stop.is_set()
+
+        future = self.submit(*args, callback=on_token, **kwargs)
+        future.add_done_callback(lambda f: q.put(None))
+        finished = False
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    finished = True
+                    break
+                yield item
+        finally:
+            stop.set()
+            if finished:
+                future.result()  # surface request errors
+            else:
+                # Early close: wait for the stop to take effect; the
+                # consumer walked away, so swallow request errors.
+                try:
+                    future.result(timeout=600)
+                except Exception:
+                    pass
+
     def _emit(self, req: _Request, tok: int, score: float) -> None:
         """Append one generated token and stream it to the request's
         callback (is_last reflects the end/max-length conditions the

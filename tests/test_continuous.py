@@ -340,6 +340,29 @@ def test_streaming_early_stop(gen_model):
         cb.close()
 
 
+def test_stream_iterator(gen_model):
+    """batcher.stream() yields the same tokens the future resolves to;
+    closing it early stops the request."""
+    expected = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    cb = _batcher(gen_model)
+    try:
+        toks = [sr.token_id for sr in cb.stream(["tok1", "tok2"],
+                                                max_length=12)]
+        assert toks[: len(expected)] == expected
+        # Early close stops the request without raising.
+        it = cb.stream(["tok1"], max_length=64)
+        first = next(it)
+        assert first.token_id >= 0
+        it.close()
+        # The engine keeps serving afterwards.
+        r = cb.submit(["tok1"], max_length=8).result(timeout=300)
+        assert r.sequences_ids[0]
+    finally:
+        cb.close()
+
+
 def test_streaming_callback_exception(gen_model):
     cb = _batcher(gen_model)
     try:
