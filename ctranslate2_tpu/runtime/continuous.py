@@ -93,6 +93,7 @@ class ContinuousBatcher:
         sampling_topk: int = 1,
         sampling_topp: float = 1.0,
         sampling_temperature: float = 1.0,
+        repetition_penalty: float = 1.0,
         seed: int = 0,
         prefill_bucket: int = 16,
         steps_per_sync: int = 8,
@@ -141,6 +142,10 @@ class ContinuousBatcher:
         self._topk = sampling_topk
         self._topp = sampling_topp
         self._temperature = sampling_temperature
+        # Repetition penalty over each slot's generated tokens (reference
+        # RepetitionPenalty semantics, decoding/processors.py): tracked as
+        # a per-slot [V] presence table on device.
+        self._rep_penalty = float(repetition_penalty)
         v = self._vocab
         if end_token is None or end_token == "":
             self._end_ids = (v.eos_id,)
@@ -155,6 +160,30 @@ class ContinuousBatcher:
         self._key = jax.random.PRNGKey(seed)
 
         model.ensure_consts(capacity)
+
+        # Per-slot generated-token presence table for the repetition
+        # penalty (None when off).
+        self._seen = (jnp.zeros((num_slots, len(v)), jnp.bool_)
+                      if self._rep_penalty != 1.0 else None)
+        if self._seen is not None:
+            S = num_slots
+
+            def _seen_admit(seen, slot, tok):
+                row = jnp.zeros((seen.shape[1],), jnp.bool_).at[tok].set(True)
+                return jax.lax.dynamic_update_slice(
+                    seen, row[None], (slot, 0))
+
+            def _seen_accept(seen, toks, counts):
+                # toks [S, K] emitted tokens; rows valid up to counts[s].
+                K = toks.shape[1]
+                valid = (jnp.arange(K, dtype=jnp.int32)[None]
+                         < counts[:, None])
+                rows = jnp.broadcast_to(
+                    jnp.arange(S, dtype=jnp.int32)[:, None], toks.shape)
+                return seen.at[rows, toks].max(valid)
+
+            self._seen_admit = jax.jit(_seen_admit, donate_argnums=(0,))
+            self._seen_accept = jax.jit(_seen_accept, donate_argnums=(0,))
 
         # Device state (owned by the scheduler thread after start).
         # Windowed layers use O(window) ring buffers (single-token decode).
@@ -388,34 +417,51 @@ class ContinuousBatcher:
             temperature=1.0 if temps is not None else self._temperature,
             greedy=self._greedy)
 
+    def _apply_rep_penalty(self, l, seen, intra=None):
+        """Reference RepetitionPenalty: positive logits divided, negative
+        multiplied (processors.py:35-48). ``seen`` may broadcast against
+        an optional intra-chunk mask."""
+        P = self._rep_penalty
+        mask = seen if intra is None else (seen | intra)
+        penalized = jnp.where(l > 0, l / P, l * P)
+        return jnp.where(mask, penalized, l)
+
     def _build_step(self):
         model = self.model
         arch = model.arch
         quantize_acts = model.policy.quantize_activations
         out_dtype = model.out_dtype
+        use_rep = self._rep_penalty != 1.0
 
         block = self._block
 
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 temps, key, n):
+                 temps, key, n, seen):
             def body(carry, i):
-                tokens, pos, gen_len, cache = carry
+                tokens, pos, gen_len, cache, seen = carry
                 logits, cache, _ = T.decoder_forward(
                     arch, params, consts, tokens[:, None], pos, cache,
                     None, None, quantize_acts=quantize_acts,
                     out_dtype=out_dtype)
+                l = logits[:, -1].astype(jnp.float32)
+                if use_rep:
+                    l = self._apply_rep_penalty(l, seen)
                 disable_end = gen_len < min_len
                 ids, scores = self._sample_logits(
-                    logits[:, -1], disable_end,
+                    l, disable_end,
                     jax.random.fold_in(key, n * block + i), temps=temps)
-                return (ids, pos + 1, gen_len + 1, cache), (ids, scores)
+                if use_rep:
+                    seen = seen.at[
+                        jnp.arange(seen.shape[0]), ids].set(True)
+                return (ids, pos + 1, gen_len + 1, cache, seen), (ids, scores)
 
-            (tokens, pos, gen_len, cache), (ids_k, scores_k) = jax.lax.scan(
-                body, (tokens, pos, gen_len, cache),
-                jnp.arange(block, dtype=jnp.int32))
-            return ids_k, scores_k, cache
+            (tokens, pos, gen_len, cache, seen), (ids_k, scores_k) = \
+                jax.lax.scan(
+                    body, (tokens, pos, gen_len, cache, seen),
+                    jnp.arange(block, dtype=jnp.int32))
+            return ids_k, scores_k, cache, seen
 
-        return jax.jit(step, donate_argnums=(2,))
+        return jax.jit(step, donate_argnums=(2, 10))
 
     def _build_spec_step(self):
         model = self.model
@@ -424,8 +470,10 @@ class ContinuousBatcher:
         out_dtype = model.out_dtype
         K = self._spec_k
 
+        use_rep = self._rep_penalty != 1.0
+
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 temps, key, n):
+                 temps, key, n, seen):
             # tokens [S, K]: [last accepted | K-1 drafted]; verify in one
             # T=K forward. Position i's logits give the greedy target for
             # the token at position i+1.
@@ -433,6 +481,17 @@ class ContinuousBatcher:
                 arch, params, consts, tokens, pos, cache, None, None,
                 quantize_acts=quantize_acts, out_dtype=out_dtype)
             l = logits.astype(jnp.float32)  # [S, K, V]
+            if use_rep:
+                # Intra-chunk history: the token FED at position m (>= 1)
+                # is an emitted token for every query at positions >= m —
+                # exactly what the sequential penalty would have seen.
+                S_n, V_n = l.shape[0], l.shape[-1]
+                intra = jnp.zeros((S_n, K, V_n), jnp.bool_)
+                for m in range(1, K):
+                    oh = jax.nn.one_hot(tokens[:, m], V_n, dtype=jnp.bool_)
+                    pos_mask = jnp.arange(K, dtype=jnp.int32) >= m
+                    intra = intra | (oh[:, None, :] & pos_mask[None, :, None])
+                l = self._apply_rep_penalty(l, seen[:, None, :], intra)
             l = proc.disable_tokens(l, self._suppress_ids)
             if self._end_ids:
                 gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
@@ -558,7 +617,7 @@ class ContinuousBatcher:
             jnp.asarray(tokens), jnp.asarray(pos),
             jnp.asarray(gen_len), jnp.asarray(min_len),
             jnp.asarray(self._temps), self._key,
-            jnp.int32(self._step_count + 0x40000000))
+            jnp.int32(self._step_count + 0x40000000), self._seen)
         self._step_count += 1
         self._slot_steps += len(active)
         self._accept_spec_round(active, np.asarray(ids_d),
@@ -567,6 +626,7 @@ class ContinuousBatcher:
     def _accept_spec_round(self, active, greedy, scores, tokens, K):
         """Consume one speculative verify dispatch: accept greedy targets
         until an end/stop condition or the first draft mismatch."""
+        counts = np.zeros(greedy.shape[0], np.int32)
         for i in active:
             req = self._slots[i]
             emitted = 0
@@ -586,7 +646,11 @@ class ContinuousBatcher:
                 if j + 1 < K and int(tokens[i, j + 1]) != tok:
                     break
             self._pos[i] += emitted
+            counts[i] = emitted
             self._spec_dispatches += 1
+        if self._seen is not None:
+            self._seen = self._seen_accept(
+                self._seen, jnp.asarray(greedy), jnp.asarray(counts))
 
     def _get_prefill(self, padded_len: int):
         fn = self._prefill_fns.get(padded_len)
@@ -656,6 +720,9 @@ class ContinuousBatcher:
                 [req.temperature or self._temperature or 1.0], jnp.float32))
         self._cache = self._insert_fn(self._cache, cache, jnp.int32(slot))
         first = int(tok[0])
+        if self._seen is not None:
+            self._seen = self._seen_admit(
+                self._seen, jnp.int32(slot), jnp.int32(first))
         self._emit(req, first, float(score[0]))
         self._slots[slot] = req
         self._pos[slot] = len(ids)
@@ -764,6 +831,9 @@ class ContinuousBatcher:
         if self._draft_model is not None:
             self._draft_prefill(slot, ids)
         first = int(tok)
+        if self._seen is not None:
+            self._seen = self._seen_admit(
+                self._seen, jnp.int32(slot), jnp.int32(first))
         self._emit(req, first, float(score))
         self._slots[slot] = req
         self._pos[slot] = len(ids)
@@ -782,13 +852,13 @@ class ContinuousBatcher:
         # land on rows that the next admit fully overwrites).
         pos = np.minimum(self._pos, self._capacity - self._block)
 
-        ids_d, scores_d, self._cache = self._step_fn(
+        ids_d, scores_d, self._cache, self._seen = self._step_fn(
             model.params, model.consts, self._cache,
             jnp.asarray(self._tokens), jnp.asarray(pos),
             jnp.asarray(gen_len), jnp.asarray(min_len),
             jnp.asarray(self._temps), self._key,
             jnp.int32((self._step_count // max(1, self._block))
-                      + 0x40000000))
+                      + 0x40000000), self._seen)
         self._step_count += self._block
         self._slot_steps += len(active) * self._block
         if not self._queue.empty():
@@ -864,6 +934,10 @@ class ContinuousTranslator(ContinuousBatcher):
     def _init_seq2seq_state(self, max_target_prefix: int):
         """Per-slot cross-attention memory (zeros attend as masked) and
         forced target-prefix buffers."""
+        if self._rep_penalty != 1.0:
+            raise NotImplementedError(
+                "repetition_penalty is only supported by the decoder-only "
+                "ContinuousBatcher")
         model = self.model
         self._mem = []
         for layer in model.arch.decoder.layers:

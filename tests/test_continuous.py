@@ -340,6 +340,48 @@ def test_streaming_early_stop(gen_model):
         cb.close()
 
 
+def test_repetition_penalty_matches_generate_batch(gen_model, tmp_path):
+    """Per-slot repetition penalty (presence table on device) matches the
+    batch engine's RepetitionPenalty under greedy — plain blocks, slot
+    reuse, and speculative verify chunks."""
+    expected = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=24, include_prompt_in_result=False,
+        repetition_penalty=1.4)[0].sequences_ids[0]
+    plain = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=24,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    assert expected != plain  # the penalty must actually bite
+
+    cb = _batcher(gen_model, repetition_penalty=1.4)
+    try:
+        got = cb.submit(["tok1", "tok2"],
+                        max_length=24).result(timeout=600).sequences_ids[0]
+        assert got == expected
+        # Slot reuse: the presence table resets at admit.
+        got2 = cb.submit(["tok1", "tok2"],
+                         max_length=24).result(timeout=600).sequences_ids[0]
+        assert got2 == expected
+    finally:
+        cb.close()
+
+    cbs = _batcher(gen_model, repetition_penalty=1.4, speculation_k=3)
+    try:
+        got3 = cbs.submit(["tok1", "tok2"],
+                          max_length=24).result(timeout=600).sequences_ids[0]
+        assert got3 == expected
+    finally:
+        cbs.close()
+
+    # Encoder-decoder engines reject it explicitly.
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    s2s = build_seq2seq_model(str(tmp_path / "s2s"))
+    with pytest.raises(NotImplementedError, match="repetition_penalty"):
+        ContinuousTranslator(Translator(s2s), max_source_len=16,
+                             repetition_penalty=1.2)
+
+
 def test_stream_iterator(gen_model):
     """batcher.stream() yields the same tokens the future resolves to;
     closing it early stops the request."""
