@@ -207,6 +207,8 @@ def build_decoder_only_model(
     parallel_residual: bool = False,
     shared_layer_norm: bool = False,
     sliding_window: int = 0,
+    sliding_window_pattern: int = 1,  # >1: every Nth layer is GLOBAL
+    # (Gemma-style hybrid window/global stacks)
     seed: int = 1234,
     quantization: Optional[str] = None,
     vocabulary: Optional[Sequence[str]] = None,
@@ -244,9 +246,11 @@ def build_decoder_only_model(
             self_attention=True, num_heads_kv=num_heads_kv,
             rotary_dim=rotary_dim, rms_norm=rms_norm,
             with_norm=not (parallel_residual and shared_layer_norm))
-        if sliding_window:
+        if sliding_window and (sliding_window_pattern <= 1 or
+                               (i + 1) % sliding_window_pattern != 0):
             # Per-layer attr, matching the HF converter / reference
-            # attention_spec serialization.
+            # attention_spec serialization (with a pattern, every Nth
+            # layer stays global — the Gemma hybrid layout).
             b.add_attr(f"{ls}/self_attention/sliding_window",
                        sliding_window, "int32")
         if parallel_residual:

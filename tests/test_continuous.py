@@ -547,6 +547,27 @@ def test_speculation_with_window_mask_no_ring(tmp_path, monkeypatch):
     assert got == expected
 
 
+def test_speculation_with_hybrid_windows(tmp_path):
+    """Gemma-style hybrid stacks (alternating window/global layers:
+    windowed layers get O(window) ring buffers, global layers full
+    capacity) speculate losslessly."""
+    d = build_decoder_only_model(str(tmp_path / "hyb"), sliding_window=8,
+                                 sliding_window_pattern=2, rotary_dim=0)
+    gen = Generator(d)
+    assert gen.model.arch.decoder.layers[0].self_attention.sliding_window
+    assert not gen.model.arch.decoder.layers[1].self_attention.sliding_window
+    expected = gen.generate_batch(
+        [["tok1", "tok2"]], max_length=30,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    cb = _batcher(gen, num_slots=2, speculation_k=4, capacity=256)
+    try:
+        got = cb.submit(["tok1", "tok2"],
+                        max_length=30).result(timeout=600).sequences_ids[0]
+    finally:
+        cb.close()
+    assert got == expected
+
+
 def test_speculation_with_ring_window_int8_kv(tmp_path, monkeypatch):
     """Ring + speculation + INT8 KV cache: the quantized-cache scatter
     also wraps ring positions; spec stays lossless vs the int8 baseline."""
