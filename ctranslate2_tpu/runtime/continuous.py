@@ -337,6 +337,44 @@ class ContinuousBatcher:
                 except Exception:
                     pass
 
+    async def async_stream(self, *args, **kwargs):
+        """Asyncio variant of :meth:`stream` (per-token
+        GenerationStepResults for one request, e.g. for SSE handlers)."""
+        import asyncio
+
+        loop = asyncio.get_running_loop()
+        q: "asyncio.Queue" = asyncio.Queue()
+        stop = threading.Event()
+
+        def on_token(sr):
+            loop.call_soon_threadsafe(q.put_nowait, sr)
+            return stop.is_set()
+
+        future = self.submit(*args, callback=on_token, **kwargs)
+        future.add_done_callback(
+            lambda f: loop.call_soon_threadsafe(q.put_nowait, None))
+        finished = False
+        try:
+            while True:
+                item = await q.get()
+                if item is None:
+                    finished = True
+                    break
+                yield item
+        finally:
+            stop.set()
+            if finished:
+                future.result()
+            else:
+                await loop.run_in_executor(None, self._settle, future)
+
+    @staticmethod
+    def _settle(future):
+        try:
+            future.result(timeout=600)
+        except Exception:
+            pass
+
     def _emit(self, req: _Request, tok: int, score: float) -> None:
         """Append one generated token and stream it to the request's
         callback (is_last reflects the end/max-length conditions the
@@ -387,6 +425,7 @@ class ContinuousBatcher:
             "spec_draft": (None if self._spec_k <= 1 else
                            "model" if self._draft_model is not None
                            else "prompt-lookup"),
+            "num_queued": self._queue.qsize(),
         }
 
     @property
@@ -762,7 +801,8 @@ class ContinuousBatcher:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 return
-            req.future.set_exception(exc)
+            if not req.future.done():
+                req.future.set_exception(exc)
 
     def _harvest(self):
         for i, req in enumerate(self._slots):
@@ -807,6 +847,12 @@ class ContinuousBatcher:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 return
+            # Queued requests can be cancelled through their future
+            # before they claim a slot.
+            if req.future.cancelled():
+                continue
+            if not req.future.set_running_or_notify_cancel():
+                continue
             slot = free.pop(0)
             self._prefill_into_slot(slot, req)
 

@@ -340,6 +340,47 @@ def test_streaming_early_stop(gen_model):
         cb.close()
 
 
+def test_async_stream_and_cancel(gen_model):
+    """async_stream yields the same tokens the future resolves to;
+    queued-request futures are cancellable before they claim a slot."""
+    import asyncio
+
+    expected = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=10,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    cb = _batcher(gen_model)
+    try:
+        async def collect():
+            toks = []
+            async for sr in cb.async_stream(["tok1", "tok2"],
+                                            max_length=10):
+                toks.append(sr.token_id)
+            return toks
+
+        toks = asyncio.run(collect())
+        assert toks[: len(expected)] == expected
+    finally:
+        cb.close()
+
+    # Cancellation: saturate 1 slot, queue more, cancel a queued one.
+    cb2 = _batcher(gen_model, num_slots=1)
+    try:
+        f1 = cb2.submit(["tok1"], max_length=48)
+        f2 = cb2.submit(["tok2"], max_length=8)
+        f3 = cb2.submit(["tok3"], max_length=8)
+        assert f3.cancel() or f3.done()
+        f1.result(timeout=600)
+        f2.result(timeout=600)
+        if f3.cancelled():
+            import concurrent.futures
+
+            with pytest.raises(concurrent.futures.CancelledError):
+                f3.result(timeout=60)
+        assert cb2.stats()["num_queued"] == 0
+    finally:
+        cb2.close()
+
+
 def test_repetition_penalty_matches_generate_batch(gen_model, tmp_path):
     """Per-slot repetition penalty (presence table on device) matches the
     batch engine's RepetitionPenalty under greedy — plain blocks, slot
