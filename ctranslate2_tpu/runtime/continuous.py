@@ -55,6 +55,9 @@ class _Request:
     # Token-streaming callback (reference GenerationStepResult callback
     # semantics: return True to stop this request early).
     callback: Optional[object] = None
+    # Multi-token stop sequences (token id tuples); matched host-side on
+    # the generated tail, matched suffix trimmed from the result.
+    stop_sequences: tuple = ()
     # Filled while decoding:
     generated: List[int] = field(default_factory=list)
     score: float = 0.0
@@ -269,7 +272,8 @@ class ContinuousBatcher:
     def submit(self, prompt: Sequence[str], *, max_length: int = 256,
                min_length: int = 0,
                sampling_temperature: float = None,
-               callback=None) -> Future:
+               callback=None,
+               stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one prompt; the Future resolves to a GenerationResult
         holding the GENERATED continuation (prompt not included).
 
@@ -295,7 +299,8 @@ class ContinuousBatcher:
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length,
                        temperature=sampling_temperature or 0.0,
-                       callback=callback)
+                       callback=callback,
+                       stop_sequences=self._stop_ids(stop_sequences))
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -375,12 +380,26 @@ class ContinuousBatcher:
         except Exception:
             pass
 
+    def _stop_ids(self, stop_sequences) -> tuple:
+        v = self._vocab
+        return tuple(
+            tuple(t if isinstance(t, int) else v.to_id(t, allow_unk=False)
+                  for t in seq)
+            for seq in (stop_sequences or ()) if seq)
+
     def _emit(self, req: _Request, tok: int, score: float) -> None:
         """Append one generated token and stream it to the request's
         callback (is_last reflects the end/max-length conditions the
         decode loops break on)."""
         req.generated.append(tok)
         req.score += score
+        for seq in req.stop_sequences:
+            n = len(seq)
+            if len(req.generated) >= n and \
+                    tuple(req.generated[-n:]) == seq:
+                del req.generated[-n:]
+                req.stopped = True
+                return
         if req.callback is None or req.stopped:
             return
         done = ((tok in self._end_ids
@@ -1015,7 +1034,8 @@ class ContinuousTranslator(ContinuousBatcher):
                min_length: int = 0,
                sampling_temperature: float = None,
                target_prefix: Sequence[str] = None,
-               callback=None) -> Future:
+               callback=None,
+               stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one tokenized source sentence; the Future resolves to a
         GenerationResult holding the target tokens (including the forced
         ``target_prefix``, reference return_prefix semantics). ``callback``
@@ -1046,7 +1066,8 @@ class ContinuousTranslator(ContinuousBatcher):
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length + len(prefix_ids),
                        temperature=sampling_temperature or 0.0,
-                       callback=callback)
+                       callback=callback,
+                       stop_sequences=self._stop_ids(stop_sequences))
         req.prefix_ids = prefix_ids
         self._queue.put(req)
         self._wake.set()
@@ -1439,7 +1460,8 @@ class ContinuousWhisper(ContinuousTranslator):
     def submit(self, features, prompt: Sequence, *, max_length: int = 256,
                min_length: int = 0,
                sampling_temperature: float = None,
-               callback=None) -> Future:
+               callback=None,
+               stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one audio segment: ``features`` [n_mels, frames] mel
         input, ``prompt`` the SOT token sequence (tokens or ids). The
         Future resolves to a GenerationResult whose tokens start with the
@@ -1471,7 +1493,8 @@ class ContinuousWhisper(ContinuousTranslator):
         req = _Request(prompt_ids=[], max_length=max_length,
                        min_length=min_length + (len(ids) - 1),
                        temperature=sampling_temperature or 0.0,
-                       callback=callback)
+                       callback=callback,
+                       stop_sequences=self._stop_ids(stop_sequences))
         req.start_id = ids[0]
         req.prefix_ids = ids[1:]
         req.features = feats

@@ -340,6 +340,30 @@ def test_streaming_early_stop(gen_model):
         cb.close()
 
 
+def test_stop_sequences(gen_model):
+    """Multi-token stop sequences end the request and are trimmed from
+    the result (all engines share the host-side matcher)."""
+    expected = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=24,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    assert len(expected) >= 4
+    stop = expected[2:4]
+    cb = _batcher(gen_model)
+    try:
+        got = cb.submit(["tok1", "tok2"], max_length=24,
+                        stop_sequences=[stop]
+                        ).result(timeout=600).sequences_ids[0]
+        assert got == expected[:2]
+        # Token-string stop sequences resolve through the vocabulary.
+        v = gen_model.model.target_vocabulary
+        got2 = cb.submit(["tok1", "tok2"], max_length=24,
+                         stop_sequences=[[v.to_token(t) for t in stop]]
+                         ).result(timeout=600).sequences_ids[0]
+        assert got2 == expected[:2]
+    finally:
+        cb.close()
+
+
 def test_async_stream_and_cancel(gen_model):
     """async_stream yields the same tokens the future resolves to;
     queued-request futures are cancellable before they claim a slot."""
