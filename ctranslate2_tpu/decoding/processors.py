@@ -61,12 +61,16 @@ def no_repeat_ngram(logits, alive_seq, seq_len, ngram_size: int):
     if L < n:
         return logits
 
+    # seq_len: scalar (uniform steps) or [N] per-row (continuous batching).
+    seq_len = jnp.asarray(seq_len, jnp.int32)
+    if seq_len.ndim == 0:
+        seq_len = jnp.full((N,), seq_len, jnp.int32)
+
     # Last (n-1) tokens of each row: gather at positions seq_len-n+1 .. seq_len-1.
-    tail_pos = seq_len - (n - 1) + jnp.arange(n - 1, dtype=jnp.int32)  # [n-1]
+    tail_pos = (seq_len[:, None] - (n - 1)
+                + jnp.arange(n - 1, dtype=jnp.int32)[None, :])  # [N, n-1]
     tail_pos = jnp.clip(tail_pos, 0, L - 1)
-    tail = jnp.take_along_axis(
-        alive_seq, jnp.broadcast_to(tail_pos[None, :], (N, n - 1)), axis=1
-    )  # [N, n-1]
+    tail = jnp.take_along_axis(alive_seq, tail_pos, axis=1)  # [N, n-1]
 
     # Compare every window start j (0..L-n) against the tail.
     num_windows = L - n + 1
@@ -76,8 +80,8 @@ def no_repeat_ngram(logits, alive_seq, seq_len, ngram_size: int):
     windows = alive_seq[:, idx]  # [N, W, n-1]
     matches = jnp.all(windows == tail[:, None, :], axis=-1)  # [N, W]
     # Window must lie fully in the generated region: j + n - 1 < seq_len.
-    in_range = (j[None, :] + (n - 1)) < seq_len
-    matches = matches & in_range & (seq_len >= n)
+    in_range = (j[None, :] + (n - 1)) < seq_len[:, None]
+    matches = matches & in_range & (seq_len[:, None] >= n)
 
     # banned token of window j is alive_seq[:, j + n - 1]
     banned_tokens = alive_seq[:, j + (n - 1)]  # [N, W]

@@ -97,6 +97,7 @@ class ContinuousBatcher:
         sampling_topp: float = 1.0,
         sampling_temperature: float = 1.0,
         repetition_penalty: float = 1.0,
+        no_repeat_ngram_size: int = 0,
         seed: int = 0,
         prefill_bucket: int = 16,
         steps_per_sync: int = 8,
@@ -149,6 +150,11 @@ class ContinuousBatcher:
         # RepetitionPenalty semantics, decoding/processors.py): tracked as
         # a per-slot [V] presence table on device.
         self._rep_penalty = float(repetition_penalty)
+        self._ngram = int(no_repeat_ngram_size)
+        if self._ngram and speculation_k:
+            raise NotImplementedError(
+                "no_repeat_ngram_size is not supported with speculation "
+                "(the intra-chunk ngram state is sequential)")
         v = self._vocab
         if end_token is None or end_token == "":
             self._end_ids = (v.eos_id,)
@@ -168,6 +174,17 @@ class ContinuousBatcher:
         # penalty (None when off).
         self._seen = (jnp.zeros((num_slots, len(v)), jnp.bool_)
                       if self._rep_penalty != 1.0 else None)
+        # Per-slot generated-token history for no-repeat-ngram (None when
+        # off); entry t = the t-th generated token of the slot.
+        self._hist = (jnp.zeros((num_slots, capacity), jnp.int32)
+                      if self._ngram else None)
+        if self._hist is not None:
+            def _hist_admit(hist, slot, tok):
+                row = jnp.zeros((hist.shape[1],), jnp.int32).at[0].set(tok)
+                return jax.lax.dynamic_update_slice(hist, row[None],
+                                                    (slot, 0))
+
+            self._hist_admit = jax.jit(_hist_admit, donate_argnums=(0,))
         if self._seen is not None:
             S = num_slots
 
@@ -490,13 +507,14 @@ class ContinuousBatcher:
         quantize_acts = model.policy.quantize_activations
         out_dtype = model.out_dtype
         use_rep = self._rep_penalty != 1.0
+        use_ngram = bool(self._ngram)
 
         block = self._block
 
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 temps, key, n, seen):
+                 temps, key, n, seen, hist):
             def body(carry, i):
-                tokens, pos, gen_len, cache, seen = carry
+                tokens, pos, gen_len, cache, seen, hist = carry
                 logits, cache, _ = T.decoder_forward(
                     arch, params, consts, tokens[:, None], pos, cache,
                     None, None, quantize_acts=quantize_acts,
@@ -504,22 +522,27 @@ class ContinuousBatcher:
                 l = logits[:, -1].astype(jnp.float32)
                 if use_rep:
                     l = self._apply_rep_penalty(l, seen)
+                if use_ngram:
+                    l = proc.no_repeat_ngram(l, hist, gen_len, self._ngram)
                 disable_end = gen_len < min_len
                 ids, scores = self._sample_logits(
                     l, disable_end,
                     jax.random.fold_in(key, n * block + i), temps=temps)
+                rows = jnp.arange(ids.shape[0])
                 if use_rep:
-                    seen = seen.at[
-                        jnp.arange(seen.shape[0]), ids].set(True)
-                return (ids, pos + 1, gen_len + 1, cache, seen), (ids, scores)
+                    seen = seen.at[rows, ids].set(True)
+                if use_ngram:
+                    hist = hist.at[rows, gen_len].set(ids)
+                return ((ids, pos + 1, gen_len + 1, cache, seen, hist),
+                        (ids, scores))
 
-            (tokens, pos, gen_len, cache, seen), (ids_k, scores_k) = \
+            (tokens, pos, gen_len, cache, seen, hist), (ids_k, scores_k) = \
                 jax.lax.scan(
-                    body, (tokens, pos, gen_len, cache, seen),
+                    body, (tokens, pos, gen_len, cache, seen, hist),
                     jnp.arange(block, dtype=jnp.int32))
-            return ids_k, scores_k, cache, seen
+            return ids_k, scores_k, cache, seen, hist
 
-        return jax.jit(step, donate_argnums=(2, 10))
+        return jax.jit(step, donate_argnums=(2, 10, 11))
 
     def _build_spec_step(self):
         model = self.model
@@ -781,6 +804,9 @@ class ContinuousBatcher:
         if self._seen is not None:
             self._seen = self._seen_admit(
                 self._seen, jnp.int32(slot), jnp.int32(first))
+        if self._hist is not None:
+            self._hist = self._hist_admit(
+                self._hist, jnp.int32(slot), jnp.int32(first))
         self._emit(req, first, float(score[0]))
         self._slots[slot] = req
         self._pos[slot] = len(ids)
@@ -899,6 +925,9 @@ class ContinuousBatcher:
         if self._seen is not None:
             self._seen = self._seen_admit(
                 self._seen, jnp.int32(slot), jnp.int32(first))
+        if self._hist is not None:
+            self._hist = self._hist_admit(
+                self._hist, jnp.int32(slot), jnp.int32(first))
         self._emit(req, first, float(score))
         self._slots[slot] = req
         self._pos[slot] = len(ids)
@@ -917,13 +946,14 @@ class ContinuousBatcher:
         # land on rows that the next admit fully overwrites).
         pos = np.minimum(self._pos, self._capacity - self._block)
 
-        ids_d, scores_d, self._cache, self._seen = self._step_fn(
-            model.params, model.consts, self._cache,
-            jnp.asarray(self._tokens), jnp.asarray(pos),
-            jnp.asarray(gen_len), jnp.asarray(min_len),
-            jnp.asarray(self._temps), self._key,
-            jnp.int32((self._step_count // max(1, self._block))
-                      + 0x40000000), self._seen)
+        ids_d, scores_d, self._cache, self._seen, self._hist = \
+            self._step_fn(
+                model.params, model.consts, self._cache,
+                jnp.asarray(self._tokens), jnp.asarray(pos),
+                jnp.asarray(gen_len), jnp.asarray(min_len),
+                jnp.asarray(self._temps), self._key,
+                jnp.int32((self._step_count // max(1, self._block))
+                          + 0x40000000), self._seen, self._hist)
         self._step_count += self._block
         self._slot_steps += len(active) * self._block
         if not self._queue.empty():
@@ -999,10 +1029,10 @@ class ContinuousTranslator(ContinuousBatcher):
     def _init_seq2seq_state(self, max_target_prefix: int):
         """Per-slot cross-attention memory (zeros attend as masked) and
         forced target-prefix buffers."""
-        if self._rep_penalty != 1.0:
+        if self._rep_penalty != 1.0 or self._ngram:
             raise NotImplementedError(
-                "repetition_penalty is only supported by the decoder-only "
-                "ContinuousBatcher")
+                "repetition_penalty / no_repeat_ngram_size are only "
+                "supported by the decoder-only ContinuousBatcher")
         model = self.model
         self._mem = []
         for layer in model.arch.decoder.layers:

@@ -340,6 +340,31 @@ def test_streaming_early_stop(gen_model):
         cb.close()
 
 
+def test_no_repeat_ngram_matches_generate_batch(gen_model):
+    """Per-slot no-repeat-ngram (device history buffer) matches the batch
+    engine under greedy; slot reuse resets the history."""
+    expected = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=24, include_prompt_in_result=False,
+        no_repeat_ngram_size=2)[0].sequences_ids[0]
+    plain = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=24,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    assert expected != plain  # the ban must actually bite
+
+    cb = _batcher(gen_model, no_repeat_ngram_size=2)
+    try:
+        for _ in range(2):  # second pass reuses the slot
+            got = cb.submit(
+                ["tok1", "tok2"],
+                max_length=24).result(timeout=600).sequences_ids[0]
+            assert got == expected
+    finally:
+        cb.close()
+
+    with pytest.raises(NotImplementedError, match="no_repeat_ngram"):
+        _batcher(gen_model, no_repeat_ngram_size=2, speculation_k=3)
+
+
 def test_stop_sequences(gen_model):
     """Multi-token stop sequences end the request and are trimmed from
     the result (all engines share the host-side matcher)."""
