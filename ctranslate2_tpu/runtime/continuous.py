@@ -63,6 +63,13 @@ class _Request:
     score: float = 0.0
     stopped: bool = False
     callback_error: Optional[BaseException] = None
+    # Rolling per-token scores (stop-sequence trimming refunds them).
+    recent_scores: List[float] = field(default_factory=list)
+    max_stop_len: int = 0
+
+    def __post_init__(self):
+        self.max_stop_len = max(
+            (len(s) for s in self.stop_sequences), default=0)
 
 
 class ContinuousBatcher:
@@ -151,7 +158,7 @@ class ContinuousBatcher:
         # a per-slot [V] presence table on device.
         self._rep_penalty = float(repetition_penalty)
         self._ngram = int(no_repeat_ngram_size)
-        if self._ngram and speculation_k:
+        if self._ngram and speculation_k > 1:
             raise NotImplementedError(
                 "no_repeat_ngram_size is not supported with speculation "
                 "(the intra-chunk ngram state is sequential)")
@@ -354,10 +361,7 @@ class ContinuousBatcher:
             else:
                 # Early close: wait for the stop to take effect; the
                 # consumer walked away, so swallow request errors.
-                try:
-                    future.result(timeout=600)
-                except Exception:
-                    pass
+                self._settle(future)
 
     async def async_stream(self, *args, **kwargs):
         """Asyncio variant of :meth:`stream` (per-token
@@ -399,6 +403,12 @@ class ContinuousBatcher:
 
     def _stop_ids(self, stop_sequences) -> tuple:
         v = self._vocab
+        for seq in (stop_sequences or ()):
+            if isinstance(seq, str):
+                raise ValueError(
+                    "each stop sequence must be a list of tokens or ids "
+                    f"(got the string {seq!r}; wrap single tokens in a "
+                    "list)")
         return tuple(
             tuple(t if isinstance(t, int) else v.to_id(t, allow_unk=False)
                   for t in seq)
@@ -410,13 +420,20 @@ class ContinuousBatcher:
         decode loops break on)."""
         req.generated.append(tok)
         req.score += score
-        for seq in req.stop_sequences:
-            n = len(seq)
-            if len(req.generated) >= n and \
-                    tuple(req.generated[-n:]) == seq:
-                del req.generated[-n:]
-                req.stopped = True
-                return
+        if req.stop_sequences:
+            req.recent_scores.append(score)
+            del req.recent_scores[: -req.max_stop_len]
+            forced = getattr(req, "forced_len", 0)
+            for seq in req.stop_sequences:
+                n = len(seq)
+                # Stops apply to generated tokens only: the matched suffix
+                # must lie entirely beyond the forced prefix.
+                if len(req.generated) >= forced + n and \
+                        tuple(req.generated[-n:]) == seq:
+                    del req.generated[-n:]
+                    req.score -= sum(req.recent_scores[-n:])
+                    req.stopped = True
+                    return
         if req.callback is None or req.stopped:
             return
         done = ((tok in self._end_ids
@@ -567,11 +584,11 @@ class ContinuousBatcher:
                 # is an emitted token for every query at positions >= m —
                 # exactly what the sequential penalty would have seen.
                 S_n, V_n = l.shape[0], l.shape[-1]
-                intra = jnp.zeros((S_n, K, V_n), jnp.bool_)
-                for m in range(1, K):
-                    oh = jax.nn.one_hot(tokens[:, m], V_n, dtype=jnp.bool_)
-                    pos_mask = jnp.arange(K, dtype=jnp.int32) >= m
-                    intra = intra | (oh[:, None, :] & pos_mask[None, :, None])
+                oh = jax.nn.one_hot(tokens[:, 1:], V_n, dtype=jnp.bool_)
+                cum = jax.lax.associative_scan(
+                    jnp.logical_or, oh, axis=1)  # [S, K-1, V]
+                intra = jnp.concatenate(
+                    [jnp.zeros((S_n, 1, V_n), jnp.bool_), cum], axis=1)
                 l = self._apply_rep_penalty(l, seen[:, None, :], intra)
             l = proc.disable_tokens(l, self._suppress_ids)
             if self._end_ids:
@@ -846,7 +863,7 @@ class ContinuousBatcher:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 return
-            if not req.future.done():
+            if req.future.set_running_or_notify_cancel():
                 req.future.set_exception(exc)
 
     def _harvest(self):
@@ -893,9 +910,9 @@ class ContinuousBatcher:
             except queue.Empty:
                 return
             # Queued requests can be cancelled through their future
-            # before they claim a slot.
-            if req.future.cancelled():
-                continue
+            # before they claim a slot; set_running_or_notify_cancel also
+            # NOTIFIES waiters of a cancelled future (wait()/as_completed()
+            # would hang on a merely-CANCELLED one).
             if not req.future.set_running_or_notify_cancel():
                 continue
             slot = free.pop(0)
@@ -1099,6 +1116,7 @@ class ContinuousTranslator(ContinuousBatcher):
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         req.prefix_ids = prefix_ids
+        req.forced_len = len(prefix_ids)
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -1527,6 +1545,7 @@ class ContinuousWhisper(ContinuousTranslator):
                        stop_sequences=self._stop_ids(stop_sequences))
         req.start_id = ids[0]
         req.prefix_ids = ids[1:]
+        req.forced_len = len(ids) - 1
         req.features = feats
         self._queue.put(req)
         self._wake.set()

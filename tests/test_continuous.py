@@ -381,12 +381,43 @@ def test_stop_sequences(gen_model):
         assert got == expected[:2]
         # Token-string stop sequences resolve through the vocabulary.
         v = gen_model.model.target_vocabulary
-        got2 = cb.submit(["tok1", "tok2"], max_length=24,
-                         stop_sequences=[[v.to_token(t) for t in stop]]
-                         ).result(timeout=600).sequences_ids[0]
-        assert got2 == expected[:2]
+        r2 = cb.submit(["tok1", "tok2"], max_length=24,
+                       stop_sequences=[[v.to_token(t) for t in stop]],
+                       ).result(timeout=600)
+        assert r2.sequences_ids[0] == expected[:2]
+        # Trimmed stop tokens don't leak into the score: the truncated
+        # run's summed log-prob must be >= the full run's (fewer negative
+        # terms).
+        full = cb.submit(["tok1", "tok2"],
+                         max_length=24).result(timeout=600)
+        assert r2.scores[0] >= full.scores[0] - 1e-6
+        # Bare strings are rejected with a clear error.
+        with pytest.raises(ValueError, match="wrap single tokens"):
+            cb.submit(["tok1"], max_length=8, stop_sequences=["</s>"])
     finally:
         cb.close()
+
+    # Stops never fire inside a forced target prefix.
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    t = Translator(MODEL)
+    v = t.model.target_vocabulary
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32)
+    try:
+        src = ["آ", "ت", "ز", "م", "و", "ن"]
+        ref = t.translate_batch([src], target_prefix=[["a", "t"]],
+                                beam_size=1)[0].hypotheses[0]
+        got = ct.submit(src, max_length=32, target_prefix=["a", "t"],
+                        stop_sequences=[[v.to_id("t")]]
+                        ).result(timeout=600).sequences_ids[0]
+        # The forced "t" survives; a LATER "t" (if any) stops the request.
+        toks = [v.to_token(i) for i in got]
+        assert toks[:2] == ["a", "t"]
+        assert toks == ref[:len(toks)]
+    finally:
+        ct.close()
 
 
 def test_async_stream_and_cancel(gen_model):
@@ -425,6 +456,15 @@ def test_async_stream_and_cancel(gen_model):
 
             with pytest.raises(concurrent.futures.CancelledError):
                 f3.result(timeout=60)
+            # A cancelled future must be NOTIFIED, or wait() hangs.
+            done, not_done = concurrent.futures.wait([f3], timeout=30)
+            assert f3 in done
+        # The cancelled request is drained by a later _admit pass.
+        import time as _time
+
+        deadline = _time.time() + 30
+        while cb2.stats()["num_queued"] and _time.time() < deadline:
+            _time.sleep(0.05)
         assert cb2.stats()["num_queued"] == 0
     finally:
         cb2.close()
