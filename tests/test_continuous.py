@@ -340,6 +340,55 @@ def test_streaming_early_stop(gen_model):
         cb.close()
 
 
+def test_http_server_example(gen_model):
+    """The stdlib HTTP front-end (examples/http_server.py) serves
+    non-streaming and SSE-streaming requests over the batcher."""
+    import json
+    import sys
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        import http_server as hs
+    finally:
+        sys.path.pop(0)
+
+    cb = _batcher(gen_model)
+    server = hs.serve(cb, gen_model.model.target_vocabulary, port=0)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        expected = gen_model.generate_batch(
+            [["tok1", "tok2"]], max_length=10,
+            include_prompt_in_result=False)[0].sequences_ids[0]
+
+        body = json.dumps({"prompt": ["tok1", "tok2"],
+                           "max_length": 10}).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{base}/generate", data=body,
+                headers={"Content-Type": "application/json"}),
+                timeout=600) as r:
+            out = json.loads(r.read())
+        assert out["token_ids"] == expected
+
+        body = json.dumps({"prompt": ["tok1", "tok2"], "max_length": 10,
+                           "stream": True}).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                f"{base}/generate", data=body), timeout=600) as r:
+            lines = [ln for ln in r.read().decode().splitlines()
+                     if ln.startswith("data: ")]
+        assert lines[-1] == "data: [DONE]"
+        streamed = [json.loads(ln[6:])["token_id"] for ln in lines[:-1]]
+        assert streamed[: len(expected)] == expected
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=60) as r:
+            stats = json.loads(r.read())
+        assert stats["num_requests"] >= 2
+    finally:
+        server.shutdown()
+        cb.close()
+
+
 def test_no_repeat_ngram_matches_generate_batch(gen_model):
     """Per-slot no-repeat-ngram (device history buffer) matches the batch
     engine under greedy; slot reuse resets the history."""
