@@ -18,6 +18,8 @@ def main():
     p.add_argument("--language", default=None,
                    help="language token; autodetected when omitted")
     p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--max_length", type=int, default=224,
+                   help="decoding budget (Whisper's prompt+text limit)")
     p.add_argument("--align", action="store_true")
     args = p.parse_args()
 
@@ -37,6 +39,7 @@ def main():
     prompt = ["<|startoftranscript|>", lang, "<|transcribe|>"]
     results = model.generate(feats, [prompt] * len(feats),
                              beam_size=args.beam,
+                             max_length=args.max_length,
                              return_no_speech_prob=True)
     for i, r in enumerate(results):
         print(f"[{i}] {' '.join(r.sequences[0])} "
