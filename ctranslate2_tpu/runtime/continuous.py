@@ -1501,9 +1501,60 @@ class ContinuousWhisper(ContinuousTranslator):
         self._start_loop()
 
     def _init_draft(self, dm):
-        raise NotImplementedError(
-            "draft-model speculation is not supported by ContinuousWhisper "
-            "yet (prompt-lookup speculation is)")
+        """Speech draft model (a smaller Whisper): encodes the same mel
+        segment into its own per-slot memory at admit; the inherited
+        translator draft scan (memory + forced-prefix) proposes tokens."""
+        enc = dm.arch.encoder
+        if enc is None or not enc.num_conv_layers:
+            raise ValueError(
+                "ContinuousWhisper's draft_model must be a Whisper-style "
+                "speech model")
+        if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
+            raise NotImplementedError(
+                "ALiBi / sliding-window draft models are not supported")
+        if len(dm.target_vocabulary) != len(self._vocab):
+            raise ValueError(
+                "draft model vocabulary size "
+                f"({len(dm.target_vocabulary)}) must match the target "
+                f"model ({len(self._vocab)})")
+        n_mels = self.model.params["encoder"]["convs"][0]["w"].shape[1]
+        d_mels = dm.params["encoder"]["convs"][0]["w"].shape[1]
+        if d_mels != n_mels:
+            raise ValueError(
+                f"draft model expects {d_mels} mel bins, the target model "
+                f"{n_mels}")
+        if dm.params["encoder"]["position_encodings"].shape[0] < self._max_src:
+            raise ValueError(
+                "draft model encoder capacity is smaller than the target's")
+        dm.ensure_consts(self._capacity)
+        self._draft_model = dm
+        self._draft_cache = T.init_self_cache(
+            dm.arch, self._num_slots, self._capacity, dtype=dm.kv_dtype,
+            stacked=dm.scan_layers, ring=True)
+        self._draft_mem = []
+        for layer in dm.arch.decoder.layers:
+            a = layer.cross_attention
+            if a is None:
+                self._draft_mem.append(None)
+                continue
+            shape = (self._num_slots, a.num_heads_kv, self._max_src,
+                     a.head_dim)
+            self._draft_mem.append({
+                "k": jnp.zeros(shape, dm.out_dtype),
+                "v": jnp.zeros(shape, dm.out_dtype),
+            })
+        self._draft_speech_encode_fns = {}
+        self._draft_mem_insert = jax.jit(
+            self._mem_insert_impl, donate_argnums=(0,))
+        self._draft_fn = self._build_draft_fn()
+
+    def _get_draft_speech_encode(self, frames: int):
+        fn = self._draft_speech_encode_fns.get(frames)
+        if fn is None:
+            fn = self._make_encode_fn(self._draft_model, frames,
+                                      speech=True)
+            self._draft_speech_encode_fns[frames] = fn
+        return fn
 
     def submit(self, features, prompt: Sequence, *, max_length: int = 256,
                min_length: int = 0,
@@ -1569,6 +1620,12 @@ class ContinuousWhisper(ContinuousTranslator):
         sub = self._get_speech_encode(feats.shape[-1])(
             model.params, model.consts, jnp.asarray(feats))
         self._mem = self._mem_insert(self._mem, sub, jnp.int32(slot))
+        if self._draft_model is not None:
+            dm = self._draft_model
+            dsub = self._get_draft_speech_encode(feats.shape[-1])(
+                dm.params, dm.consts, jnp.asarray(feats))
+            self._draft_mem = self._draft_mem_insert(
+                self._draft_mem, dsub, jnp.int32(slot))
         self._slots[slot] = req
         # Encoder output length: ceil(frames / 2) (the stride-2 conv with
         # kernel 3, padding 1), capped by the PE table.

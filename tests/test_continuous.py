@@ -844,6 +844,18 @@ def test_continuous_whisper(tmp_path):
         cw2.close()
     assert got2 == expected
 
+    # Draft-MODEL speculation (perfect speech draft = the target itself):
+    # lossless and >1 token per dispatch.
+    cw3 = ContinuousWhisper(w, num_slots=2, capacity=64, speculation_k=3,
+                            draft_model=w)
+    try:
+        futs = [cw3.submit(f, prompt, max_length=16) for f in feats]
+        got3 = [f.result(timeout=600).sequences_ids[0] for f in futs]
+        assert cw3.stats()["spec_tokens_per_dispatch"] > 1.2
+    finally:
+        cw3.close()
+    assert got3 == expected
+
 
 def test_translator_streaming_callback():
     from ctranslate2_tpu import ContinuousTranslator, Translator
