@@ -1232,6 +1232,13 @@ class ContinuousTranslator(ContinuousBatcher):
             raise ValueError(
                 "draft model source vocabulary size must match the "
                 "target model")
+        self._alloc_draft_state(dm)
+        self._draft_encode_fns = {}
+
+    def _alloc_draft_state(self, dm):
+        """Shared draft-state allocation for the encoder-decoder engines:
+        parallel self-cache + per-slot cross-attention memory + the
+        memory-aware draft scan."""
         dm.ensure_consts(self._capacity)
         self._draft_model = dm
         self._draft_cache = T.init_self_cache(
@@ -1249,7 +1256,6 @@ class ContinuousTranslator(ContinuousBatcher):
                 "k": jnp.zeros(shape, dm.out_dtype),
                 "v": jnp.zeros(shape, dm.out_dtype),
             })
-        self._draft_encode_fns = {}
         self._draft_mem_insert = jax.jit(
             self._mem_insert_impl, donate_argnums=(0,))
         self._draft_fn = self._build_draft_fn()
@@ -1512,6 +1518,10 @@ class ContinuousWhisper(ContinuousTranslator):
         if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
             raise NotImplementedError(
                 "ALiBi / sliding-window draft models are not supported")
+        if any(l.self_attention.has_memory_kv
+               for l in dm.arch.decoder.layers):
+            raise NotImplementedError(
+                "merged-attention draft models are not supported")
         if len(dm.target_vocabulary) != len(self._vocab):
             raise ValueError(
                 "draft model vocabulary size "
@@ -1526,27 +1536,8 @@ class ContinuousWhisper(ContinuousTranslator):
         if dm.params["encoder"]["position_encodings"].shape[0] < self._max_src:
             raise ValueError(
                 "draft model encoder capacity is smaller than the target's")
-        dm.ensure_consts(self._capacity)
-        self._draft_model = dm
-        self._draft_cache = T.init_self_cache(
-            dm.arch, self._num_slots, self._capacity, dtype=dm.kv_dtype,
-            stacked=dm.scan_layers, ring=True)
-        self._draft_mem = []
-        for layer in dm.arch.decoder.layers:
-            a = layer.cross_attention
-            if a is None:
-                self._draft_mem.append(None)
-                continue
-            shape = (self._num_slots, a.num_heads_kv, self._max_src,
-                     a.head_dim)
-            self._draft_mem.append({
-                "k": jnp.zeros(shape, dm.out_dtype),
-                "v": jnp.zeros(shape, dm.out_dtype),
-            })
+        self._alloc_draft_state(dm)
         self._draft_speech_encode_fns = {}
-        self._draft_mem_insert = jax.jit(
-            self._mem_insert_impl, donate_argnums=(0,))
-        self._draft_fn = self._build_draft_fn()
 
     def _get_draft_speech_encode(self, frames: int):
         fn = self._draft_speech_encode_fns.get(frames)

@@ -22,7 +22,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def make_handler(batcher, vocab):
+def make_handler(batcher):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -63,16 +63,32 @@ def make_handler(batcher, vocab):
 
             try:
                 if req.get("stream"):
+                    # Pull the first event BEFORE committing to a 200:
+                    # submit-time validation errors raise at the first
+                    # iteration of the stream generator.
+                    it = batcher.stream(prompt, **kwargs)
+                    try:
+                        first = next(it)
+                    except StopIteration:
+                        first = None
+                    except Exception as e:  # noqa: BLE001
+                        self._json(400, {"error": str(e)})
+                        return
                     self.send_response(200)
                     self.send_header("Content-Type", "text/event-stream")
                     self.end_headers()
-                    for sr in batcher.stream(prompt, **kwargs):
+
+                    def emit(sr):
                         line = json.dumps({
                             "token": sr.token, "token_id": sr.token_id,
                             "step": sr.step, "is_last": sr.is_last})
-                        self.wfile.write(
-                            f"data: {line}\n\n".encode())
+                        self.wfile.write(f"data: {line}\n\n".encode())
                         self.wfile.flush()
+
+                    if first is not None:
+                        emit(first)
+                        for sr in it:
+                            emit(sr)
                     self.wfile.write(b"data: [DONE]\n\n")
                 else:
                     r = batcher.submit(prompt, **kwargs).result()
@@ -89,8 +105,8 @@ def make_handler(batcher, vocab):
     return Handler
 
 
-def serve(batcher, vocab, port: int = 8000, host: str = "127.0.0.1"):
-    server = ThreadingHTTPServer((host, port), make_handler(batcher, vocab))
+def serve(batcher, port: int = 8000, host: str = "127.0.0.1"):
+    server = ThreadingHTTPServer((host, port), make_handler(batcher))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
@@ -111,12 +127,13 @@ def main():
     batcher = ctranslate2_tpu.ContinuousBatcher(
         gen, num_slots=args.num_slots, capacity=args.capacity,
         speculation_k=args.speculation_k)
-    server = serve(batcher, gen.model.target_vocabulary, port=args.port)
+    server = serve(batcher, port=args.port)
     print(f"serving on :{args.port} (POST /generate, GET /stats)")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
         server.shutdown()
+        server.server_close()
         batcher.close()
 
 

@@ -344,17 +344,19 @@ def test_http_server_example(gen_model):
     """The stdlib HTTP front-end (examples/http_server.py) serves
     non-streaming and SSE-streaming requests over the batcher."""
     import json
+    import os
     import sys
     import urllib.request
 
-    sys.path.insert(0, "/root/repo/examples")
+    examples_dir = os.path.join(os.path.dirname(__file__), "..", "examples")
+    sys.path.insert(0, examples_dir)
     try:
         import http_server as hs
     finally:
         sys.path.pop(0)
 
     cb = _batcher(gen_model)
-    server = hs.serve(cb, gen_model.model.target_vocabulary, port=0)
+    server = hs.serve(cb, port=0)
     port = server.server_address[1]
     base = f"http://127.0.0.1:{port}"
     try:
@@ -386,6 +388,7 @@ def test_http_server_example(gen_model):
         assert stats["num_requests"] >= 2
     finally:
         server.shutdown()
+        server.server_close()
         cb.close()
 
 
