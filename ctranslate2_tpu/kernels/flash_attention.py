@@ -9,10 +9,14 @@ accumulator live in VMEM scratch across k-block iterations.
 
 Supports GQA/MQA (kv-head indexing by query-head group), causal masking
 with a query position offset, per-batch KV valid lengths, sliding
-windows, SEGMENT IDS for packed sequences (SURVEY kernel #3), and
-in-kernel ALiBi (per-head slopes, positive or negative position
-conventions). Falls back to the XLA path for T5/Shaw relative-position
-biases (those need bias tables the size of the score matrix).
+windows, SEGMENT IDS for packed sequences (SURVEY kernel #3), in-kernel
+ALiBi (per-head slopes, positive or negative position conventions), and
+an in-kernel T5 RELATIVE-POSITION BIAS hook: the [num_buckets, H]
+learned table rides scalar-prefetch SMEM and the bucket index is
+recomputed per score block (reference: src/layers/attention.cc:51-101),
+so the [Tq, Tk]-sized bias tensor the XLA path materializes never
+exists. Shaw-style relative keys/values still fall back (they gather
+score-matrix-sized *embeddings*, not per-head scalars).
 """
 
 from __future__ import annotations
@@ -33,11 +37,17 @@ ALIBI_NONE = 0
 ALIBI_NEGATIVE = 1  # bias = slope * (k_pos - (T_valid - 1))
 ALIBI_POSITIVE = 2  # bias = slope * k_pos
 
+# T5 relative-position bias modes:
+REL_NONE = 0
+REL_CAUSAL = 1  # bidirectional=False (decoder self-attention)
+REL_BIDIRECTIONAL = 2  # bidirectional=True (encoder self-attention)
+
 
 def _attn_kernel(
     # scalar prefetch
     lengths_ref,  # [B] int32
     slopes_ref,  # [Hq] f32 ALiBi slopes (zeros when unused)
+    tab_ref,  # [Hq, NB] f32 T5 bucket table ([1, 1] zeros when unused)
     # inputs
     q_ref,  # [BQ, D]
     k_ref,  # [BK, D]
@@ -62,6 +72,9 @@ def _attn_kernel(
     has_segments: bool,
     alibi: int,
     alibi_offs: int,
+    rel: int,
+    rel_nb: int,
+    rel_maxd: int,
 ):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
@@ -100,6 +113,37 @@ def _attn_kernel(
         if alibi != ALIBI_NONE:
             slope = slopes_ref[bh % num_heads]
             s = s + slope * (k_pos - alibi_offs).astype(jnp.float32)
+
+        if rel != REL_NONE:
+            # Recompute the T5 bucket index for this block (mirrors
+            # ops/attention.py relative_position_bucket, reference
+            # src/layers/attention.cc:51-101) and fold the learned
+            # per-(head, bucket) scalars in via NB selects — no
+            # score-matrix-sized bias tensor is ever materialized.
+            relp = k_pos - q_pos  # [BQ, BK] int32
+            if rel == REL_BIDIRECTIONAL:
+                nbh = rel_nb // 2
+                base = jnp.where(relp > 0, nbh, 0)
+                r = jnp.abs(relp)
+            else:
+                nbh = rel_nb
+                base = jnp.zeros_like(relp)
+                r = -jnp.minimum(relp, 0)
+            max_exact = nbh // 2
+            is_small = r < max_exact
+            r_safe = jnp.maximum(r, 1).astype(jnp.float32)
+            large = max_exact + (
+                jnp.log(r_safe / max_exact)
+                / math.log(rel_maxd / max_exact)
+                * (nbh - max_exact)
+            ).astype(jnp.int32)
+            large = jnp.minimum(large, nbh - 1)
+            bucket = base + jnp.where(is_small, r, large)
+            h = bh % num_heads
+            bias = jnp.zeros((block_q, block_k), jnp.float32)
+            for b in range(rel_nb):
+                bias = jnp.where(bucket == b, tab_ref[h, b], bias)
+            s = s + bias
 
         mask = jnp.ones((block_q, block_k), jnp.bool_)
         if causal:
@@ -152,6 +196,9 @@ def flash_attention(
     # Tq == Tk); queries only attend keys of the same segment
     alibi_slopes=None,  # [Hq] f32 per-head slopes (scale_alibi prefolded)
     alibi_positive: bool = False,
+    rel_bias_table=None,  # [num_buckets, Hq] learned T5 table (as stored)
+    rel_max_distance: int = 0,
+    rel_bidirectional: bool = True,
     block_q: int = 256,
     block_k: int = 256,
 ):
@@ -216,6 +263,19 @@ def flash_attention(
         slopes = alibi_slopes.astype(jnp.float32)
     else:
         slopes = jnp.zeros((Hq,), jnp.float32)
+
+    rel = REL_NONE
+    rel_nb = 0
+    if rel_bias_table is not None:
+        rel = REL_BIDIRECTIONAL if rel_bidirectional else REL_CAUSAL
+        rel_nb = rel_bias_table.shape[0]
+        if rel_bias_table.shape[1] != Hq:
+            raise ValueError("rel_bias_table must be [num_buckets, Hq]")
+        # [Hq, NB] in scalar-prefetch SMEM; the kernel reads one scalar
+        # per (head, bucket).
+        tab = jnp.transpose(rel_bias_table).astype(jnp.float32)
+    else:
+        tab = jnp.zeros((1, 1), jnp.float32)
 
     qr = q.reshape(B * Hq, nq * block_q, D)
     kr = k.reshape(B * Hkv, nk * block_k, D)
