@@ -298,7 +298,7 @@ def flash_attention(
         inputs += [qseg, kseg]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B * Hq, nq, nk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, D),
@@ -310,27 +310,28 @@ def flash_attention(
         ],
     )
 
-    def kernel3d(lengths_ref, slopes_ref, q_ref, k_ref, v_ref,
+    def kernel3d(lengths_ref, slopes_ref, tab_ref, q_ref, k_ref, v_ref,
                  *rest):
         if has_segments:
             qseg_ref, kseg_ref, o_ref, m_ref, l_ref, acc_ref = rest
         else:
             (o_ref, m_ref, l_ref, acc_ref), qseg_ref, kseg_ref = rest, None, None
         return _attn_kernel(
-            lengths_ref, slopes_ref,
+            lengths_ref, slopes_ref, tab_ref,
             q_ref.at[0], k_ref.at[0], v_ref.at[0],
             qseg_ref, kseg_ref, o_ref.at[0],
             m_ref, l_ref, acc_ref,
             scale=scale, causal=causal, q_offset=q_offset,
             block_q=block_q, block_k=block_k, num_heads=Hq,
             window=window, has_lengths=has_lengths,
-            has_segments=has_segments, alibi=alibi, alibi_offs=alibi_offs)
+            has_segments=has_segments, alibi=alibi, alibi_offs=alibi_offs,
+            rel=rel, rel_nb=rel_nb, rel_maxd=rel_max_distance)
 
     out = pl.pallas_call(
         kernel3d,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * Hq, nq * block_q, D), q.dtype),
-    )(lengths, slopes, *inputs)
+    )(lengths, slopes, tab, *inputs)
 
     out = out.reshape(B, Hq, nq * block_q, D)
     if pq:
