@@ -235,23 +235,27 @@ def _qk_norms(arch, ap, spec, q, k, v):
 
 def _flash_eligible(spec: AttentionSpec, q, k, alibi_bias, position_bias,
                     rel_positions, flash_lengths,
-                    alibi_slopes=None, min_len=None) -> bool:
+                    alibi_slopes=None, min_len=None,
+                    rel_bias_table=None) -> bool:
     """Static dispatch decision for the Pallas flash-attention kernel.
 
     Measured crossover (tools/bench_flash.py, B4/H16/D128 causal bf16,
     one chip): ties XLA at <=2048, 2.35x faster at 4096, and at 8192 the
     XLA path OOMs on the materialized score tensor while the kernel
     runs. With ALiBi (in-kernel slopes vs materialized bias): 1.3x at
-    2048, 2.7x at 4096. Hence the 2048 default threshold. T5/Shaw
-    relative-position biases fall back (they need score-matrix-sized
-    tables)."""
+    2048, 2.7x at 4096. Hence the 2048 default threshold. T5-style
+    relative-position BIAS rides the kernel's in-SMEM bucket table
+    (``rel_bias_table``); Shaw relative keys/values fall back (they
+    gather score-matrix-sized *embeddings*, not per-head scalars)."""
     import os
 
     if os.environ.get("CT2TPU_FLASH", "1") == "0":
         return False
     if jax.default_backend() != "tpu":
         return False
-    if position_bias is not None or rel_positions is not None:
+    if rel_positions is not None:
+        return False
+    if position_bias is not None and rel_bias_table is None:
         return False
     if alibi_bias is not None and alibi_slopes is None:
         return False
@@ -342,6 +346,11 @@ def self_attention_block(
     # at ``offset % R``; ``bias`` must then be a ring_window_bias over R.
     alibi_slopes=None,  # [Hq] f32: enables in-kernel ALiBi on the flash path
     alibi_positive: bool = True,
+    rel_bias_table=None,  # [num_buckets, Hq] learned T5 table: enables the
+    # in-kernel relative-position bias on the flash path (position_bias
+    # stays the XLA fallback and is DCE'd when the kernel is taken)
+    rel_max_distance: int = 0,
+    rel_bidirectional: bool = True,
     fresh_prefill: bool = False,  # the cache is empty and this call writes
     # its first T positions: attend over the FRESH tensors only (O(T^2),
     # flash-eligible) instead of the full masked capacity (O(T*C));
@@ -517,7 +526,8 @@ def self_attention_block(
             and _flash_eligible(spec, q, k, alibi_bias, position_bias,
                                 rel_positions, flash_lengths,
                                 alibi_slopes=alibi_slopes,
-                                min_len=arch.flash_min_len)):
+                                min_len=arch.flash_min_len,
+                                rel_bias_table=rel_bias_table)):
         from ..kernels.flash_attention import flash_attention
 
         ctx = flash_attention(
@@ -528,6 +538,10 @@ def self_attention_block(
             window=spec.sliding_window,
             alibi_slopes=alibi_slopes if alibi_bias is not None else None,
             alibi_positive=alibi_positive,
+            rel_bias_table=(rel_bias_table if position_bias is not None
+                            else None),
+            rel_max_distance=rel_max_distance,
+            rel_bidirectional=rel_bidirectional,
         )
         out = attn_ops.combine_heads(ctx)
         res = residual if (wrap_norm and spec.has_layer_norm) else None
@@ -773,6 +787,8 @@ def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
     bias = attn_ops.length_mask_bias(lengths, S)
 
     position_bias = None
+    rel_table = None
+    rel_maxd = 0
     for i, layer in enumerate(spec.layers):
         lp = ep["layers"][i]
         aspec = layer.self_attention
@@ -785,9 +801,13 @@ def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
                 asymmetric=aspec.has_rel_asymmetric_keys,
                 left_max=aspec.rel_left_max, right_max=aspec.rel_right_max)
         if aspec.has_rel_attention_bias and position_bias is None:
+            # Dense [H, S, S] bias for the XLA path; the raw table rides
+            # the flash kernel's SMEM bucket hook instead (the dense
+            # tensor is DCE'd whenever the kernel is taken).
+            rel_table = lp["self_attention"]["relative_attention_bias"]
+            rel_maxd = aspec.rel_max_distance
             position_bias = attn_ops.t5_position_bias(
-                lp["self_attention"]["relative_attention_bias"],
-                S, S, aspec.rel_max_distance, bidirectional=True)
+                rel_table, S, S, rel_maxd, bidirectional=True)
 
         if layer.sandwich_norm:
             h = _norm(arch, lp["input_layer_norm"], x)
@@ -796,6 +816,7 @@ def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
                 bias=bias, rot_consts=rot, offset=0,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 rel_positions=rel_positions, position_bias=position_bias,
+                rel_bias_table=rel_table, rel_max_distance=rel_maxd,
                 wrap_norm=False, causal=False, flash_lengths=lengths)
             x = x + _norm(arch, lp["post_attention_layer_norm"], ctx)
             h = _norm(arch, lp["pre_feedforward_layer_norm"], x)
@@ -808,6 +829,7 @@ def encoder_forward(arch: ArchSpec, params: dict, consts: dict, ids, lengths,
                 bias=bias, rot_consts=rot, offset=0,
                 pre_norm=spec.pre_norm, quantize_acts=quantize_acts,
                 rel_positions=rel_positions, position_bias=position_bias,
+                rel_bias_table=rel_table, rel_max_distance=rel_maxd,
                 causal=False, flash_lengths=lengths)
             x = ffn_block(arch, layer.ffn, lp["ffn"], x, spec.pre_norm, quantize_acts)
 

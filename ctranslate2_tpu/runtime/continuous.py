@@ -1009,8 +1009,10 @@ class ContinuousTranslator(ContinuousBatcher):
     target token comes from feeding the decoder start token, so no
     decoder-side prefill is needed.
 
-    Restrictions: greedy/sampling (no beam), no target prefix, models
-    with separate cross-attention (merged T5Gemma2 layout unsupported).
+    Restrictions: greedy/sampling (no beam); requires models with
+    separate cross-attention (merged T5Gemma2 layout unsupported) and a
+    config-known decoder start token. Target prefixes ARE supported
+    (forced-prefix buffers, see ``submit(target_prefix=...)``).
     """
 
     def __init__(self, translator, *, max_source_len: int = 128,

@@ -331,3 +331,35 @@ def test_flash_attention_alibi(positive):
     ref = dot_product_attention(q, k, v, bias=bias, queries_scale=scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bidirectional", [True, False])
+def test_flash_attention_t5_rel_bias(bidirectional):
+    """In-kernel T5 relative-position bias (recomputed bucket indices +
+    SMEM table reads) matches the XLA path that materializes the dense
+    [H, Tq, Tk] bias (reference: src/layers/attention.cc:51-126)."""
+    from ctranslate2_tpu.ops.attention import t5_position_bias
+
+    B, H, T, D = 2, 4, 64, 32
+    num_buckets, max_distance = 32, 128
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, H, T, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(10), (B, H, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(11), (B, H, T, D), jnp.float32)
+    table = jax.random.normal(jax.random.PRNGKey(12), (num_buckets, H),
+                              jnp.float32)
+    causal = not bidirectional  # encoder: bidirectional; decoder: causal
+    scale = 1.0 / np.sqrt(D)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, scale=scale, causal=causal,
+                              rel_bias_table=table,
+                              rel_max_distance=max_distance,
+                              rel_bidirectional=bidirectional,
+                              block_q=32, block_k=32)
+
+    bias = t5_position_bias(table, T, T, max_distance, bidirectional)[None]
+    if causal:
+        bias = combine_bias(causal_mask_bias(T, T), bias)
+    ref = dot_product_attention(q, k, v, bias=bias, queries_scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

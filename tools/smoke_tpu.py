@@ -104,12 +104,15 @@ def t_awq():
     assert r.sequences_ids[0]
 
 
-@section("flash kernel: long prefill + alibi")
+@section("flash kernel: long prefill + alibi + t5 rel bias")
 def t_flash():
     import numpy as np
     import jax, jax.numpy as jnp
 
     from ctranslate2_tpu.kernels.flash_attention import flash_attention
+    from ctranslate2_tpu.ops.attention import (
+        combine_bias, dot_product_attention, length_mask_bias,
+        t5_position_bias)
     from ctranslate2_tpu.ops.positions import alibi_slopes
 
     B, H, T, D = 1, 4, 2048, 64
@@ -118,6 +121,21 @@ def t_flash():
     out = flash_attention(q, q, q, scale=0.125, causal=True,
                           alibi_slopes=jnp.asarray(alibi_slopes(H)))
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    # T5 encoder shape: in-kernel bucket-table bias vs the XLA path that
+    # materializes the dense [H, T, T] bias (the flash encoder dispatch
+    # rides this hook for rel-bias models).
+    table = jax.random.normal(jax.random.PRNGKey(1), (32, H), jnp.float32)
+    lengths = jnp.asarray([T - 100], jnp.int32)
+    qf = q.astype(jnp.float32)
+    out = flash_attention(qf, qf, qf, scale=0.125, causal=False,
+                          lengths=lengths, rel_bias_table=table,
+                          rel_max_distance=128, rel_bidirectional=True)
+    bias = combine_bias(length_mask_bias(lengths, T),
+                        t5_position_bias(table, T, T, 128, True)[None])
+    ref = dot_product_attention(qf, qf, qf, bias=bias, queries_scale=0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
 
 
 @section("whisper-shaped: encode+generate")
