@@ -204,6 +204,7 @@ def build_decoder_only_model(
     rms_norm: bool = False,
     activation: str = "relu",
     alibi: bool = False,
+    alibi_positive: bool = True,
     parallel_residual: bool = False,
     shared_layer_norm: bool = False,
     sliding_window: int = 0,
@@ -226,6 +227,8 @@ def build_decoder_only_model(
         b.add_attr(f"{sc}/sliding_window", sliding_window, "int32")
     if alibi:
         b.add_attr(f"{sc}/alibi", 1, "int8")
+        if not alibi_positive:
+            b.add_attr(f"{sc}/alibi_use_positive_positions", 0, "int8")
     b.add_attr(f"{sc}/scale_embeddings", 0, "int8")
 
     emb = _rand(rng, vocab_size, d_model)

@@ -1337,14 +1337,10 @@ def decoder_forward(
     T = ids.shape[-1]
 
     pos_vec = getattr(pos, "ndim", 0) > 0
-    if pos_vec:
-        # Per-row positions (continuous batching T==1 steps; speculative
-        # verify T==k chunks). Positional schemes that build shared
-        # [Tq, Tk] structures per step are not supported in this mode.
-        if spec.alibi:
-            raise NotImplementedError(
-                "ALiBi models are not supported by the continuous-batching "
-                "step (per-row positions)")
+    # Per-row positions (continuous batching T==1 steps; speculative
+    # verify T==k chunks): ALiBi builds a per-row [B, H, T, C] bias below;
+    # Shaw/T5 relative schemes still require shared positions (gated in
+    # layer_extras).
 
     x = embed(dp, spec, ids, out_dtype, spec.embeddings.merge)
     if spec.start_from_zero_embedding:
@@ -1455,14 +1451,29 @@ def decoder_forward(
         if spec.alibi:
             Tk = C if attn_cached else T
             slopes = dc["alibi_slopes"]
-            positions = jnp.arange(Tk, dtype=jnp.float32)
-            if not spec.alibi_use_positive_positions:
-                # Negative positions end at 0 on the last *current* key
-                # (reference: src/layers/attention_layer.cc:38-41).
-                cur_len = (pos + T) if attn_cached else T
-                positions = positions - (jnp.asarray(cur_len, jnp.float32) - 1)
             scale = aspec.queries_scale if spec.scale_alibi else 1.0
-            alibi_bias = (slopes[:, None, None] * positions[None, None, :] * scale)
+            if pos_vec and attn_cached and not spec.alibi_use_positive_positions:
+                # Per-row positions (continuous batching / speculative
+                # verify): the query at chunk offset j sits at absolute
+                # position pos[b]+j, so negative key positions end at 0
+                # on it — a per-row [B, H, T, C] bias (masked keys beyond
+                # the query are killed by the causal bias anyway).
+                q_pos = (pos[:, None].astype(jnp.float32)
+                         + jnp.arange(T, dtype=jnp.float32)[None, :])
+                positions = (jnp.arange(Tk, dtype=jnp.float32)[None, None, :]
+                             - q_pos[:, :, None])  # [B, T, Tk]
+                alibi_bias = (slopes[None, :, None, None]
+                              * positions[:, None] * scale)
+            else:
+                positions = jnp.arange(Tk, dtype=jnp.float32)
+                if not spec.alibi_use_positive_positions:
+                    # Negative positions end at 0 on the last *current* key
+                    # (reference: src/layers/attention_layer.cc:38-41).
+                    cur_len = (pos + T) if attn_cached else T
+                    positions = positions - (
+                        jnp.asarray(cur_len, jnp.float32) - 1)
+                alibi_bias = (slopes[:, None, None]
+                              * positions[None, None, :] * scale)
 
         rel_positions = None
         if aspec.has_rel_position_keys:

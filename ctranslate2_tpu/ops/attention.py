@@ -453,11 +453,21 @@ def decode_step_attention(
                 B, Hkv, group, *b.shape[2:])
         lc = lc + b
     if alibi_bias is not None:
-        ab = alibi_bias.astype(jnp.float32).reshape(1, Hkv, group, Tq, C)
-        lc = lc + ab
-        lf = lf + jax.lax.dynamic_slice_in_dim(
-            alibi_bias.astype(jnp.float32), pos, 1, axis=-1
-        ).reshape(1, Hkv, group, Tq)
+        # [Hq, Tq, C] shared, or [B, Hq, Tq, C] per-row (continuous
+        # batching: each slot decodes at its own position).
+        ab = alibi_bias.astype(jnp.float32)
+        if ab.ndim == 3:
+            ab = ab[None]
+        lc = lc + ab.reshape(ab.shape[0], Hkv, group, Tq, C)
+        if getattr(pos, "ndim", 0) > 0:
+            # Fresh token sits at per-row slot pos[b]: gather its column.
+            ab_f = jnp.take_along_axis(
+                jnp.broadcast_to(ab, (B, Hq, Tq, C)),
+                pos.reshape(B, 1, 1, 1), axis=-1)[..., 0]
+            lf = lf + ab_f.reshape(B, Hkv, group, Tq)
+        else:
+            lf = lf + jax.lax.dynamic_slice_in_dim(
+                ab, pos, 1, axis=-1).reshape(ab.shape[0], Hkv, group, Tq)
 
     full = jnp.concatenate([lc, lf[..., None]], axis=-1)  # [..., C+1]
     w = jax.nn.softmax(full, axis=-1)

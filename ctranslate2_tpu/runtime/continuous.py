@@ -80,9 +80,10 @@ class ContinuousBatcher:
     fixed at construction; ``max_length``/``min_length`` are per request.
 
     Restrictions (clear errors otherwise): decoder-only models without
-    ALiBi / T5 relative bias / Shaw relative positions — i.e. the
-    rotary / learned / sinusoidal position families that dominate serving
-    workloads.
+    T5 relative bias / Shaw relative positions — i.e. the rotary /
+    learned / sinusoidal / ALiBi position families that dominate serving
+    workloads (ALiBi steps build a per-row bias from each slot's own
+    position).
     """
 
     def __init__(self, generator, **kw):
@@ -111,9 +112,6 @@ class ContinuousBatcher:
         speculation_k: int = 0,
         draft_model=None,
     ):
-        if model.arch.decoder.alibi:
-            raise NotImplementedError(
-                "continuous batching does not support ALiBi models")
         if speculation_k:
             if not (sampling_topk == 1 and sampling_topp >= 1.0):
                 raise NotImplementedError(

@@ -142,6 +142,54 @@ def test_int8_model_continuous(tmp_path):
         cb.close()
 
 
+@pytest.mark.parametrize("positive", [True, False])
+def test_alibi_model_continuous(tmp_path, positive):
+    """ALiBi steps build a per-row bias from each slot's own position:
+    staggered-position continuous decode must match the batch engine
+    token-for-token (both position conventions)."""
+    path = build_decoder_only_model(
+        str(tmp_path / f"alibi{positive}"), alibi=True,
+        alibi_positive=positive)
+    gen = Generator(path)
+    prompts = [["tok1"], ["tok2", "tok3", "tok4"], ["tok5", "tok6"],
+               ["tok7", "tok1", "tok2", "tok3"]]
+    expected = [
+        gen.generate_batch([p], max_length=12,
+                           include_prompt_in_result=False)[0]
+        for p in prompts
+    ]
+    cb = _batcher(gen, num_slots=3)  # staggered positions across slots
+    try:
+        futures = [cb.submit(p, max_length=12) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=300).sequences_ids[0] == \
+                e.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+def test_alibi_speculation_matches_greedy(tmp_path):
+    """Speculative verify chunks (T=K, per-row positions) must stay
+    lossless on ALiBi models: each in-chunk query gets its own bias row."""
+    path = build_decoder_only_model(str(tmp_path / "alibispec"), alibi=True,
+                                    alibi_positive=False)
+    gen = Generator(path)
+    prompts = [["tok1", "tok2"], ["tok3"], ["tok4", "tok5", "tok6"]]
+    expected = [
+        gen.generate_batch([p], max_length=14,
+                           include_prompt_in_result=False)[0]
+        for p in prompts
+    ]
+    cb = _batcher(gen, num_slots=2, speculation_k=4)
+    try:
+        futures = [cb.submit(p, max_length=14) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=300).sequences_ids[0] == \
+                e.sequences_ids[0]
+    finally:
+        cb.close()
+
+
 # ----------------------------------------------------------------------
 # Encoder-decoder continuous batching (beyond reference).
 # ----------------------------------------------------------------------

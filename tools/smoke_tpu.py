@@ -78,6 +78,19 @@ def t_continuous():
     finally:
         cb.close()
 
+    # ALiBi serving: per-row bias from each slot's own position.
+    da = build_decoder_only_model("/tmp/smoke_cb_alibi", alibi=True,
+                                  alibi_positive=False)
+    ga = Generator(da)
+    expa = ga.generate_batch([["tok3"]], max_length=8,
+                             include_prompt_in_result=False)[0]
+    cba = ContinuousBatcher(ga, num_slots=2, capacity=128)
+    try:
+        ra = cba.submit(["tok3"], max_length=8).result(timeout=600)
+        assert ra.sequences_ids[0] == expa.sequences_ids[0]
+    finally:
+        cba.close()
+
     t = Translator(MODEL)
     ct = ContinuousTranslator(t, num_slots=2, capacity=128,
                               max_source_len=32)
@@ -133,7 +146,13 @@ def t_flash():
                           rel_max_distance=128, rel_bidirectional=True)
     bias = combine_bias(length_mask_bias(lengths, T),
                         t5_position_bias(table, T, T, 128, True)[None])
-    ref = dot_product_attention(qf, qf, qf, bias=bias, queries_scale=0.125)
+    # On TPU, f32 einsum defaults to reduced-precision matmul (~5e-3 abs
+    # error at this size); the Pallas kernel accumulates at full f32 and
+    # lands within ~7e-4 of the HIGHEST-precision reference, so compare
+    # against that rather than the noisy default-precision path.
+    with jax.default_matmul_precision("highest"):
+        ref = dot_product_attention(qf, qf, qf, bias=bias,
+                                    queries_scale=0.125)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
 
