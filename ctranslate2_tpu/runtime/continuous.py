@@ -156,10 +156,6 @@ class ContinuousBatcher:
         # a per-slot [V] presence table on device.
         self._rep_penalty = float(repetition_penalty)
         self._ngram = int(no_repeat_ngram_size)
-        if self._ngram and speculation_k > 1:
-            raise NotImplementedError(
-                "no_repeat_ngram_size is not supported with speculation "
-                "(the intra-chunk ngram state is sequential)")
         v = self._vocab
         if end_token is None or end_token == "":
             self._end_ids = (v.eos_id,)
@@ -189,7 +185,22 @@ class ContinuousBatcher:
                 return jax.lax.dynamic_update_slice(hist, row[None],
                                                     (slot, 0))
 
+            def _hist_accept(hist, toks, counts, gen_len):
+                # toks [S, K] emitted tokens of a speculative round; row s
+                # accepted counts[s], written at gen_len[s]..+counts[s]-1.
+                S_h, K_h = toks.shape
+                Lh = hist.shape[1]
+                valid = (jnp.arange(K_h, dtype=jnp.int32)[None]
+                         < counts[:, None])
+                posn = (gen_len[:, None]
+                        + jnp.arange(K_h, dtype=jnp.int32)[None])
+                posn = jnp.where(valid & (posn < Lh), posn, Lh)
+                rows = jnp.broadcast_to(
+                    jnp.arange(S_h, dtype=jnp.int32)[:, None], toks.shape)
+                return hist.at[rows, posn].set(toks, mode="drop")
+
             self._hist_admit = jax.jit(_hist_admit, donate_argnums=(0,))
+            self._hist_accept = jax.jit(_hist_accept, donate_argnums=(0,))
         if self._seen is not None:
             S = num_slots
 
@@ -567,9 +578,10 @@ class ContinuousBatcher:
         K = self._spec_k
 
         use_rep = self._rep_penalty != 1.0
+        use_ngram = bool(self._ngram)
 
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 temps, key, n, seen):
+                 temps, key, n, seen, hist):
             # tokens [S, K]: [last accepted | K-1 drafted]; verify in one
             # T=K forward. Position i's logits give the greedy target for
             # the token at position i+1.
@@ -588,6 +600,24 @@ class ContinuousBatcher:
                 intra = jnp.concatenate(
                     [jnp.zeros((S_n, 1, V_n), jnp.bool_), cum], axis=1)
                 l = self._apply_rep_penalty(l, seen[:, None, :], intra)
+            if use_ngram:
+                # Sequentialized intra-chunk ngram state: position j bans
+                # with history = hist[:gen_len] + the fed draft tokens at
+                # generated indices gen_len..gen_len+j-1 (exactly what the
+                # sequential step would have seen; logits past the first
+                # draft mismatch are discarded by the host anyway).
+                S_n = l.shape[0]
+                Lh = hist.shape[1]
+                rows_h = jnp.arange(S_n, dtype=jnp.int32)[:, None]
+                posn = (gen_len[:, None]
+                        + jnp.arange(K - 1, dtype=jnp.int32)[None, :])
+                posn = jnp.where(posn < Lh, posn, Lh)
+                hist_fed = hist.at[rows_h, posn].set(
+                    tokens[:, 1:], mode="drop")
+                l = jnp.stack(
+                    [proc.no_repeat_ngram(l[:, j], hist_fed, gen_len + j,
+                                          self._ngram)
+                     for j in range(K)], axis=1)
             l = proc.disable_tokens(l, self._suppress_ids)
             if self._end_ids:
                 gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
@@ -713,13 +743,16 @@ class ContinuousBatcher:
             jnp.asarray(tokens), jnp.asarray(pos),
             jnp.asarray(gen_len), jnp.asarray(min_len),
             jnp.asarray(self._temps), self._key,
-            jnp.int32(self._step_count + 0x40000000), self._seen)
+            jnp.int32(self._step_count + 0x40000000), self._seen,
+            self._hist)
         self._step_count += 1
         self._slot_steps += len(active)
         self._accept_spec_round(active, np.asarray(ids_d),
-                                np.asarray(scores_d, np.float32), tokens, K)
+                                np.asarray(scores_d, np.float32), tokens, K,
+                                gen_len)
 
-    def _accept_spec_round(self, active, greedy, scores, tokens, K):
+    def _accept_spec_round(self, active, greedy, scores, tokens, K,
+                           gen_len=None):
         """Consume one speculative verify dispatch: accept greedy targets
         until an end/stop condition or the first draft mismatch."""
         counts = np.zeros(greedy.shape[0], np.int32)
@@ -747,6 +780,10 @@ class ContinuousBatcher:
         if self._seen is not None:
             self._seen = self._seen_accept(
                 self._seen, jnp.asarray(greedy), jnp.asarray(counts))
+        if self._hist is not None and gen_len is not None:
+            self._hist = self._hist_accept(
+                self._hist, jnp.asarray(greedy), jnp.asarray(counts),
+                jnp.asarray(gen_len))
 
     def _get_prefill(self, padded_len: int):
         fn = self._prefill_fns.get(padded_len)

@@ -461,8 +461,32 @@ def test_no_repeat_ngram_matches_generate_batch(gen_model):
     finally:
         cb.close()
 
-    with pytest.raises(NotImplementedError, match="no_repeat_ngram"):
-        _batcher(gen_model, no_repeat_ngram_size=2, speculation_k=3)
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_no_repeat_ngram_with_speculation(gen_model, spec_k):
+    """The verify chunk sequentializes the intra-chunk ngram state:
+    position j bans with history + the fed draft tokens before it, so
+    speculation stays lossless vs the sequential batch engine."""
+    prompts = [["tok1", "tok2"], ["tok3"], ["tok4", "tok1"]]
+    expected = [
+        gen_model.generate_batch(
+            [p], max_length=24, include_prompt_in_result=False,
+            no_repeat_ngram_size=2)[0].sequences_ids[0]
+        for p in prompts
+    ]
+    # The ban must actually bite on at least one prompt.
+    plain = gen_model.generate_batch(
+        [prompts[0]], max_length=24,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    assert expected[0] != plain
+
+    cb = _batcher(gen_model, no_repeat_ngram_size=2, speculation_k=spec_k,
+                  num_slots=2)
+    try:
+        futures = [cb.submit(p, max_length=24) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=600).sequences_ids[0] == e
+    finally:
+        cb.close()
 
 
 def test_stop_sequences(gen_model):
