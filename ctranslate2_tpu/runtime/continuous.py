@@ -277,9 +277,9 @@ class ContinuousBatcher:
     def _init_draft(self, dm):
         if not dm.is_decoder_only:
             raise ValueError("draft_model must be a decoder-only model")
-        if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
+        if T.ring_capacity(dm.arch):
             raise NotImplementedError(
-                "ALiBi / sliding-window draft models are not supported")
+                "sliding-window draft models are not supported")
         if len(dm.target_vocabulary) != len(self._vocab):
             raise ValueError(
                 "draft model vocabulary size "
@@ -1250,9 +1250,9 @@ class ContinuousTranslator(ContinuousBatcher):
             raise ValueError(
                 "the continuous translator's draft_model must be an "
                 "encoder-decoder model")
-        if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
+        if T.ring_capacity(dm.arch):
             raise NotImplementedError(
-                "ALiBi / sliding-window draft models are not supported")
+                "sliding-window draft models are not supported")
         if any(l.self_attention.has_memory_kv
                for l in dm.arch.decoder.layers):
             raise NotImplementedError(
@@ -1552,9 +1552,9 @@ class ContinuousWhisper(ContinuousTranslator):
             raise ValueError(
                 "ContinuousWhisper's draft_model must be a Whisper-style "
                 "speech model")
-        if dm.arch.decoder.alibi or T.ring_capacity(dm.arch):
+        if T.ring_capacity(dm.arch):
             raise NotImplementedError(
-                "ALiBi / sliding-window draft models are not supported")
+                "sliding-window draft models are not supported")
         if any(l.self_attention.has_memory_kv
                for l in dm.arch.decoder.layers):
             raise NotImplementedError(

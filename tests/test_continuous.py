@@ -718,6 +718,31 @@ def test_draft_model_speculation(gen_model, tmp_path):
         cb2.close()
 
 
+def test_alibi_draft_model_speculation(tmp_path):
+    """ALiBi target + ALiBi draft under draft-model speculation: the
+    per-row bias covers the draft scan's vector positions too."""
+    target_dir = build_decoder_only_model(str(tmp_path / "at"), alibi=True,
+                                          alibi_positive=False)
+    gen = Generator(target_dir)
+    prompts = [["tok1", "tok2"], ["tok3"]]
+    expected = [
+        gen.generate_batch([p], max_length=16,
+                           include_prompt_in_result=False)[0]
+        for p in prompts
+    ]
+    draft_dir = build_decoder_only_model(str(tmp_path / "ad"), alibi=True,
+                                         alibi_positive=False,
+                                         num_layers=1, seed=4242)
+    cb = _batcher(gen, num_slots=2, speculation_k=3, draft_model=draft_dir)
+    try:
+        futures = [cb.submit(p, max_length=16) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=600).sequences_ids[0] == \
+                e.sequences_ids[0]
+    finally:
+        cb.close()
+
+
 def test_draft_model_validation(gen_model, tmp_path):
     draft_dir = build_decoder_only_model(str(tmp_path / "d1"), num_layers=1)
     with pytest.raises(ValueError, match="speculation_k"):
