@@ -42,6 +42,9 @@ class LoadedModel:
     vmap_path: Optional[str] = None
     # vmap content for in-memory (files=) models.
     vmap_text: Optional[str] = None
+    # Tensor-parallel mesh set by apply_tensor_parallel (one-flag TP);
+    # params/consts carry committed NamedShardings over it.
+    mesh: Optional[object] = None
     _consts_lock: object = field(default_factory=__import__("threading").Lock,
                                  repr=False, compare=False)
 
@@ -88,6 +91,10 @@ class LoadedModel:
                 home = getattr(self, "_home_device", None)
                 if home is not None:
                     consts = _consts_to_device(consts, home)
+                elif self.mesh is not None:
+                    from ..parallel.sharding import shard_consts
+
+                    consts = shard_consts(consts, self.mesh)
                 self.consts = consts
             return self.consts
 

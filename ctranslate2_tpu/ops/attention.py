@@ -416,7 +416,7 @@ def decode_step_attention(
     *,
     queries_scale: float = 1.0,
     bias=None,  # additive over cache slots, broadcastable [.., 1, C]
-    alibi_bias=None,  # [Hq, 1, C]
+    alibi_bias=None,  # [Hq, Tq, C] shared or [B, Hq, Tq, C] per-row
 ):
     """Single-token decode attention over [pre-update cache | fresh token].
 

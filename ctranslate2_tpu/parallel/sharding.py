@@ -111,7 +111,10 @@ def param_specs(arch: ArchSpec, params: dict) -> dict:
         if side_spec is None or side_name not in params:
             continue
         sp = params[side_name]
-        side: dict = {"embeddings": [_emb_spec(e) for e in sp["embeddings"]],
+        # Speech encoders have a conv frontend instead of token embeddings;
+        # unknown keys fall back to replicated placement (lookup_spec).
+        side: dict = {"embeddings": [_emb_spec(e)
+                                     for e in sp.get("embeddings", [])],
                       "layers": []}
         if "position_encodings" in sp:
             side["position_encodings"] = P()
@@ -241,6 +244,39 @@ def shard_consts(consts: dict, mesh: Mesh) -> dict:
         return leaf
 
     return jax.tree.map(place, consts)
+
+
+def apply_tensor_parallel(model, device: str = "auto",
+                          device_index=0) -> Mesh:
+    """One-flag tensor parallelism: build a mesh over the visible devices
+    and place the loaded model's params/consts with TP shardings — the
+    load-time analog of the reference's ``tensor_parallel=True`` weight
+    split (reference: src/models/model.cc:827-899). No manual
+    ``make_mesh``/``shard_params`` is needed afterwards: the committed
+    NamedShardings propagate through every jitted compute path (GSPMD),
+    so task APIs, device loops and the continuous engines all run
+    tensor-parallel automatically.
+
+    ``device_index``: a scalar keeps a pure-TP 1-D layout over all
+    visible devices; a list of N indices adds a data axis of size N (one
+    replica group per entry), with the model axis spanning the remaining
+    factor — the mesh analog of the reference's replica-per-device list.
+    """
+    import jax
+
+    backend = None if device in (None, "auto") else device
+    devices = jax.devices(backend) if backend else jax.devices()
+    num_data = (len(device_index)
+                if isinstance(device_index, (list, tuple)) else 1)
+    if num_data < 1 or len(devices) % num_data:
+        raise ValueError(
+            f"cannot build a tensor-parallel mesh: {len(devices)} visible "
+            f"device(s) do not divide into {num_data} replica group(s)")
+    mesh = make_mesh(num_data=num_data, devices=devices)
+    model.params = shard_params(model.params, model.arch, mesh)
+    model.consts = shard_consts(model.consts, mesh)
+    model.mesh = mesh
+    return mesh
 
 
 def initialize_distributed(coordinator_address: str = None,

@@ -64,15 +64,32 @@ class TaskAPIMixin:
             self._model.arch = dataclasses.replace(
                 self._model.arch, flash_min_len=0)
 
+    def _setup_tensor_parallel(self, device: str, device_index) -> None:
+        """One-flag TP: shard the loaded model over a mesh of the visible
+        devices (reference: tensor_parallel=True splits weights at load,
+        src/models/model.cc:827-899). Params/consts become committed
+        sharded arrays, so every subsequent compute path is
+        tensor-parallel with no manual mesh plumbing."""
+        if not getattr(self, "_tensor_parallel", False):
+            return
+        from ..parallel.sharding import apply_tensor_parallel
+
+        apply_tensor_parallel(self._model, device, device_index)
+
     def _init_replicas(self, device: str, device_index, engine_factory=None):
         """Build one (model, engine) replica per requested device.
 
         Replica 0 reuses the already-loaded model (placed on the first
         device by the constructor); the others are ``replicate_model``
-        copies. No-op for a scalar ``device_index``.
+        copies. No-op for a scalar ``device_index``, and under one-flag
+        tensor parallelism (a device_index list becomes the mesh's data
+        axis instead — see _setup_tensor_parallel).
         """
         from ..models.loader import replicate_model, resolve_devices
 
+        if getattr(self, "_tensor_parallel", False):
+            self._replicas = None
+            return
         if not isinstance(device_index, (list, tuple)) or len(device_index) < 2:
             self._replicas = None
             return
@@ -172,5 +189,10 @@ class TaskAPIMixin:
         devices = [getattr(m, "_home_device", None) or jax.devices()[0]
                    for m in models]
         for m, dev in zip(models, devices):
-            m.params = jax.device_put(host, dev)
+            if m.mesh is not None:
+                from ..parallel.sharding import shard_params
+
+                m.params = shard_params(host, m.arch, m.mesh)
+            else:
+                m.params = jax.device_put(host, dev)
         self._unloaded_params = None

@@ -755,6 +755,13 @@ class ContinuousBatcher:
                            gen_len=None):
         """Consume one speculative verify dispatch: accept greedy targets
         until an end/stop condition or the first draft mismatch."""
+        # The device ngram history can only stay correct if the caller
+        # provides per-slot generated lengths; fail loudly rather than
+        # silently stop updating it (a caller that rejects
+        # no_repeat_ngram_size, like ContinuousTranslator, has _hist=None).
+        assert self._hist is None or gen_len is not None, (
+            "speculative accept with an active ngram history requires "
+            "gen_len")
         counts = np.zeros(greedy.shape[0], np.int32)
         for i in active:
             req = self._slots[i]
@@ -780,7 +787,7 @@ class ContinuousBatcher:
         if self._seen is not None:
             self._seen = self._seen_accept(
                 self._seen, jnp.asarray(greedy), jnp.asarray(counts))
-        if self._hist is not None and gen_len is not None:
+        if self._hist is not None:
             self._hist = self._hist_accept(
                 self._hist, jnp.asarray(greedy), jnp.asarray(counts),
                 jnp.asarray(gen_len))

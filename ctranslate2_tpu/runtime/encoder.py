@@ -56,6 +56,7 @@ class Encoder(TaskAPIMixin):
                                 max_queued_batches=resolve_max_queued_batches(
                                     kwargs, max_queued_batches))
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
+        self._setup_tensor_parallel(device, device_index)
         self._apply_flash_flag(kwargs)
         self._init_replicas(device, device_index)
 

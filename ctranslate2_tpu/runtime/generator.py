@@ -56,6 +56,7 @@ class Generator(TaskAPIMixin):
         self.device_index = device_index
         self.intra_threads = intra_threads
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
+        self._setup_tensor_parallel(device, device_index)
         n_dev = (len(device_index)
                  if isinstance(device_index, (list, tuple)) else 1)
         self._pool = WorkerPool(num_workers=max(1, inter_threads) * max(1, n_dev),

@@ -80,6 +80,7 @@ class Translator(TaskAPIMixin):
         # Worker pool backing the async/batched APIs
         # (reference: inter_threads replicas, replica_pool.h:19-300).
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
+        self._setup_tensor_parallel(device, device_index)
         # One worker group per data-parallel replica (reference: pool size
         # = devices x inter_threads, replica_pool.h:19-300).
         n_dev = (len(device_index)

@@ -113,6 +113,7 @@ class Wav2Vec2(TaskAPIMixin):
                                 max_queued_batches=resolve_max_queued_batches(
                                     kwargs, max_queued_batches))
         self._tensor_parallel = bool(kwargs.get("tensor_parallel", False))
+        self._setup_tensor_parallel(device, device_index)
         enc = self.model.arch.encoder
         if enc is None or not enc.is_wav2vec2:
             raise ValueError(

@@ -122,6 +122,7 @@ class Whisper(TaskAPIMixin):
                                 max_queued_batches=resolve_max_queued_batches(
                                     kwargs, max_queued_batches))
         self._tensor_parallel = bool(kwargs.get('tensor_parallel', False))
+        self._setup_tensor_parallel(device, device_index)
         if self.model.arch.encoder is None or not self.model.arch.encoder.num_conv_layers:
             raise ValueError(
                 f"The model at {model_path} is not a Whisper model")

@@ -461,6 +461,7 @@ def test_no_repeat_ngram_matches_generate_batch(gen_model):
     finally:
         cb.close()
 
+
 @pytest.mark.parametrize("spec_k", [2, 4])
 def test_no_repeat_ngram_with_speculation(gen_model, spec_k):
     """The verify chunk sequentializes the intra-chunk ngram state:

@@ -281,6 +281,107 @@ def test_continuous_batcher_under_mesh(llama_dir):
     assert rs.sequences_ids[0] == expected.sequences_ids[0]
 
 
+def test_one_flag_tensor_parallel(llama_dir):
+    """tensor_parallel=True must shard at load with ZERO manual steps
+    (reference ergonomics: src/models/model.cc:827-899 — the flag does
+    the whole job). No make_mesh/shard_params/set_mesh in user code."""
+    from ctranslate2_tpu import Generator
+
+    ref = Generator(llama_dir).generate_batch(
+        [["tok1", "tok2"]], max_length=8, return_scores=True)
+
+    g = Generator(llama_dir, tensor_parallel=True)
+    # The flag built the mesh and committed TP shardings at load.
+    assert g.model.mesh is not None
+    assert dict(g.model.mesh.shape) == {"data": 1, "model": 8}
+    w = g.model.params["decoder"]["layers"][0]["ffn"]["linear_0"]["w"]
+    assert w.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    tp = g.generate_batch([["tok1", "tok2"]], max_length=8,
+                          return_scores=True)
+    assert ref[0].sequences == tp[0].sequences
+    assert ref[0].scores == pytest.approx(tp[0].scores, abs=1e-4)
+
+    # Beam + int8 through the same already-sharded instance.
+    refb = Generator(llama_dir).generate_batch(
+        [["tok1", "tok2"]], beam_size=2, num_hypotheses=2, max_length=8)
+    tpb = g.generate_batch([["tok1", "tok2"]], beam_size=2,
+                           num_hypotheses=2, max_length=8)
+    assert refb[0].sequences == tpb[0].sequences
+
+
+def test_one_flag_tp_int8(llama_dir):
+    from ctranslate2_tpu import Generator
+
+    ref = Generator(llama_dir, compute_type="int8").generate_batch(
+        [["tok1", "tok2"], ["tok3"]], max_length=8)
+    g = Generator(llama_dir, compute_type="int8", tensor_parallel=True)
+    tp = g.generate_batch([["tok1", "tok2"], ["tok3"]], max_length=8)
+    for r, t in zip(ref, tp):
+        assert r.sequences == t.sequences
+
+
+def test_one_flag_tp_translator(tiny_model_path):
+    """Encoder-decoder one-flag TP on the reference tiny model."""
+    from ctranslate2_tpu import Translator
+
+    src = [["آ", "ت", "ز", "م", "و", "ن"]]
+    ref = Translator(tiny_model_path).translate_batch(src)
+    t = Translator(tiny_model_path, tensor_parallel=True)
+    assert t.model.mesh is not None
+    tp = t.translate_batch(src)
+    assert ref[0].hypotheses == tp[0].hypotheses
+
+
+def test_one_flag_tp_continuous(llama_dir):
+    """Continuous serving (+speculation) over a one-flag-TP generator,
+    with no mesh context anywhere in user code."""
+    from ctranslate2_tpu import ContinuousBatcher, Generator
+
+    expected = Generator(llama_dir).generate_batch(
+        [["tok1", "tok2"]], max_length=8, include_prompt_in_result=False)[0]
+    g = Generator(llama_dir, tensor_parallel=True)
+    cb = ContinuousBatcher(g, num_slots=2, capacity=128, speculation_k=3)
+    try:
+        r = cb.submit(["tok1", "tok2"], max_length=8).result(timeout=600)
+    finally:
+        cb.close()
+    assert r.sequences_ids[0] == expected.sequences_ids[0]
+
+
+def test_one_flag_tp_data_axis(llama_dir):
+    """tensor_parallel=True + device_index list: the list sizes the
+    mesh's data axis (replica groups), model axis spans the rest."""
+    from ctranslate2_tpu import Generator
+
+    ref = Generator(llama_dir).generate_batch(
+        [["tok1", "tok2"], ["tok3"], ["tok4"], ["tok5", "tok6"]],
+        max_length=8)
+    g = Generator(llama_dir, tensor_parallel=True, device_index=[0, 1])
+    assert dict(g.model.mesh.shape) == {"data": 2, "model": 4}
+    # The data axis must not create host-side replicas (the mesh does DP).
+    assert g.num_replicas == 1
+    tp = g.generate_batch(
+        [["tok1", "tok2"], ["tok3"], ["tok4"], ["tok5", "tok6"]],
+        max_length=8)
+    for r, t in zip(ref, tp):
+        assert r.sequences == t.sequences
+
+
+def test_one_flag_tp_unload_reload(llama_dir):
+    """unload_model/load_model must restore the TP shardings."""
+    from ctranslate2_tpu import Generator
+
+    g = Generator(llama_dir, tensor_parallel=True)
+    ref = g.generate_batch([["tok1", "tok2"]], max_length=8)
+    g.unload_model(to_cpu=True)
+    assert not g.model_is_loaded
+    g.load_model()
+    w = g.model.params["decoder"]["layers"][0]["ffn"]["linear_0"]["w"]
+    assert w.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    again = g.generate_batch([["tok1", "tok2"]], max_length=8)
+    assert ref[0].sequences == again[0].sequences
+
+
 def test_initialize_distributed_single_process():
     """Multi-host wiring smoke test at process_count=1 (the analog of the
     reference's ScopedMPISetter bootstrap). Runs in a subprocess because
