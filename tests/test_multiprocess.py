@@ -1,0 +1,31 @@
+"""Multi-process distributed execution proof (VERDICT r2 item 2).
+
+Launches 2 localhost processes x 4 virtual CPU devices each through
+``initialize_distributed``; each builds the 8-device global mesh via
+one-flag ``tensor_parallel=True`` and runs sharded generate_batch
+(greedy + beam + scores) end to end, asserting identical outputs across
+ranks and vs a single-process unsharded reference (the analog of the
+reference's mpirun+NCCL path, reference: src/devices.cc:141-230).
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_tensor_parallel_generation():
+    tool = os.path.join(REPO, "tools", "run_multiprocess.py")
+    env = dict(os.environ)
+    # Children own their backend setup; scrub this test process's flags.
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, tool, "--num-processes", "2",
+         "--devices-per-process", "4", "--timeout", "420"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
+    assert "MULTIPROCESS_OK processes=2" in out.stdout, out.stdout[-3000:]
+    assert "MP_OK rank=0" in out.stdout
+    assert "MP_OK rank=1" in out.stdout

@@ -1,0 +1,173 @@
+"""Multi-process execution proof: N localhost processes, one global mesh.
+
+The TPU-native analog of the reference's ``mpirun``-launched tensor
+parallelism (reference: src/devices.cc:141-230 ScopedMPISetter + NCCL
+bootstrap; docs/parallel.md:43-90): each process calls
+``initialize_distributed`` (jax.distributed), the one-flag
+``tensor_parallel=True`` path builds the GLOBAL mesh spanning every
+process's devices, and ``generate_batch`` runs sharded end to end —
+collectives cross the process boundary (gloo on CPU; ICI/DCN on real
+TPU slices).
+
+Run without arguments to self-spawn the workers (no mpirun needed):
+
+    python tools/run_multiprocess.py --num-processes 2 --devices-per-process 4
+
+Each worker prints ``MP_OK rank=i ...`` and asserts that
+ (a) every rank computes identical outputs, and
+ (b) they match a single-process (unsharded) reference run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+PROMPTS = [["tok1", "tok2"], ["tok3"], ["tok4", "tok1", "tok5"]]
+
+
+def build_model(model_dir: str) -> None:
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+
+    build_decoder_only_model(
+        model_dir, vocab_size=64, num_layers=2, num_heads=8, num_heads_kv=4,
+        d_model=64, d_ff=128, rotary_dim=0, glu=True, rms_norm=True,
+        activation="swish")
+
+
+def run_generation(model_dir: str, tensor_parallel: bool):
+    from ctranslate2_tpu import Generator
+
+    g = Generator(model_dir, tensor_parallel=tensor_parallel)
+    greedy = g.generate_batch(PROMPTS, max_length=8, return_scores=True)
+    beam = g.generate_batch(PROMPTS[:1], beam_size=2, num_hypotheses=2,
+                            max_length=8)
+    return {
+        "greedy": [r.sequences_ids for r in greedy],
+        "scores": [[round(s, 4) for s in r.scores] for r in greedy],
+        "beam": beam[0].sequences_ids,
+        "mesh": (dict(g.model.mesh.shape) if g.model.mesh is not None
+                 else None),
+    }
+
+
+def worker(args) -> int:
+    # Device/backend setup must precede the jax import.
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={args.devices_per_process}")
+    os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from ctranslate2_tpu.parallel.sharding import initialize_distributed
+
+    info = initialize_distributed(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.rank)
+    assert info["process_count"] == args.num_processes, info
+    assert info["global_devices"] == (
+        args.num_processes * args.devices_per_process), info
+
+    out = run_generation(args.model_dir, tensor_parallel=True)
+    expected_devices = args.num_processes * args.devices_per_process
+    assert out["mesh"] == {"data": 1, "model": expected_devices}, out["mesh"]
+
+    expected = json.load(open(args.expected))
+    assert out["greedy"] == expected["greedy"], (out, expected)
+    assert out["scores"] == expected["scores"], (out, expected)
+    assert out["beam"] == expected["beam"], (out, expected)
+    print(f"MP_OK rank={args.rank} mesh={out['mesh']} "
+          f"greedy={out['greedy'][0]}", flush=True)
+    return 0
+
+
+def launcher(args) -> int:
+    tmp = tempfile.mkdtemp(prefix="ct2tpu_mp_")
+    model_dir = os.path.join(tmp, "model")
+
+    # Single-process reference (unsharded) in a subprocess so the parent
+    # never initializes a jax backend that would conflict with reuse.
+    expected_path = os.path.join(tmp, "expected.json")
+    ref_code = (
+        "import os, sys, json;"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=1';"
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r});"
+        "from tools.run_multiprocess import build_model, run_generation;"
+        f"build_model({model_dir!r});"
+        f"out = run_generation({model_dir!r}, tensor_parallel=False);"
+        f"json.dump(out, open({expected_path!r}, 'w'))"
+    )
+    subprocess.run([sys.executable, "-c", ref_code], check=True,
+                   timeout=600)
+
+    # Pick a free coordinator port.
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coordinator = f"127.0.0.1:{s.getsockname()[1]}"
+
+    procs = []
+    for rank in range(args.num_processes):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--rank", str(rank),
+             "--num-processes", str(args.num_processes),
+             "--devices-per-process", str(args.devices_per_process),
+             "--coordinator", coordinator,
+             "--model-dir", model_dir,
+             "--expected", expected_path],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    rc = 0
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            rc = 1
+        if p.returncode != 0:
+            rc = 1
+        marker = f"MP_OK rank={rank}"
+        status = "ok" if marker in out else "FAILED"
+        print(f"--- rank {rank}: {status} (rc={p.returncode})")
+        if marker not in out:
+            print(out[-2000:])
+            rc = 1
+        else:
+            print([line for line in out.splitlines()
+                   if line.startswith("MP_OK")][0])
+    if rc == 0:
+        print(f"MULTIPROCESS_OK processes={args.num_processes} "
+              f"devices_per_process={args.devices_per_process}")
+    return rc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rank", type=int, default=None,
+                    help="worker rank (internal; omit to self-spawn)")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--devices-per-process", type=int, default=4)
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--expected", default=None)
+    ap.add_argument("--timeout", type=float, default=600.0)
+    args = ap.parse_args()
+    if args.rank is None:
+        return launcher(args)
+    return worker(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
