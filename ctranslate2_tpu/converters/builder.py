@@ -214,6 +214,11 @@ def build_decoder_only_model(
     quantization: Optional[str] = None,
     vocabulary: Optional[Sequence[str]] = None,
     tied_projection: bool = False,
+    rel_position_max: int = 0,  # Shaw relative-position keys/values
+    # (reference: src/layers/attention.cc:128-165)
+    rel_bias_buckets: int = 0,  # T5 relative-bias table on layer 0
+    rel_bias_max_distance: int = 16,
+    # (reference: src/layers/attention.cc:51-126)
 ):
     """Fabricate a TransformerDecoderSpec model directory (GPT-style)."""
     rng = np.random.default_rng(seed)
@@ -233,7 +238,8 @@ def build_decoder_only_model(
 
     emb = _rand(rng, vocab_size, d_model)
     b.add(f"{sc}/embeddings/weight", emb)
-    if rotary_dim is None and not alibi:
+    relative = rel_position_max or rel_bias_buckets
+    if rotary_dim is None and not alibi and not relative:
         # Learned position embeddings.
         b.add(f"{sc}/position_encodings/encodings", _rand(rng, 512, d_model))
     b.add(f"{sc}/layer_norm/gamma", np.ones(d_model, np.float32))
@@ -249,6 +255,20 @@ def build_decoder_only_model(
             self_attention=True, num_heads_kv=num_heads_kv,
             rotary_dim=rotary_dim, rms_norm=rms_norm,
             with_norm=not (parallel_residual and shared_layer_norm))
+        if rel_position_max:
+            hd = d_model // num_heads
+            b.add(f"{ls}/self_attention/relative_position_keys",
+                  _rand(rng, 2 * rel_position_max + 1, hd))
+            b.add(f"{ls}/self_attention/relative_position_values",
+                  _rand(rng, 2 * rel_position_max + 1, hd))
+        if rel_bias_buckets and i == 0:
+            # T5 convention: the learned bias table lives on layer 0 and
+            # is shared down the stack.
+            b.add(f"{ls}/self_attention/relative_attention_bias",
+                  _rand(rng, rel_bias_buckets, num_heads))
+            b.add_attr(
+                f"{ls}/self_attention/relative_attention_max_distance",
+                rel_bias_max_distance, "int32")
         if sliding_window and (sliding_window_pattern <= 1 or
                                (i + 1) % sliding_window_pattern != 0):
             # Per-layer attr, matching the HF converter / reference

@@ -340,6 +340,206 @@ def build_beam_loop(arch, sig, quantize_acts: bool, out_dtype,
     return jax.jit(loop)
 
 
+def build_spec_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
+                           max_steps: int, spec_k: int,
+                           init_cache: Optional[tuple] = None,
+                           has_prefix: bool = True):
+    """Whole-generation GREEDY loop with lossless self-speculation.
+
+    Each ``lax.while_loop`` iteration drafts ``spec_k - 1`` tokens by
+    on-device prompt lookup (n-gram continuation from the row's own
+    emitted context — the same rule the continuous engine uses on the
+    host), verifies them in ONE T=spec_k forward with per-row positions,
+    and accepts the matched prefix plus one bonus token. Greedy argmax
+    makes acceptance exact, so outputs are token-identical to the
+    sequential loop; the win is effective matmul M of N*spec_k instead
+    of N — the README's identified lever for small-batch MXU
+    under-utilization. The reference GPU decode has no such lever
+    (one token per step, src/decoding.cc:732-974).
+
+    Rows advance by different amounts per iteration, so the loop carries
+    per-row positions (``pos`` [N]) — the verify forward takes the same
+    vector-position path the continuous engine exercises. Rejected
+    speculative cache writes beyond a row's accepted position are
+    masked by the per-row causal bias and overwritten later.
+
+    Forced prefixes (the prompt remainder) are drafted AND forced, which
+    turns the prompt phase into spec_k-token chunked prefill.
+
+    Same packed output layout as build_greedy_loop.
+    """
+    K = spec_k
+    end_ids = jnp.asarray(sig.end_ids or (0,), jnp.int32)
+    has_end = bool(sig.end_ids)
+    assert sig.greedy_sampler, "speculation requires greedy decoding"
+    assert not sig.use_alive_seq, \
+        "speculation does not support alive-seq logits processors here"
+
+    def is_end(tok):
+        if not has_end:
+            return jnp.zeros(tok.shape, jnp.bool_)
+        return jnp.any(tok[..., None] == end_ids, axis=-1)
+
+    def loop(params, consts, control, start_pos, cache, mem_kv,
+             mem_bias, key, token_map=None,
+             encoder_ids=None, encoder_lengths=None):
+        # control [N, 3 + P]: prefix_len | min_steps | start_token | prefix.
+        del key, token_map, encoder_ids, encoder_lengths  # greedy, LM-only
+        prefix_len = control[:, 0]
+        min_steps = control[:, 1]
+        start_tokens = control[:, 2]
+        prefix = control[:, 3:]
+        N = control.shape[0]
+        P = prefix.shape[1] if has_prefix else 0
+        L = max_steps
+        if init_cache is not None:
+            from ..models.transformer import init_self_cache
+            arch_, capacity_, dtype_, stacked_ = init_cache
+            cache = init_self_cache(arch_, N, capacity_, dtype=dtype_,
+                                    stacked=stacked_, ring=True)
+            capacity = capacity_
+        else:
+            # Externally prefilled cache (ring leaves may be smaller than
+            # the linear capacity): skip the write clamp — scatters and
+            # dynamic_update_slice clip at the buffer edge, and the
+            # capacity carries a spec_k margin (engine _common_setup).
+            capacity = None
+
+        out_buf = jnp.zeros((N, L), jnp.int32)
+        scores = jnp.zeros(N, jnp.float32)
+        finished = jnp.zeros(N, jnp.bool_)
+        gen = jnp.zeros(N, jnp.int32)  # tokens emitted per row
+        pos = jnp.full((N,), start_pos, jnp.int32)
+
+        kk = jnp.arange(K, dtype=jnp.int32)  # chunk offsets
+
+        def draft_tokens(tokens, out_buf, gen):
+            """[N, K-1] drafts: prefix tokens during the forced phase,
+            else the most recent n-gram continuation of the row's own
+            context [start_token | emitted...] (the continuous engine's
+            host _draft rule, vectorized on device)."""
+            ctx = jnp.concatenate([start_tokens[:, None], out_buf], axis=1)
+            n = gen + 1  # valid context length
+            b_tok = tokens
+            a_tok = jnp.take_along_axis(
+                ctx, jnp.maximum(n - 2, 0)[:, None], axis=1)[:, 0]
+            j_idx = jnp.arange(ctx.shape[1], dtype=jnp.int32)[None, :]
+            prev = jnp.concatenate(
+                [jnp.zeros((N, 1), jnp.int32), ctx[:, :-1]], axis=1)
+            match = ((j_idx >= 1) & (j_idx <= (n - 2)[:, None])
+                     & (ctx == b_tok[:, None]) & (prev == a_tok[:, None])
+                     & (n >= 3)[:, None])
+            jbest = jnp.max(jnp.where(match, j_idx, -1), axis=1)  # [N]
+            found = jbest >= 0
+            offs = jnp.arange(1, K, dtype=jnp.int32)[None, :]  # [1, K-1]
+            gpos = jbest[:, None] + offs
+            valid = found[:, None] & (gpos < n[:, None])
+            gathered = jnp.take_along_axis(
+                ctx, jnp.clip(gpos, 0, ctx.shape[1] - 1), axis=1)
+            drafts = jnp.where(valid, gathered, b_tok[:, None])
+            if P > 0:
+                # Forced phase: draft the prefix tokens themselves so the
+                # whole forced chunk is accepted (chunked prefill).
+                dpos = gen[:, None] + offs  # position each draft lands on
+                ptok = jnp.take_along_axis(
+                    prefix, jnp.clip(dpos, 0, P - 1), axis=1)
+                drafts = jnp.where(dpos < prefix_len[:, None], ptok, drafts)
+            return drafts
+
+        def cond(state):
+            it = state[0]
+            finished = state[6]
+            return (it < max_steps) & jnp.logical_not(jnp.all(finished))
+
+        def body(state):
+            it, tokens, pos, cache, out_buf, scores, finished, gen = state
+
+            drafts = draft_tokens(tokens, out_buf, gen)
+            fed = jnp.concatenate([tokens[:, None], drafts], axis=1)  # [N,K]
+            # Clamp finished/overflowing rows' writes inside the buffer.
+            safe_pos = (jnp.minimum(pos, capacity - K)
+                        if capacity is not None else pos)
+            logits, cache, _ = T.decoder_forward(
+                arch, params, consts, fed, safe_pos, cache, mem_kv,
+                mem_bias, beam_size=1, quantize_acts=quantize_acts,
+                out_dtype=out_dtype)
+            l = logits.astype(jnp.float32)  # [N, K, V]
+
+            gpos = gen[:, None] + kk[None, :]  # [N, K] emit positions
+            l = proc.disable_tokens(l, sig.suppress_ids)
+            if sig.begin_suppress_ids:
+                l = jnp.where(
+                    (gpos == 0)[..., None],
+                    proc.disable_tokens(l, sig.begin_suppress_ids), l)
+            if sig.end_ids:
+                l = jnp.where(
+                    (gpos < min_steps[:, None])[..., None]
+                    & jnp.zeros((l.shape[-1],), jnp.bool_).at[end_ids].set(
+                        has_end)[None, None, :],
+                    proc.DISABLE, l)
+
+            greedy = jnp.argmax(l, axis=-1).astype(jnp.int32)  # [N, K]
+            log_probs = jnp.take_along_axis(
+                jax.nn.log_softmax(l, axis=-1), greedy[..., None],
+                axis=-1)[..., 0]
+
+            if P > 0:
+                forced = gpos < prefix_len[:, None]
+                ptok = jnp.take_along_axis(
+                    prefix, jnp.clip(gpos, 0, P - 1), axis=1)
+                greedy = jnp.where(forced, ptok, greedy)
+                log_probs = jnp.where(forced, 0.0, log_probs)
+            else:
+                forced = jnp.zeros((N, K), jnp.bool_)
+
+            # Accept while each fed draft matched the previous greedy
+            # target; stop after EOS or the buffer edge.
+            match = fed[:, 1:] == greedy[:, :-1]  # [N, K-1]
+            chain_ok = jnp.concatenate(
+                [jnp.ones((N, 1), jnp.bool_),
+                 jnp.cumprod(match.astype(jnp.int32), axis=1).astype(
+                     jnp.bool_)], axis=1)  # [N, K]
+            eos = is_end(greedy) & jnp.logical_not(forced)
+            eos_before = jnp.concatenate(
+                [jnp.zeros((N, 1), jnp.bool_),
+                 jnp.cumsum(eos.astype(jnp.int32), axis=1)[:, :-1] > 0],
+                axis=1)
+            accept = (chain_ok & jnp.logical_not(eos_before)
+                      & (gpos < L) & jnp.logical_not(finished[:, None]))
+            counts = jnp.sum(accept.astype(jnp.int32), axis=1)  # [N]
+
+            cols = jnp.where(accept, gpos, L)  # out-of-range -> dropped
+            rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                                    (N, K))
+            out_buf = out_buf.at[rows, cols].set(greedy, mode="drop")
+            scores = scores + jnp.sum(
+                jnp.where(accept, log_probs, 0.0), axis=1)
+
+            hit_end = jnp.any(accept & eos, axis=1)
+            new_gen = gen + counts
+            last_idx = jnp.maximum(counts - 1, 0)
+            last_tok = jnp.take_along_axis(
+                greedy, last_idx[:, None], axis=1)[:, 0]
+            tokens = jnp.where(counts > 0, last_tok, tokens)
+            pos = pos + counts
+            finished = finished | hit_end | (new_gen >= L)
+            return (it + 1, tokens, pos, cache, out_buf, scores, finished,
+                    new_gen)
+
+        state = (jnp.int32(0), start_tokens, pos, cache, out_buf, scores,
+                 finished, gen)
+        state = jax.lax.while_loop(cond, body, state)
+        _, _, _, cache, out_buf, scores, _, gen = state
+        packed = jnp.concatenate([
+            out_buf,
+            gen[:, None],
+            jax.lax.bitcast_convert_type(scores, jnp.int32)[:, None],
+        ], axis=-1)
+        return packed
+
+    return jax.jit(loop)
+
+
 def build_greedy_loop(arch, sig, quantize_acts: bool, out_dtype,
                       max_steps: int, has_token_map: bool = False,
                       init_cache: Optional[tuple] = None,

@@ -246,7 +246,11 @@ class DecodingEngine:
         max_step = options.max_length + (max_prefix if use_hard_prefix and not options.return_prefix else 0)
 
         if capacity is None:
-            capacity = _round_up(max(start_step + max_step, 16), 64)
+            # speculation_k: verify chunks may write up to K-1 slots past a
+            # row's final token — keep them inside the buffer.
+            capacity = _round_up(
+                max(start_step + max_step
+                    + getattr(options, "speculation_k", 0), 16), 64)
         model.ensure_consts(capacity)
 
         mem_kv = None
@@ -873,23 +877,48 @@ class DecodingEngine:
         # (The loop bound is the global max_step; per-row overshoot is
         # trimmed on the host below.)
 
+        spec_k = getattr(options, "speculation_k", 0)
         capacity = None
         if cache is None:
-            capacity = _round_up(max(start_step + max_step, 16), 64)
+            # speculation: verify chunks may write spec_k-1 slots past a
+            # row's final token.
+            capacity = _round_up(
+                max(start_step + max_step + (spec_k if spec_k > 1 else 0),
+                    16), 64)
+
+        # Lossless self-speculation (prompt-lookup drafts verified in
+        # T=spec_k chunks): greedy decoder-only runs with no alive-seq
+        # logits processors (validated by the Generator API).
+        use_spec = (spec_k > 1 and sig.greedy_sampler
+                    and not sig.use_alive_seq
+                    and token_map is None and mem_kv is None
+                    and encoder_inputs is None)
 
         key = (sig, max_step, P > 0, token_map is not None,
-               encoder_inputs is not None, capacity)
+               encoder_inputs is not None, capacity,
+               spec_k if use_spec else 0)
         with self._fns_lock:
             loop_fn = self._loop_fns.get(key)
         if loop_fn is None:
-            loop_fn = build_greedy_loop(
-                model.arch, sig, model.policy.quantize_activations,
-                model.out_dtype, max_step,
-                has_token_map=token_map is not None,
-                init_cache=(model.arch, capacity, model.kv_dtype,
-                            model.scan_layers)
-                if capacity is not None else None,
-                has_prefix=P > 0)
+            if use_spec:
+                from .device_loop import build_spec_greedy_loop
+
+                loop_fn = build_spec_greedy_loop(
+                    model.arch, sig, model.policy.quantize_activations,
+                    model.out_dtype, max_step, spec_k,
+                    init_cache=(model.arch, capacity, model.kv_dtype,
+                                model.scan_layers)
+                    if capacity is not None else None,
+                    has_prefix=P > 0)
+            else:
+                loop_fn = build_greedy_loop(
+                    model.arch, sig, model.policy.quantize_activations,
+                    model.out_dtype, max_step,
+                    has_token_map=token_map is not None,
+                    init_cache=(model.arch, capacity, model.kv_dtype,
+                                model.scan_layers)
+                    if capacity is not None else None,
+                    has_prefix=P > 0)
             with self._fns_lock:
                 self._loop_fns[key] = loop_fn
 

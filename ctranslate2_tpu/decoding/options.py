@@ -42,6 +42,10 @@ class DecodingOptions:
     min_alternative_expansion_prob: float = 0.0
     start_step: int = 0
     seed: int = 0
+    # Lossless self-speculative decoding in the greedy device loop
+    # (prompt-lookup drafting; >1 enables): each dispatch verifies a
+    # K-token chunk and accepts the matched prefix + one bonus token.
+    speculation_k: int = 0
     callback: Optional[Callable] = None
     # Whisper timestamp rules (eot, no_ts, ts_begin, ts_end, max_initial).
     whisper_ts: Optional[Tuple[int, int, int, int, int]] = None

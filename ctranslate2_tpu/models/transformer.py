@@ -611,10 +611,10 @@ def merged_attention_block(
         new_cache = _update_int8_cache(cache, k, v, offset)
         k, v = _dequantize_cache(new_cache, q.dtype)
     elif cache is not None:
-        ck = jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype), (0, 0, offset, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype), (0, 0, offset, 0))
+        # _cache_write handles both scalar and per-row [B] offsets
+        # (continuous batching: each slot decodes at its own position).
+        ck = _cache_write(cache["k"], k, offset)
+        cv = _cache_write(cache["v"], v, offset)
         new_cache = {"k": ck, "v": cv}
         k, v = ck, cv
 
@@ -1477,25 +1477,23 @@ def decoder_forward(
 
         rel_positions = None
         if aspec.has_rel_position_keys:
-            if pos_vec:
-                raise NotImplementedError(
-                    "relative-position models are not supported by the "
-                    "continuous-batching step (per-row positions)")
+            # Per-row positions (pos_vec: continuous batching /
+            # speculative verify chunks) produce batched [B, T, Tk]
+            # indices; shared positions keep the [T, Tk] form.
             Tk = C if attn_cached else T
             rel_positions = attn_ops.make_relative_positions(
                 T, Tk, aspec.max_relative_position,
-                query_offset=pos if attn_cached else None)
+                query_offset=pos if (attn_cached or pos_vec) else None)
         pbias = None
         if aspec.has_rel_attention_bias:
-            if pos_vec:
-                raise NotImplementedError(
-                    "relative-bias (T5) models are not supported by the "
-                    "continuous-batching step (per-row positions)")
+            # pos_vec gives a per-row [B, H, T, Tk] bucketed bias (same
+            # treatment ALiBi gets above; reference buckets:
+            # src/layers/attention.cc:51-126).
             Tk = C if attn_cached else T
             pbias = attn_ops.t5_position_bias(
                 lp["self_attention"]["relative_attention_bias"],
                 T, Tk, aspec.rel_max_distance, bidirectional=False,
-                query_offset=pos if attn_cached else 0)
+                query_offset=pos if (attn_cached or pos_vec) else 0)
         if layer_ring and (alibi_bias is not None or rel_positions is not None
                            or pbias is not None):
             raise NotImplementedError(

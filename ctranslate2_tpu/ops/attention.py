@@ -136,6 +136,14 @@ def make_relative_positions(num_queries: int, num_keys: int, max_position: int,
     query 0; when None, queries are assumed right-aligned with the keys
     (offset = Tk - Tq), the full-sequence convention.
     """
+    if not asymmetric and getattr(query_offset, "ndim", 0) > 0:
+        # Per-row offsets (continuous batching: each slot decodes at its
+        # own absolute position) -> [B, Tq, Tk].
+        i = jnp.arange(num_queries, dtype=jnp.int32)[None, :, None]
+        j = jnp.arange(num_keys, dtype=jnp.int32)[None, None, :]
+        rel = j - (i + query_offset[:, None, None])
+        return (jnp.clip(rel, -max_position, max_position)
+                + max_position).astype(jnp.int32)
     i = jnp.arange(num_queries, dtype=jnp.int32)[:, None]
     j = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
     if asymmetric:
@@ -149,9 +157,16 @@ def make_relative_positions(num_queries: int, num_keys: int, max_position: int,
 def relative_position_bucket(num_queries: int, num_keys: int, num_buckets: int,
                              max_distance: int, bidirectional: bool, query_offset=0):
     """T5 relative position buckets [Tq, Tk]
-    (reference: src/layers/attention.cc:51-101). ``query_offset`` may be traced."""
-    i = jnp.arange(num_queries, dtype=jnp.int32)[:, None] + query_offset
-    j = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
+    (reference: src/layers/attention.cc:51-101). ``query_offset`` may be
+    traced, and may be a [B] vector of per-row positions (continuous
+    batching), giving [B, Tq, Tk]."""
+    if getattr(query_offset, "ndim", 0) > 0:
+        i = (jnp.arange(num_queries, dtype=jnp.int32)[None, :, None]
+             + query_offset[:, None, None])
+        j = jnp.arange(num_keys, dtype=jnp.int32)[None, None, :]
+    else:
+        i = jnp.arange(num_queries, dtype=jnp.int32)[:, None] + query_offset
+        j = jnp.arange(num_keys, dtype=jnp.int32)[None, :]
     rel = j - i
     nb = num_buckets
     if bidirectional:
@@ -175,11 +190,14 @@ def relative_position_bucket(num_queries: int, num_keys: int, num_buckets: int,
 
 def t5_position_bias(rel_attention_bias, num_queries: int, num_keys: int,
                      max_distance: int, bidirectional: bool, query_offset=0):
-    """[H, Tq, Tk] additive bias from the learned [num_buckets, H] table."""
+    """[H, Tq, Tk] additive bias from the learned [num_buckets, H] table;
+    [B, H, Tq, Tk] when ``query_offset`` is a [B] per-row vector."""
     buckets = relative_position_bucket(
         num_queries, num_keys, rel_attention_bias.shape[0], max_distance,
         bidirectional, query_offset)
-    values = jnp.take(rel_attention_bias, buckets, axis=0)  # [Tq, Tk, H]
+    values = jnp.take(rel_attention_bias, buckets, axis=0)  # [.., Tq, Tk, H]
+    if buckets.ndim == 3:
+        return jnp.transpose(values, (0, 3, 1, 2)).astype(jnp.float32)
     return jnp.transpose(values, (2, 0, 1)).astype(jnp.float32)
 
 
@@ -208,10 +226,13 @@ def dot_product_attention(
     ) * queries_scale
 
     if rel_position_keys is not None:
-        # rel_rep: [Tq, Tk, D]; logits += scale * q . rel_rep
+        # rel_rep: [Tq, Tk, D] (shared) or [B, Tq, Tk, D] (per-row
+        # positions, continuous batching); logits += scale * q . rel_rep
         rel_rep = jnp.take(rel_position_keys, rel_positions, axis=0)
+        eq = "bhgqd,bqkd->bhgqk" if rel_positions.ndim == 3 else \
+            "bhgqd,qkd->bhgqk"
         rel_logits = jnp.einsum(
-            "bhgqd,qkd->bhgqk", qg, rel_rep, preferred_element_type=jnp.float32
+            eq, qg, rel_rep, preferred_element_type=jnp.float32
         ) * queries_scale
         logits = logits + rel_logits
 
@@ -235,8 +256,10 @@ def dot_product_attention(
 
     if rel_position_values is not None:
         rel_rep_v = jnp.take(rel_position_values, rel_positions, axis=0)
+        eq = "bhgqk,bqkd->bhgqd" if rel_positions.ndim == 3 else \
+            "bhgqk,qkd->bhgqd"
         out = out + jnp.einsum(
-            "bhgqk,qkd->bhgqd", weights.astype(v.dtype), rel_rep_v,
+            eq, weights.astype(v.dtype), rel_rep_v,
             preferred_element_type=jnp.float32,
         )
 

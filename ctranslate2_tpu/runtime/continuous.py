@@ -1051,10 +1051,14 @@ class ContinuousTranslator(ContinuousBatcher):
     target token comes from feeding the decoder start token, so no
     decoder-side prefill is needed.
 
-    Restrictions: greedy/sampling (no beam); requires models with
-    separate cross-attention (merged T5Gemma2 layout unsupported) and a
-    config-known decoder start token. Target prefixes ARE supported
-    (forced-prefix buffers, see ``submit(target_prefix=...)``).
+    Serves every encoder-decoder attention family the batch engine
+    models: separate cross-attention, merged self+cross (T5Gemma2,
+    per-slot memory via the memory_kv projection), T5 relative bias and
+    Shaw relative positions (per-row bucketed biases), and
+    source-factor inputs (per-feature id streams split at submit).
+    Restrictions: greedy/sampling (no beam) and a config-known decoder
+    start token. Target prefixes ARE supported (forced-prefix buffers,
+    see ``submit(target_prefix=...)``).
     """
 
     def __init__(self, translator, *, max_source_len: int = 128,
@@ -1063,18 +1067,13 @@ class ContinuousTranslator(ContinuousBatcher):
         if not model.is_sequence_to_sequence:
             raise ValueError(
                 "ContinuousTranslator requires an encoder-decoder model")
-        if any(l.self_attention.has_memory_kv
-               for l in model.arch.decoder.layers):
-            raise NotImplementedError(
-                "merged-attention (T5Gemma2) models are not supported by "
-                "the continuous translator")
-        if model.arch.encoder.embeddings.num_features > 1:
-            raise NotImplementedError(
-                "source-factor models are not supported by the continuous "
-                "translator; use Translator.translate_batch")
         self._translator = translator
         self._max_src = max_source_len
         self._src_vocab = model.source_vocabularies[0]
+        # Source-factor models: per-feature id streams are split at
+        # submit and encoded together (reference factored inputs:
+        # src/utils.cc:158-190 + src/layers/common.cc:49-148).
+        self._num_features = model.arch.encoder.embeddings.num_features
         start = model.config.get("decoder_start_token", "<s>")
         if start is None:
             raise NotImplementedError(
@@ -1097,7 +1096,12 @@ class ContinuousTranslator(ContinuousBatcher):
         model = self.model
         self._mem = []
         for layer in model.arch.decoder.layers:
+            # Merged-attention (T5Gemma2) layers carry their memory K/V
+            # through the self-attention memory_kv projection; geometry
+            # comes from the self-attention spec then.
             a = layer.cross_attention
+            if a is None and layer.self_attention.has_memory_kv:
+                a = layer.self_attention
             if a is None:
                 self._mem.append(None)
                 continue
@@ -1140,10 +1144,25 @@ class ContinuousTranslator(ContinuousBatcher):
                 f"source length {len(source)} exceeds max_source_len "
                 f"({self._max_src})")
         cfg = self.model.config
-        ids = self._src_vocab.tokens_to_ids(
-            [list(source)],
-            add_bos=bool(cfg.get("add_source_bos", False)),
-            add_eos=bool(cfg.get("add_source_eos", False)))[0]
+        feature_ids = None
+        if self._num_features > 1:
+            from .translator import extract_features
+
+            streams = extract_features([list(source)], self._num_features)
+            feature_ids = [
+                vocab.tokens_to_ids(
+                    stream,
+                    add_bos=bool(cfg.get("add_source_bos", False)),
+                    add_eos=bool(cfg.get("add_source_eos", False)))[0]
+                for vocab, stream in zip(self.model.source_vocabularies,
+                                         streams)
+            ]
+            ids = feature_ids[0]
+        else:
+            ids = self._src_vocab.tokens_to_ids(
+                [list(source)],
+                add_bos=bool(cfg.get("add_source_bos", False)),
+                add_eos=bool(cfg.get("add_source_eos", False)))[0]
         if max_length + self._block > self._capacity:
             raise ValueError("max_length exceeds the slot capacity")
         prefix_ids = []
@@ -1161,6 +1180,7 @@ class ContinuousTranslator(ContinuousBatcher):
                        stop_sequences=self._stop_ids(stop_sequences))
         req.prefix_ids = prefix_ids
         req.forced_len = len(prefix_ids)
+        req.feature_ids = feature_ids
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -1226,16 +1246,25 @@ class ContinuousTranslator(ContinuousBatcher):
         ids = req.prompt_ids
         P = min(_round_up(max(len(ids), 1), self._prefill_bucket),
                 self._max_src)
-        padded = np.zeros((1, P), np.int32)
-        padded[0, : len(ids)] = ids[:P]
+
+        def pad_ids(row):
+            padded = np.zeros((1, P), np.int32)
+            padded[0, : len(row)] = row[:P]
+            return jnp.asarray(padded)
+
+        feature_ids = getattr(req, "feature_ids", None)
+        enc_ids = (tuple(pad_ids(f) for f in feature_ids)
+                   if feature_ids is not None else pad_ids(ids))
         sub = self._get_encode(P)(
-            model.params, model.consts, jnp.asarray(padded),
+            model.params, model.consts, enc_ids,
             jnp.int32(min(len(ids), P)))
         self._mem = self._mem_insert(self._mem, sub, jnp.int32(slot))
         if self._draft_model is not None:
+            # Draft models are single-feature (checked in _init_draft);
+            # they encode the MAIN feature's ids.
             dm = self._draft_model
             dsub = self._get_draft_encode(P)(
-                dm.params, dm.consts, jnp.asarray(padded),
+                dm.params, dm.consts, pad_ids(ids),
                 jnp.int32(min(len(ids), P)))
             self._draft_mem = self._draft_mem_insert(
                 self._draft_mem, dsub, jnp.int32(slot))

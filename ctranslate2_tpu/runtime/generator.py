@@ -119,11 +119,43 @@ class Generator(TaskAPIMixin):
         include_prompt_in_result: bool = True,
         callback=None,
         seed: int = 0,
+        speculation_k: int = 0,
     ) -> List[GenerationResult]:
         if len(start_tokens) == 0:
             return []
         if any(len(s) == 0 for s in start_tokens):
             raise ValueError("Generator expects at least one start token per example")
+        if speculation_k > 1:
+            # Lossless self-speculation in the greedy device loop
+            # (losslessness holds under argmax only, and the alive-seq
+            # logits processors need the sequential step order).
+            if beam_size != 1:
+                raise ValueError("speculation_k requires beam_size=1")
+            if not (sampling_topk == 1 and sampling_topp >= 1.0):
+                raise NotImplementedError(
+                    "speculation requires greedy decoding (losslessness of "
+                    "draft verification is only guaranteed under argmax)")
+            if (repetition_penalty != 1.0 or no_repeat_ngram_size
+                    or suppress_sequences):
+                raise NotImplementedError(
+                    "speculation_k is not supported with "
+                    "repetition_penalty/no_repeat_ngram_size/"
+                    "suppress_sequences in generate_batch; use the "
+                    "ContinuousBatcher for those")
+            if callback is not None or return_alternatives:
+                raise ValueError(
+                    "speculation_k is not compatible with callback or "
+                    "return_alternatives")
+            if T.ring_capacity(self.model.arch):
+                min_window = min(
+                    (l.self_attention.sliding_window
+                     for l in self.model.arch.decoder.layers
+                     if l.self_attention.sliding_window > 1), default=0)
+                if min_window and speculation_k > min_window:
+                    raise ValueError(
+                        f"speculation_k ({speculation_k}) must not exceed "
+                        f"the smallest sliding window ({min_window}) of a "
+                        "ring-cached model")
 
         v = self._vocab
         end_ids = self._resolve_end_token(end_token)
@@ -151,6 +183,7 @@ class Generator(TaskAPIMixin):
             return_alternatives=return_alternatives,
             min_alternative_expansion_prob=min_alternative_expansion_prob,
             seed=seed,
+            speculation_k=speculation_k,
         )
 
         results: List[Optional[GenerationResult]] = [None] * len(start_tokens)
@@ -226,8 +259,10 @@ class Generator(TaskAPIMixin):
         start_step = 0
         max_prompt = max(len(s) for s in start_ids)
         static_len = len(static_prompt) if static_prompt else 0
+        spec_k = getattr(options, "speculation_k", 0)
         capacity = _round_up(
-            static_len + max_prompt + options.max_length + 1, 64)
+            static_len + max_prompt + options.max_length + 1
+            + (spec_k if spec_k > 1 else 0), 64)
         model.ensure_consts(capacity)
 
         # When nothing is prefilled the cache initializes INSIDE the

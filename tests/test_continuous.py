@@ -1044,3 +1044,162 @@ def test_translator_draft_model_speculation(tmp_path):
         ContinuousTranslator(t, num_slots=2, capacity=128,
                              max_source_len=32, speculation_k=4,
                              draft_model=dec)
+
+
+# ----------------------------------------------------------------------
+# Relative-position families in the continuous engines (round-3: the
+# per-row treatment round 2 gave ALiBi, extended to T5 buckets and Shaw
+# relative positions — reference: src/layers/attention.cc:51-165).
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shaw_gen(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shaw")
+    return Generator(build_decoder_only_model(
+        str(d / "m"), rel_position_max=8))
+
+
+@pytest.fixture(scope="module")
+def t5bias_gen(tmp_path_factory):
+    d = tmp_path_factory.mktemp("t5b")
+    return Generator(build_decoder_only_model(
+        str(d / "m"), rel_bias_buckets=8, rel_bias_max_distance=16,
+        rms_norm=True))
+
+
+@pytest.mark.parametrize("fixture", ["shaw_gen", "t5bias_gen"])
+def test_relative_model_continuous(fixture, request):
+    """Staggered-position continuous decode on relative-position models
+    must match the batch engine token-for-token: each slot's queries get
+    their own bucketed bias row at their own absolute position."""
+    gen = request.getfixturevalue(fixture)
+    prompts = [["tok1"], ["tok2", "tok3", "tok4"], ["tok5", "tok6"],
+               ["tok7", "tok1", "tok2", "tok3"]]
+    expected = [
+        gen.generate_batch([p], max_length=12,
+                           include_prompt_in_result=False)[0]
+        for p in prompts
+    ]
+    cb = _batcher(gen, num_slots=3)  # staggered positions across slots
+    try:
+        futures = [cb.submit(p, max_length=12) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=300).sequences_ids[0] == \
+                e.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+@pytest.mark.parametrize("fixture", ["shaw_gen", "t5bias_gen"])
+def test_relative_model_speculation(fixture, request):
+    """Speculative verify chunks (T=K, per-row positions) stay lossless
+    on relative-position models."""
+    gen = request.getfixturevalue(fixture)
+    prompts = [["tok1", "tok2"], ["tok3"], ["tok4", "tok5", "tok6"]]
+    expected = [
+        gen.generate_batch([p], max_length=14,
+                           include_prompt_in_result=False)[0]
+        for p in prompts
+    ]
+    cb = _batcher(gen, num_slots=2, speculation_k=4)
+    try:
+        futures = [cb.submit(p, max_length=14) for p in prompts]
+        for f, e in zip(futures, expected):
+            assert f.result(timeout=300).sequences_ids[0] == \
+                e.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+def test_t5_geometry_continuous_translator(tmp_path):
+    """A converted HF T5 (rel-bias encoder-decoder) through the
+    ContinuousTranslator matches translate_batch, including forced
+    target prefixes that stagger the slots' decode positions."""
+    import sys
+
+    import transformers
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_transformers_converters import DummyTokenizer
+
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+    from ctranslate2_tpu.converters.transformers_conv import (
+        TransformersConverter,
+    )
+
+    cfg = transformers.T5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, feed_forward_proj="relu",
+        decoder_start_token_id=3, tie_word_embeddings=True)
+    model = transformers.T5ForConditionalGeneration(cfg).eval()
+    out_dir = TransformersConverter(
+        model=model, tokenizer=DummyTokenizer(64)).convert(
+            str(tmp_path / "t5"))
+
+    t = Translator(out_dir)
+    sources = [["tk5", "tk9"], ["tk12", "tk7", "tk4"], ["tk3"]]
+    prefixes = [["tk8", "tk11"], None, ["tk21"]]
+    expected = [
+        t.translate_batch([s], target_prefix=[p], beam_size=1,
+                          max_decoding_length=10)[0]
+        for s, p in zip(sources, prefixes)
+    ]
+    ct = ContinuousTranslator(t, num_slots=2, capacity=64,
+                              max_source_len=16)
+    try:
+        futs = [ct.submit(s, max_length=10, target_prefix=p)
+                for s, p in zip(sources, prefixes)]
+        for f, e in zip(futs, expected):
+            assert f.result(timeout=300).sequences == e.hypotheses
+    finally:
+        ct.close()
+
+
+def test_merged_attention_continuous_translator(tmp_path):
+    """Merged self+cross attention (T5Gemma2 layout) through the
+    ContinuousTranslator: per-slot memory_kv buffers + vector-position
+    cache writes match the batch engine."""
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    d = build_seq2seq_model(str(tmp_path / "merged"),
+                            merged_attention=True)
+    t = Translator(d)
+    sources = [["tok5", "tok9"], ["tok12", "tok7", "tok4"], ["tok3"]]
+    expected = [t.translate_batch([s], beam_size=1,
+                                  max_decoding_length=10)[0]
+                for s in sources]
+    ct = ContinuousTranslator(t, num_slots=2, capacity=64,
+                              max_source_len=16)
+    try:
+        futs = [ct.submit(s, max_length=10) for s in sources]
+        for f, e in zip(futs, expected):
+            assert f.result(timeout=300).sequences == e.hypotheses
+    finally:
+        ct.close()
+
+
+def test_source_factors_continuous_translator(tmp_path):
+    """Source-factor models through the ContinuousTranslator: factored
+    tokens split into per-feature id streams at submit."""
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    d = build_seq2seq_model(str(tmp_path / "factors"),
+                            num_source_features=2)
+    t = Translator(d)
+    sources = [["tok5￨tok2", "tok9￨tok1"],
+               ["tok12￨tok3", "tok7￨tok2", "tok4￨tok1"]]
+    expected = [t.translate_batch([s], beam_size=1,
+                                  max_decoding_length=10)[0]
+                for s in sources]
+    ct = ContinuousTranslator(t, num_slots=2, capacity=64,
+                              max_source_len=16)
+    try:
+        futs = [ct.submit(s, max_length=10) for s in sources]
+        for f, e in zip(futs, expected):
+            assert f.result(timeout=300).sequences == e.hypotheses
+    finally:
+        ct.close()
