@@ -102,6 +102,51 @@ def top_p_mask(scores, p: float):
     return jnp.where(scores >= threshold, scores, DISABLE)
 
 
+def sample_tokens_per_row(
+    log_probs,  # [S, V] log-softmaxed scores
+    key,
+    *,
+    topks,  # [S] int32: 0 = full vocab, 1 = greedy, k = top-k restrict
+    topps,  # [S] f32: 1.0 = off
+    temps,  # [S] f32
+    seeds,  # [S] int32: per-row PRNG stream (folded into ``key``)
+    max_topk: int,
+):
+    """Row-vectorized sampler for the continuous engines: every request
+    carries its OWN topk/topp/temperature/seed (reference: per-call
+    options through the buffered wrapper,
+    include/ctranslate2/translation.h:11-86). Rows with topk == 1 take
+    the greedy pick. Returns (ids [S], scores [S]) with scores from the
+    unmodified distribution.
+    """
+    S, V = log_probs.shape
+    greedy_rows = topks == 1
+
+    work = log_probs / jnp.maximum(temps, 1e-6)[:, None]
+    if max_topk > 0:
+        vals, _ = small_top_k(work, min(max_topk, V))  # desc
+        kth = jnp.take_along_axis(
+            vals, jnp.clip(topks - 1, 0, vals.shape[1] - 1)[:, None],
+            axis=1)  # [S, 1]
+        use_topk = ((topks > 1) & (topks < V))[:, None]
+        work = jnp.where(use_topk & (work < kth), DISABLE, work)
+    # Per-row nucleus mask (top_p_mask broadcasts an [S, 1] threshold).
+    any_topp = topps < 1.0
+    masked = top_p_mask(work, jnp.minimum(topps, 1.0)[:, None])
+    work = jnp.where(any_topp[:, None], masked, work)
+
+    # Per-row PRNG streams: one gumbel field keyed by fold_in(key, seed).
+    row_keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(seeds)
+    gumbel = jax.vmap(
+        lambda k: jax.random.gumbel(k, (V,), jnp.float32))(row_keys)
+    sampled = jnp.argmax(work + gumbel, axis=-1).astype(jnp.int32)
+
+    g_ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+    ids = jnp.where(greedy_rows, g_ids, sampled)
+    scores = jnp.take_along_axis(log_probs, ids[:, None], axis=-1)[:, 0]
+    return ids, scores
+
+
 def sample_tokens(
     log_probs,  # [N, V] log-softmaxed scores
     key,

@@ -51,6 +51,13 @@ class _Request:
     max_length: int
     min_length: int
     temperature: float = 0.0  # 0 = the batcher's default
+    # Per-request sampling overrides (None = the batcher's default;
+    # reference: full options per call through the buffered wrapper,
+    # include/ctranslate2/translation.h:11-86).
+    topk: Optional[int] = None
+    topp: Optional[float] = None
+    seed: Optional[int] = None
+    end_ids: Optional[tuple] = None
     future: Future = field(default_factory=Future)
     # Token-streaming callback (reference GenerationStepResult callback
     # semantics: return True to stop this request early).
@@ -111,6 +118,7 @@ class ContinuousBatcher:
         steps_per_sync: int = 8,
         speculation_k: int = 0,
         draft_model=None,
+        max_sampling_topk: int = 64,
     ):
         if speculation_k:
             if not (sampling_topk == 1 and sampling_topp >= 1.0):
@@ -256,6 +264,18 @@ class ContinuousBatcher:
         self._tokens = np.zeros(num_slots, np.int32)
         self._temps = np.full(num_slots, self._temperature or 1.0,
                               np.float32)
+        # Per-slot sampling state (per-request overrides; defaults = the
+        # batcher's options). topk semantics: 1 = greedy, 0 = full vocab.
+        self._max_topk = max(int(max_sampling_topk),
+                             self._topk if 1 < self._topk else 1)
+        self._topks = np.full(num_slots, max(self._topk, 0), np.int32)
+        self._topps = np.full(num_slots, min(self._topp, 1.0), np.float32)
+        self._seeds = np.full(num_slots, seed, np.int32)
+        # Per-slot end-token table [S, E] (-1 padding rows).
+        self._end_cols = max(4, len(self._end_ids))
+        self._end_table = np.full((num_slots, self._end_cols), -1, np.int32)
+        for e, eid in enumerate(self._end_ids):
+            self._end_table[:, e] = eid
         self._step_count = 0
         self._steps_while_pending = 0
         # Serving counters (ExecutionStats analog for the continuous
@@ -305,6 +325,10 @@ class ContinuousBatcher:
     def submit(self, prompt: Sequence[str], *, max_length: int = 256,
                min_length: int = 0,
                sampling_temperature: float = None,
+               sampling_topk: int = None,
+               sampling_topp: float = None,
+               seed: int = None,
+               end_token=None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one prompt; the Future resolves to a GenerationResult
@@ -327,11 +351,14 @@ class ContinuousBatcher:
                 f"prompt ({len(ids)}) + max_length ({max_length}) + "
                 f"dispatch margin ({margin}) exceeds the slot "
                 f"capacity ({self._capacity})")
+        self._validate_request_sampling(sampling_topk, sampling_topp, seed)
         # Window models: prompts longer than one ring block run through
         # the chunked prefill path (see _prefill_chunked).
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length,
                        temperature=sampling_temperature or 0.0,
+                       topk=sampling_topk, topp=sampling_topp, seed=seed,
+                       end_ids=self._resolve_request_end_ids(end_token),
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         self._queue.put(req)
@@ -410,6 +437,56 @@ class ContinuousBatcher:
         except Exception:
             pass
 
+    def _req_end_ids(self, req) -> tuple:
+        """The request's end-token ids (per-request end_token override or
+        the batcher default)."""
+        return req.end_ids if req.end_ids is not None else self._end_ids
+
+    def _resolve_request_end_ids(self, end_token):
+        """Map a per-request ``end_token`` (token/ids or list) to ids,
+        bounded by the slot end-table width."""
+        if end_token is None:
+            return None
+        v = self._vocab
+        if isinstance(end_token, str):
+            ids = (v.to_id(end_token, allow_unk=False),)
+        else:
+            ids = tuple(t if isinstance(t, int)
+                        else v.to_id(t, allow_unk=False) for t in end_token)
+        if not ids:
+            return None
+        if len(ids) > self._end_cols:
+            raise ValueError(
+                f"end_token lists up to {self._end_cols} ids per request")
+        return ids
+
+    def _set_slot_sampling(self, slot: int, req: _Request) -> None:
+        """Write the request's sampling overrides into the per-slot
+        device-step arrays (defaults = the batcher's options)."""
+        self._temps[slot] = req.temperature or self._temperature or 1.0
+        self._topks[slot] = (req.topk if req.topk is not None
+                             else max(self._topk, 0))
+        self._topps[slot] = (req.topp if req.topp is not None
+                             else min(self._topp, 1.0))
+        self._seeds[slot] = (req.seed if req.seed is not None else 0)
+        self._end_table[slot, :] = -1
+        for e, eid in enumerate(self._req_end_ids(req)):
+            self._end_table[slot, e] = eid
+
+    def _validate_request_sampling(self, topk, topp, seed) -> None:
+        if topk is not None and topk != 0 and not (
+                1 <= topk <= self._max_topk):
+            raise ValueError(
+                f"per-request sampling_topk must be 0 (full vocabulary) or "
+                f"in [1, {self._max_topk}] (raise max_sampling_topk at "
+                "construction for larger values)")
+        if self._spec_k > 1 and (
+                (topk is not None and topk != 1)
+                or (topp is not None and topp < 1.0)):
+            raise NotImplementedError(
+                "speculation requires greedy decoding; per-request "
+                "sampling overrides must keep topk=1/topp=1")
+
     def _stop_ids(self, stop_sequences) -> tuple:
         v = self._vocab
         for seq in (stop_sequences or ()):
@@ -445,7 +522,7 @@ class ContinuousBatcher:
                     return
         if req.callback is None or req.stopped:
             return
-        done = ((tok in self._end_ids
+        done = ((tok in self._req_end_ids(req)
                  and len(req.generated) > req.min_length)
                 or len(req.generated) >= req.max_length)
         try:
@@ -504,19 +581,46 @@ class ContinuousBatcher:
     # Jitted pieces.
     # ------------------------------------------------------------------
 
-    def _sample_logits(self, l, disable_end, key, temps=None):
-        """``temps``: optional per-row temperatures (sampled mode only);
-        pick scores are then reported from the tempered distribution."""
+    def _end_mask(self, end_table, V: int):
+        """[S, V] bool mask of each slot's end tokens (per-request
+        end_token; -1 table entries drop)."""
+        S = end_table.shape[0]
+        rows = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[:, None], end_table.shape)
+        return jnp.zeros((S, V), jnp.bool_).at[rows, end_table].set(
+            True, mode="drop")
+
+    def _sample_logits(self, l, disable_end, key, temps, topks=None,
+                       topps=None, seeds=None, end_table=None):
+        """Row-vectorized sampling with per-request
+        topk/topp/temperature/seed/end_token (reference: per-call options
+        through the buffered wrapper, translation.h:11-86). Rows with
+        topk == 1 take the greedy pick; scores are reported from the raw
+        distribution (reference RandomSampler gathers unmodified scores,
+        src/sampling.cc:94-99)."""
+        from ..decoding.sampling import sample_tokens_per_row
+
         l = l.astype(jnp.float32)
         l = proc.disable_tokens(l, self._suppress_ids)
-        l = proc.disable_tokens_if(l, self._end_ids, disable_end)
-        if temps is not None and not self._greedy:
-            l = l / jnp.maximum(temps, 1e-6)[:, None]
+        if end_table is not None:
+            l = jnp.where(
+                disable_end[:, None] & self._end_mask(end_table, l.shape[-1]),
+                proc.DISABLE, l)
+        else:
+            l = proc.disable_tokens_if(l, self._end_ids, disable_end)
+        S = l.shape[0]
+        if topks is None:
+            topks = jnp.full((S,), max(self._topk, 0), jnp.int32)
+        if topps is None:
+            topps = jnp.full((S,), min(self._topp, 1.0), jnp.float32)
+        if seeds is None:
+            seeds = jnp.zeros((S,), jnp.int32)
         log_probs = jax.nn.log_softmax(l, axis=-1)
-        return sample_tokens(
-            log_probs, key, topk=self._topk, topp=self._topp,
-            temperature=1.0 if temps is not None else self._temperature,
-            greedy=self._greedy)
+        return sample_tokens_per_row(
+            log_probs, key, topks=topks, topps=topps,
+            temps=(temps if temps is not None
+                   else jnp.full((S,), self._temperature or 1.0)),
+            seeds=seeds, max_topk=self._max_topk)
 
     def _apply_rep_penalty(self, l, seen, intra=None):
         """Reference RepetitionPenalty: positive logits divided, negative
@@ -538,7 +642,7 @@ class ContinuousBatcher:
         block = self._block
 
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 temps, key, n, seen, hist):
+                 temps, topks, topps, seeds, end_table, key, n, seen, hist):
             def body(carry, i):
                 tokens, pos, gen_len, cache, seen, hist = carry
                 logits, cache, _ = T.decoder_forward(
@@ -553,7 +657,9 @@ class ContinuousBatcher:
                 disable_end = gen_len < min_len
                 ids, scores = self._sample_logits(
                     l, disable_end,
-                    jax.random.fold_in(key, n * block + i), temps=temps)
+                    jax.random.fold_in(key, n * block + i), temps=temps,
+                    topks=topks, topps=topps, seeds=seeds,
+                    end_table=end_table)
                 rows = jnp.arange(ids.shape[0])
                 if use_rep:
                     seen = seen.at[rows, ids].set(True)
@@ -568,7 +674,7 @@ class ContinuousBatcher:
                     jnp.arange(block, dtype=jnp.int32))
             return ids_k, scores_k, cache, seen, hist
 
-        return jax.jit(step, donate_argnums=(2, 10, 11))
+        return jax.jit(step, donate_argnums=(2, 14, 15))
 
     def _build_spec_step(self):
         model = self.model
@@ -581,7 +687,7 @@ class ContinuousBatcher:
         use_ngram = bool(self._ngram)
 
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 temps, key, n, seen, hist):
+                 temps, end_table, key, n, seen, hist):
             # tokens [S, K]: [last accepted | K-1 drafted]; verify in one
             # T=K forward. Position i's logits give the greedy target for
             # the token at position i+1.
@@ -619,13 +725,11 @@ class ContinuousBatcher:
                                           self._ngram)
                      for j in range(K)], axis=1)
             l = proc.disable_tokens(l, self._suppress_ids)
-            if self._end_ids:
-                gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
-                disable = gl < min_len[:, None]
-                mask = jnp.zeros((l.shape[-1],), jnp.bool_).at[
-                    jnp.asarray(self._end_ids)].set(True)
-                l = jnp.where(disable[..., None] & mask[None, None, :],
-                              proc.DISABLE, l)
+            gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+            disable = gl < min_len[:, None]
+            mask = self._end_mask(end_table, l.shape[-1])  # [S, V]
+            l = jnp.where(disable[..., None] & mask[:, None, :],
+                          proc.DISABLE, l)
             greedy = jnp.argmax(l, axis=-1).astype(jnp.int32)  # [S, K]
             picked = jnp.take_along_axis(
                 jax.nn.log_softmax(l, axis=-1), greedy[..., None],
@@ -742,7 +846,8 @@ class ContinuousBatcher:
             model.params, model.consts, self._cache,
             jnp.asarray(tokens), jnp.asarray(pos),
             jnp.asarray(gen_len), jnp.asarray(min_len),
-            jnp.asarray(self._temps), self._key,
+            jnp.asarray(self._temps), jnp.asarray(self._end_table),
+            self._key,
             jnp.int32(self._step_count + 0x40000000), self._seen,
             self._hist)
         self._step_count += 1
@@ -772,7 +877,7 @@ class ContinuousBatcher:
                 self._tokens[i] = tok
                 emitted = j + 1
                 self._accepted_tokens += 1
-                if (tok in self._end_ids
+                if (tok in self._req_end_ids(req)
                         and len(req.generated) > req.min_length):
                     break
                 if len(req.generated) >= req.max_length or req.stopped:
@@ -803,7 +908,8 @@ class ContinuousBatcher:
         kv_dtype = model.kv_dtype
         stacked = model.scan_layers
 
-        def prefill(params, consts, ids, length, disable_end, temp, key, n):
+        def prefill(params, consts, ids, length, disable_end, temp, topk,
+                    topp, seed, end_row, key, n):
             # ids [1, P] padded; real prompt occupies [0, length). The
             # prefill cache is prompt-sized (O(P^2) attention, not O(P*C));
             # cache_insert_row pads it into the full-capacity slot row.
@@ -817,7 +923,8 @@ class ContinuousBatcher:
             last = jnp.take(logits[0], length - 1, axis=0)
             ids_out, scores = self._sample_logits(
                 last[None], disable_end[None], jax.random.fold_in(key, n),
-                temps=temp[None])
+                temps=temp[None], topks=topk[None], topps=topp[None],
+                seeds=seed[None], end_table=end_row[None])
             return ids_out[0], scores[0], cache
 
         fn = jax.jit(prefill)
@@ -851,13 +958,17 @@ class ContinuousBatcher:
                 out_dtype=model.out_dtype,
                 fresh_prefill=(off == 0))
             last_len = size
+        self._set_slot_sampling(slot, req)
         last = logits[0, last_len - 1].astype(jnp.float32)
         tok, score = self._sample_logits(
             last[None],
             jnp.asarray([req.min_length > 0]),
             jax.random.fold_in(self._key, self._step_count),
-            temps=jnp.asarray(
-                [req.temperature or self._temperature or 1.0], jnp.float32))
+            temps=jnp.asarray(self._temps[slot: slot + 1]),
+            topks=jnp.asarray(self._topks[slot: slot + 1]),
+            topps=jnp.asarray(self._topps[slot: slot + 1]),
+            seeds=jnp.asarray(self._seeds[slot: slot + 1]),
+            end_table=jnp.asarray(self._end_table[slot: slot + 1]))
         self._cache = self._insert_fn(self._cache, cache, jnp.int32(slot))
         first = int(tok[0])
         if self._seen is not None:
@@ -913,7 +1024,8 @@ class ContinuousBatcher:
             if req is None:
                 continue
             done = False
-            if req.generated and req.generated[-1] in self._end_ids \
+            if req.generated and req.generated[-1] in \
+                    self._req_end_ids(req) \
                     and len(req.generated) > req.min_length:
                 req.generated.pop()  # drop the end token (reference strips it)
                 done = True
@@ -969,12 +1081,16 @@ class ContinuousBatcher:
         P = _round_up(len(ids), self._prefill_bucket)
         padded = np.zeros((1, P), np.int32)
         padded[0, : len(ids)] = ids
+        self._set_slot_sampling(slot, req)
         fn = self._get_prefill(P)
         tok, score, sub_cache = fn(
             model.params, model.consts, jnp.asarray(padded),
             jnp.int32(len(ids)),
             jnp.asarray(req.min_length > 0),
-            jnp.float32(req.temperature or self._temperature or 1.0),
+            jnp.float32(self._temps[slot]),
+            jnp.int32(self._topks[slot]), jnp.float32(self._topps[slot]),
+            jnp.int32(self._seeds[slot]),
+            jnp.asarray(self._end_table[slot]),
             self._key, jnp.int32(self._step_count))
         self._cache = self._insert_fn(
             self._cache, sub_cache, jnp.int32(slot))
@@ -1010,7 +1126,9 @@ class ContinuousBatcher:
                 model.params, model.consts, self._cache,
                 jnp.asarray(self._tokens), jnp.asarray(pos),
                 jnp.asarray(gen_len), jnp.asarray(min_len),
-                jnp.asarray(self._temps), self._key,
+                jnp.asarray(self._temps), jnp.asarray(self._topks),
+                jnp.asarray(self._topps), jnp.asarray(self._seeds),
+                jnp.asarray(self._end_table), self._key,
                 jnp.int32((self._step_count // max(1, self._block))
                           + 0x40000000), self._seen, self._hist)
         self._step_count += self._block
@@ -1031,7 +1149,7 @@ class ContinuousBatcher:
                 # Stop consuming once this request is done (its remaining
                 # block tokens are a discarded speculative continuation);
                 # _harvest frees the slot right after.
-                if (tok in self._end_ids
+                if (tok in self._req_end_ids(req)
                         and len(req.generated) > req.min_length):
                     break
                 if len(req.generated) >= req.max_length:
@@ -1128,6 +1246,10 @@ class ContinuousTranslator(ContinuousBatcher):
     def submit(self, source: Sequence[str], *, max_length: int = 256,
                min_length: int = 0,
                sampling_temperature: float = None,
+               sampling_topk: int = None,
+               sampling_topp: float = None,
+               seed: int = None,
+               end_token=None,
                target_prefix: Sequence[str] = None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
@@ -1173,9 +1295,12 @@ class ContinuousTranslator(ContinuousBatcher):
                 raise ValueError(
                     f"target_prefix length {len(prefix_ids)} exceeds "
                     f"max_target_prefix ({self._max_prefix})")
+        self._validate_request_sampling(sampling_topk, sampling_topp, seed)
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length + len(prefix_ids),
                        temperature=sampling_temperature or 0.0,
+                       topk=sampling_topk, topp=sampling_topp, seed=seed,
+                       end_ids=self._resolve_request_end_ids(end_token),
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         req.prefix_ids = prefix_ids
@@ -1272,7 +1397,7 @@ class ContinuousTranslator(ContinuousBatcher):
         self._src_len[slot] = min(len(ids), P)
         self._pos[slot] = 0
         self._tokens[slot] = self._start_id
-        self._temps[slot] = req.temperature or self._temperature or 1.0
+        self._set_slot_sampling(slot, req)
         prefix = getattr(req, "prefix_ids", None) or []
         self._prefix[slot, :] = 0
         self._prefix[slot, : len(prefix)] = prefix
@@ -1400,7 +1525,7 @@ class ContinuousTranslator(ContinuousBatcher):
         S_max = self._max_src
 
         def step(params, consts, cache, mem, src_len, tokens, pos,
-                 gen_len, min_len, temps, prefix, plen, key, n):
+                 gen_len, min_len, temps, end_table, prefix, plen, key, n):
             from ..ops import attention as attn_ops
 
             mem_bias = attn_ops.length_mask_bias(src_len, S_max)
@@ -1409,13 +1534,11 @@ class ContinuousTranslator(ContinuousBatcher):
                 quantize_acts=quantize_acts, out_dtype=out_dtype)
             l = logits.astype(jnp.float32)  # [S, K, V]
             l = proc.disable_tokens(l, self._suppress_ids)
-            if self._end_ids:
-                gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
-                disable = gl < min_len[:, None]
-                mask = jnp.zeros((l.shape[-1],), jnp.bool_).at[
-                    jnp.asarray(self._end_ids)].set(True)
-                l = jnp.where(disable[..., None] & mask[None, None, :],
-                              proc.DISABLE, l)
+            gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+            disable = gl < min_len[:, None]
+            mask = self._end_mask(end_table, l.shape[-1])
+            l = jnp.where(disable[..., None] & mask[:, None, :],
+                          proc.DISABLE, l)
             greedy = jnp.argmax(l, axis=-1).astype(jnp.int32)
             # Hard target prefixes force the emitted token per position.
             gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
@@ -1440,7 +1563,8 @@ class ContinuousTranslator(ContinuousBatcher):
         S_max = self._max_src
 
         def step(params, consts, cache, mem, src_len, tokens, pos,
-                 gen_len, min_len, temps, prefix, plen, key, n):
+                 gen_len, min_len, temps, topks, topps, seeds, end_table,
+                 prefix, plen, key, n):
             from ..ops import attention as attn_ops
 
             mem_bias = attn_ops.length_mask_bias(src_len, S_max)
@@ -1454,7 +1578,9 @@ class ContinuousTranslator(ContinuousBatcher):
                 disable_end = gen_len < min_len
                 ids, scores = self._sample_logits(
                     logits[:, -1], disable_end,
-                    jax.random.fold_in(key, n * block + i), temps=temps)
+                    jax.random.fold_in(key, n * block + i), temps=temps,
+                    topks=topks, topps=topps, seeds=seeds,
+                    end_table=end_table)
                 # Hard target prefix: force while gen_len < plen (the
                 # forced token is what gets FED, so the cache stays right).
                 forced = jnp.take_along_axis(
@@ -1501,7 +1627,8 @@ class ContinuousTranslator(ContinuousBatcher):
             model.params, model.consts, self._cache, self._mem,
             jnp.asarray(self._src_len), jnp.asarray(tokens),
             jnp.asarray(pos), jnp.asarray(gen_len), jnp.asarray(min_len),
-            jnp.asarray(self._temps), jnp.asarray(self._prefix),
+            jnp.asarray(self._temps), jnp.asarray(self._end_table),
+            jnp.asarray(self._prefix),
             jnp.asarray(self._plen), self._key,
             jnp.int32(self._step_count + 0x40000000))
         self._step_count += 1
@@ -1523,7 +1650,9 @@ class ContinuousTranslator(ContinuousBatcher):
             model.params, model.consts, self._cache, self._mem,
             jnp.asarray(self._src_len), jnp.asarray(self._tokens),
             jnp.asarray(pos), jnp.asarray(gen_len), jnp.asarray(min_len),
-            jnp.asarray(self._temps), jnp.asarray(self._prefix),
+            jnp.asarray(self._temps), jnp.asarray(self._topks),
+            jnp.asarray(self._topps), jnp.asarray(self._seeds),
+            jnp.asarray(self._end_table), jnp.asarray(self._prefix),
             jnp.asarray(self._plen), self._key,
             jnp.int32((self._step_count // max(1, self._block))
                       + 0x40000000))
@@ -1538,7 +1667,7 @@ class ContinuousTranslator(ContinuousBatcher):
                 self._emit(req, tok, float(scores[j, i]))
                 self._tokens[i] = tok
                 self._pos[i] += 1
-                if (tok in self._end_ids
+                if (tok in self._req_end_ids(req)
                         and len(req.generated) > req.min_length):
                     break
                 if len(req.generated) >= req.max_length or req.stopped:
@@ -1623,6 +1752,10 @@ class ContinuousWhisper(ContinuousTranslator):
     def submit(self, features, prompt: Sequence, *, max_length: int = 256,
                min_length: int = 0,
                sampling_temperature: float = None,
+               sampling_topk: int = None,
+               sampling_topp: float = None,
+               seed: int = None,
+               end_token=None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one audio segment: ``features`` [n_mels, frames] mel
@@ -1653,9 +1786,12 @@ class ContinuousWhisper(ContinuousTranslator):
             raise ValueError(
                 f"features length {feats.shape[-1]} exceeds the encoder "
                 f"capacity ({2 * self._max_src} frames)")
+        self._validate_request_sampling(sampling_topk, sampling_topp, seed)
         req = _Request(prompt_ids=[], max_length=max_length,
                        min_length=min_length + (len(ids) - 1),
                        temperature=sampling_temperature or 0.0,
+                       topk=sampling_topk, topp=sampling_topp, seed=seed,
+                       end_ids=self._resolve_request_end_ids(end_token),
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         req.start_id = ids[0]
@@ -1696,7 +1832,7 @@ class ContinuousWhisper(ContinuousTranslator):
         self._src_len[slot] = min((feats.shape[-1] + 1) // 2, self._max_src)
         self._pos[slot] = 0
         self._tokens[slot] = req.start_id
-        self._temps[slot] = req.temperature or self._temperature or 1.0
+        self._set_slot_sampling(slot, req)
         prefix = req.prefix_ids or []
         self._prefix[slot, :] = 0
         self._prefix[slot, : len(prefix)] = prefix

@@ -1203,3 +1203,127 @@ def test_source_factors_continuous_translator(tmp_path):
             assert f.result(timeout=300).sequences == e.hypotheses
     finally:
         ct.close()
+
+
+# ----------------------------------------------------------------------
+# Per-request sampling options (round 3): topk/topp/seed/end_token per
+# submit, mixed greedy+sampled traffic in one batcher (reference:
+# per-call options through the buffered wrapper, translation.h:11-86).
+# ----------------------------------------------------------------------
+
+
+def test_per_request_mixed_greedy_and_sampled(gen_model):
+    """A topk=1 request in a SAMPLED batcher reproduces the greedy
+    continuation while hot sampled neighbors decode in the same fleet."""
+    greedy = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12,
+        include_prompt_in_result=False)[0]
+    cb = _batcher(gen_model, sampling_topk=0, sampling_temperature=1.0,
+                  seed=11)
+    try:
+        g = cb.submit(["tok1", "tok2"], max_length=12, sampling_topk=1)
+        hot = cb.submit(["tok1", "tok2"], max_length=12,
+                        sampling_temperature=5.0, seed=1)
+        hot2 = cb.submit(["tok1", "tok2"], max_length=12,
+                         sampling_temperature=5.0, seed=2)
+        assert g.result(timeout=300).sequences_ids[0] == \
+            greedy.sequences_ids[0]
+        r1 = hot.result(timeout=300).sequences_ids[0]
+        r2 = hot2.result(timeout=300).sequences_ids[0]
+        assert r1 and r2
+        # Distinct per-request seeds give distinct sample streams.
+        assert r1 != r2
+    finally:
+        cb.close()
+
+
+def test_per_request_sampled_in_greedy_batcher(gen_model):
+    """The inverse mix: a sampled request joins a GREEDY-default
+    batcher; greedy neighbors stay exact."""
+    greedy = gen_model.generate_batch(
+        [["tok3"]], max_length=10, include_prompt_in_result=False)[0]
+    cb = _batcher(gen_model)  # greedy default
+    try:
+        g = cb.submit(["tok3"], max_length=10)
+        s = cb.submit(["tok3"], max_length=10, sampling_topk=5,
+                      sampling_temperature=2.0, seed=9)
+        assert g.result(timeout=300).sequences_ids[0] == \
+            greedy.sequences_ids[0]
+        assert 0 < len(s.result(timeout=300).sequences_ids[0]) <= 10
+    finally:
+        cb.close()
+
+
+def test_per_request_topp(gen_model):
+    """topp=tiny keeps only the top token: equivalent to greedy."""
+    greedy = gen_model.generate_batch(
+        [["tok2", "tok4"]], max_length=10,
+        include_prompt_in_result=False)[0]
+    cb = _batcher(gen_model, sampling_topk=0, sampling_temperature=1.0)
+    try:
+        r = cb.submit(["tok2", "tok4"], max_length=10,
+                      sampling_topp=1e-9).result(timeout=300)
+        assert r.sequences_ids[0] == greedy.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+def test_per_request_end_token(gen_model):
+    """A per-request end_token stops generation where the batch engine
+    does, while default-end neighbors are unaffected."""
+    base = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    assert len(base) >= 4
+    stop_tok = base[3]
+    expected = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12, end_token=[stop_tok],
+        include_prompt_in_result=False)[0]
+    cb = _batcher(gen_model, num_slots=2)
+    try:
+        f1 = cb.submit(["tok1", "tok2"], max_length=12,
+                       end_token=[stop_tok])
+        f2 = cb.submit(["tok1", "tok2"], max_length=12)
+        assert f1.result(timeout=300).sequences_ids[0] == \
+            expected.sequences_ids[0]
+        assert f2.result(timeout=300).sequences_ids[0] == base
+    finally:
+        cb.close()
+
+
+def test_per_request_sampling_validation(gen_model):
+    cb = _batcher(gen_model, max_sampling_topk=32)
+    try:
+        with pytest.raises(ValueError, match="max_sampling_topk"):
+            cb.submit(["tok1"], max_length=8, sampling_topk=100)
+    finally:
+        cb.close()
+    cbs = _batcher(gen_model, speculation_k=3)
+    try:
+        with pytest.raises(NotImplementedError, match="greedy"):
+            cbs.submit(["tok1"], max_length=8, sampling_topk=5)
+    finally:
+        cbs.close()
+
+
+def test_per_request_options_continuous_translator():
+    """Per-request end_token + mixed temperature through the
+    encoder-decoder engine."""
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    SRC = ["آ", "ت", "ز", "م", "و", "ن"]
+    t = Translator(MODEL)
+    base = t.translate_batch([SRC], beam_size=1)[0].hypotheses[0]
+    stop = base[2]
+    expected = t.translate_batch([SRC], beam_size=1,
+                                 end_token=stop)[0].hypotheses[0]
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32)
+    try:
+        f1 = ct.submit(SRC, max_length=32, end_token=stop)
+        f2 = ct.submit(SRC, max_length=32)
+        assert f1.result(timeout=300).sequences == [expected]
+        assert f2.result(timeout=300).sequences == [base]
+    finally:
+        ct.close()
