@@ -11,7 +11,14 @@ Translator API.
 Baseline: 10990.7 target tokens/s = CT2 float16 on an NVIDIA A10G
 (reference README.md:115), the strongest published single-GPU number.
 
-Prints ONE JSON line with the result.
+Caveats (recorded here because they shape the comparison): the primary
+number is a random-weight throughput CEILING (min=max decoding length, 3
+concurrent clients) — not an apples-to-apples corpus run. Two honesty
+metrics accompany it in the same JSON line: the same setting under INT8
+weights (the reference's flagship quantized mode), and a REAL-WEIGHTS run
+of the bundled aren-transliteration model with natural EOS termination.
+
+Prints ONE JSON line with all results (primary metric first).
 """
 
 import json
@@ -29,9 +36,14 @@ BEAM = int(os.environ.get("BENCH_BEAM", "2"))
 MAX_DEC = int(os.environ.get("BENCH_MAX_DEC", "32"))
 ITERS = int(os.environ.get("BENCH_ITERS", "8"))
 COMPUTE = os.environ.get("BENCH_COMPUTE", "float16")  # bf16 on TPU
+MODES = os.environ.get("BENCH_MODES", "bf16,int8,aren").split(",")
+
+AREN_MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
 
 
-def main():
+def run_synthetic(compute: str) -> float:
+    """Transformer-base ceiling run at the given compute type; returns
+    target tokens/s."""
     from ctranslate2_tpu import Translator
     from ctranslate2_tpu.converters.builder import build_seq2seq_model
 
@@ -44,16 +56,15 @@ def main():
         d_model=512,
         d_ff=2048,
         seed=7,
+        quantization="int8" if compute.startswith("int8") else None,
     )
 
     # One pool worker per client thread: synchronous translate_batch calls
     # route through the worker pool, so the pool must be as wide as the
     # client concurrency to keep host prep overlapped with device compute.
-    translator = Translator(tmpdir, compute_type=COMPUTE,
-                            inter_threads=int(os.environ.get(
-                                "BENCH_CLIENTS", "3")))
-
-    rng = np.random.default_rng(42)
+    clients = int(os.environ.get("BENCH_CLIENTS", "3"))
+    translator = Translator(tmpdir, compute_type=compute,
+                            inter_threads=clients)
     vocab = translator._source_vocab
 
     def make_batch(seed_offset):
@@ -82,10 +93,9 @@ def main():
     # (a serving deployment sees the same overlap from concurrent requests).
     from concurrent.futures import ThreadPoolExecutor
 
-    workers = int(os.environ.get("BENCH_CLIENTS", "3"))
     batches = [make_batch(i + 1) for i in range(ITERS)]
     start = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=workers) as pool:
+    with ThreadPoolExecutor(max_workers=clients) as pool:
         futures = [
             pool.submit(translator.translate_batch, b, **opts)
             for b in batches
@@ -94,14 +104,69 @@ def main():
             for r in f.result():
                 total_tokens += len(r.hypotheses[0])
     elapsed = time.perf_counter() - start
+    return total_tokens / elapsed
 
-    tokens_per_sec = total_tokens / elapsed
-    print(json.dumps({
-        "metric": "translation_target_tokens_per_sec",
-        "value": round(tokens_per_sec, 1),
-        "unit": "tokens/s",
-        "vs_baseline": round(tokens_per_sec / BASELINE_TOKENS_PER_SEC, 3),
-    }))
+
+def run_aren() -> float:
+    """REAL-weights secondary metric: the bundled aren-transliteration
+    model (reference test fixture), natural EOS termination, beam=2.
+    Returns target tokens/s."""
+    from ctranslate2_tpu import Translator
+
+    if not os.path.isdir(AREN_MODEL):
+        return 0.0
+    clients = int(os.environ.get("BENCH_CLIENTS", "3"))
+    t = Translator(AREN_MODEL, inter_threads=clients)
+    vocab = t._source_vocab
+    tokens = [vocab.to_token(i) for i in range(4, len(vocab))]
+
+    def make_batch(seed_offset):
+        r = np.random.default_rng(2000 + seed_offset)
+        batch = []
+        for _ in range(BATCH_SIZE):
+            length = int(r.integers(4, 12))
+            batch.append([tokens[int(i)] for i in
+                          r.integers(0, len(tokens), length)])
+        return batch
+
+    opts = dict(beam_size=BEAM, max_decoding_length=32)
+    t.translate_batch(make_batch(0), **opts)  # warmup/compile
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    total_tokens = 0
+    batches = [make_batch(i + 1) for i in range(ITERS)]
+    start = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=clients) as pool:
+        futures = [pool.submit(t.translate_batch, b, **opts)
+                   for b in batches]
+        for f in futures:
+            for r in f.result():
+                total_tokens += len(r.hypotheses[0])
+    elapsed = time.perf_counter() - start
+    return total_tokens / elapsed
+
+
+def main():
+    out = {}
+    if "bf16" in MODES:
+        tps = run_synthetic(COMPUTE)
+        out.update({
+            "metric": "translation_target_tokens_per_sec",
+            "value": round(tps, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),
+        })
+    if "int8" in MODES:
+        tps8 = run_synthetic("int8")
+        out["int8_tokens_per_sec"] = round(tps8, 1)
+        out["int8_vs_baseline_int8fp16"] = round(tps8 / 8725.4, 3)
+    if "aren" in MODES:
+        aren = run_aren()
+        if aren:
+            out["real_weights_aren_tokens_per_sec"] = round(aren, 1)
+            out["real_weights_natural_termination"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
