@@ -17,6 +17,12 @@ from .runtime.continuous import (
     ContinuousTranslator,
     ContinuousWhisper,
 )
+from .runtime.scheduler import (
+    BufferedTranslationWrapper,
+    ServingScheduler,
+    generation_scheduler,
+    translation_scheduler,
+)
 from .runtime.results import (
     AsyncResult,
     ExecutionStats,

@@ -166,3 +166,59 @@ def generation_scheduler(generator, **kwargs) -> ServingScheduler:
         return generator.generate_batch(examples, **options)
 
     return ServingScheduler(run, **kwargs)
+
+
+class BufferedTranslationWrapper:
+    """Single-request micro-batching facade over a ``Translator``
+    (reference: BufferedTranslationWrapper,
+    src/buffered_translation_wrapper.cc:5-111 — a background thread
+    accumulates individual ``translate_async`` calls into batches flushed
+    on size or timeout).
+
+    Per-example target prefixes ride with the example (the reference
+    buffers (source, target) pairs, buffered_translation_wrapper.cc:36-47);
+    requests with different decoding options dispatch as separate groups.
+    """
+
+    def __init__(
+        self,
+        translator,
+        max_batch_size: int = 32,
+        batch_timeout_in_micros: int = 5000,
+        max_queue_size: int = 0,
+    ):
+        def run(examples, options):
+            sources = [e[0] for e in examples]
+            prefixes = [e[1] for e in examples]
+            if all(p is None for p in prefixes):
+                prefixes = None
+            return translator.translate_batch(sources, prefixes, **options)
+
+        self._scheduler = ServingScheduler(
+            run,
+            max_batch_size=max_batch_size,
+            batch_timeout_ms=batch_timeout_in_micros / 1000.0,
+            max_queue_size=max_queue_size,
+        )
+
+    def translate_async(self, source: Sequence[str],
+                        target_prefix: Optional[Sequence[str]] = None,
+                        **options) -> Future:
+        """Queue ONE example; returns a Future resolving to its
+        TranslationResult (reference translate_async,
+        buffered_translation_wrapper.cc:20-66)."""
+        return self._scheduler.submit(
+            (tuple(source),
+             tuple(target_prefix) if target_prefix else None),
+            **options)
+
+    @property
+    def num_queued(self) -> int:
+        return self._scheduler.num_queued
+
+    @property
+    def num_active_batches(self) -> int:
+        return self._scheduler.num_active_batches
+
+    def close(self):
+        self._scheduler.close()

@@ -113,3 +113,29 @@ def test_translation_scheduler_end_to_end(tiny_model_path):
     assert results[0].hypotheses == [["a", "t", "z", "m", "o", "n"]]
     assert results[1].hypotheses == [["a", "c", "h", "i", "s", "o", "n"]]
     sched.close()
+
+
+def test_buffered_translation_wrapper(tiny_model_path):
+    """Public reference-parity facade: single-example translate_async
+    calls micro-batch behind one Translator (reference:
+    src/buffered_translation_wrapper.cc:5-111)."""
+    from ctranslate2_tpu import BufferedTranslationWrapper
+
+    translator = Translator(tiny_model_path)
+    expected = translator.translate_batch(
+        [["آ", "ت", "ز", "م", "و", "ن"]],
+        [["a", "t", "z"]])[0]
+    wrapper = BufferedTranslationWrapper(
+        translator, max_batch_size=4, batch_timeout_in_micros=30_000)
+    futs = [wrapper.translate_async(["آ", "ت", "ز", "م", "و", "ن"])
+            for _ in range(3)]
+    # A per-example target prefix rides with its example inside the
+    # same batch group.
+    fp = wrapper.translate_async(["آ", "ت", "ز", "م", "و", "ن"],
+                                 target_prefix=["a", "t", "z"])
+    for f in futs:
+        assert f.result(timeout=120).hypotheses == \
+            [["a", "t", "z", "m", "o", "n"]]
+    assert fp.result(timeout=120).hypotheses == expected.hypotheses
+    assert wrapper.num_queued == 0
+    wrapper.close()
