@@ -119,7 +119,42 @@ class ContinuousBatcher:
         speculation_k: int = 0,
         draft_model=None,
         max_sampling_topk: int = 64,
+        beam_size: int = 1,
+        num_hypotheses: int = 1,
+        length_penalty: float = 1.0,
+        patience: float = 1.0,
     ):
+        self._beam = max(1, int(beam_size))
+        if self._beam > 1:
+            # Beam serving (reference: beam search is the serving default,
+            # src/decoding.cc:411-720): K beam rows per slot, candidate
+            # bookkeeping fully on device (same algorithm as the batch
+            # engine's build_beam_loop, per-slot vectors instead of
+            # scalars). Greedy-beam only; one options signature per
+            # batcher.
+            if not (sampling_topk == 1 and sampling_topp >= 1.0):
+                raise NotImplementedError(
+                    "continuous beam search uses the deterministic "
+                    "BestSampler (sampling_topk must stay 1)")
+            if repetition_penalty != 1.0 or no_repeat_ngram_size:
+                raise NotImplementedError(
+                    "repetition_penalty / no_repeat_ngram_size are not "
+                    "supported with beam_size > 1 in the continuous "
+                    "engines (use the batch APIs)")
+            if speculation_k or draft_model is not None:
+                raise NotImplementedError(
+                    "speculation requires greedy decoding (beam_size=1)")
+            if not (1 <= num_hypotheses <= self._beam):
+                raise ValueError(
+                    "num_hypotheses must be in [1, beam_size]")
+            if T.ring_capacity(model.arch):
+                raise NotImplementedError(
+                    "sliding-window (ring-cache) models are not supported "
+                    "with beam_size > 1 in the continuous engines")
+        self._num_hyp = int(num_hypotheses)
+        self._length_penalty = float(length_penalty)
+        self._max_candidates = max(1, round(self._beam * patience))
+        self._allow_early_exit = length_penalty == 0
         if speculation_k:
             if not (sampling_topk == 1 and sampling_topp >= 1.0):
                 raise NotImplementedError(
@@ -233,10 +268,34 @@ class ContinuousBatcher:
         # Windowed layers use O(window) ring buffers (single-token decode).
         self._ring = T.ring_capacity(model.arch)
         self._cache = T.init_self_cache(
-            model.arch, num_slots, capacity, dtype=model.kv_dtype,
-            stacked=model.scan_layers, ring=True)
-        self._step_fn = (self._build_spec_step() if self._spec_k > 1
-                         else self._build_step())
+            model.arch, num_slots * self._beam, capacity,
+            dtype=model.kv_dtype, stacked=model.scan_layers,
+            ring=(self._beam == 1))
+        if self._beam > 1:
+            self._beam_has_memory = model.is_sequence_to_sequence
+            self._step_fn = None
+            self._beam_step_fn = self._build_beam_step()
+            self._beam_reset_fn = self._build_beam_reset()
+            self._cache_prefill_fns = {}
+            K, M, L = self._beam, self._num_hyp, capacity
+            self._bstate = {
+                "tokens": jnp.zeros((num_slots, K), jnp.int32),
+                "pos": jnp.zeros((num_slots,), jnp.int32),
+                "gen": jnp.zeros((num_slots,), jnp.int32),
+                "scores": jnp.full((num_slots, K), -1e10, jnp.float32),
+                "alive": jnp.zeros((num_slots, K, L), jnp.int32),
+                "store_seqs": jnp.zeros((num_slots, M, L), jnp.int32),
+                "store_lens": jnp.zeros((num_slots, M), jnp.int32),
+                "store_scores": jnp.full((num_slots, M), -jnp.inf,
+                                         jnp.float32),
+                "store_count": jnp.zeros((num_slots,), jnp.int32),
+                "top_fin": jnp.zeros((num_slots,), jnp.bool_),
+                "active": jnp.zeros((num_slots,), jnp.bool_),
+            }
+            self._b_active_host = np.zeros(num_slots, bool)
+        else:
+            self._step_fn = (self._build_spec_step() if self._spec_k > 1
+                             else self._build_step())
         self._prefill_fns = {}
         self._insert_fn = jax.jit(
             T.cache_insert_row, donate_argnums=(0,))
@@ -352,6 +411,7 @@ class ContinuousBatcher:
                 f"dispatch margin ({margin}) exceeds the slot "
                 f"capacity ({self._capacity})")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
+        self._validate_beam_request(callback, stop_sequences, end_token)
         # Window models: prompts longer than one ring block run through
         # the chunked prefill path (see _prefill_chunked).
         req = _Request(prompt_ids=ids, max_length=max_length,
@@ -474,6 +534,12 @@ class ContinuousBatcher:
             self._end_table[slot, e] = eid
 
     def _validate_request_sampling(self, topk, topp, seed) -> None:
+        if self._beam > 1 and (topk is not None or topp is not None
+                               or seed is not None):
+            raise NotImplementedError(
+                "per-request sampling overrides are not supported with "
+                "beam_size > 1 (continuous beam uses the deterministic "
+                "BestSampler)")
         if topk is not None and topk != 0 and not (
                 1 <= topk <= self._max_topk):
             raise ValueError(
@@ -486,6 +552,24 @@ class ContinuousBatcher:
             raise NotImplementedError(
                 "speculation requires greedy decoding; per-request "
                 "sampling overrides must keep topk=1/topp=1")
+
+    def _validate_beam_request(self, callback, stop_sequences,
+                               end_token) -> None:
+        if self._beam <= 1:
+            return
+        if callback is not None:
+            raise NotImplementedError(
+                "token-streaming callbacks are not supported with "
+                "beam_size > 1 (hypotheses are not final until the beam "
+                "settles)")
+        if stop_sequences:
+            raise NotImplementedError(
+                "stop_sequences are not supported with beam_size > 1 in "
+                "the continuous engines")
+        if end_token is not None:
+            raise NotImplementedError(
+                "per-request end_token is not supported with "
+                "beam_size > 1 (set end_token on the batcher)")
 
     def _stop_ids(self, stop_sequences) -> tuple:
         v = self._vocab
@@ -675,6 +759,318 @@ class ContinuousBatcher:
             return ids_k, scores_k, cache, seen, hist
 
         return jax.jit(step, donate_argnums=(2, 14, 15))
+
+    # ------------------------------------------------------------------
+    # Continuous beam search (reference: beam is the serving default,
+    # src/decoding.cc:411-720). K beam rows per slot; the candidate
+    # bookkeeping of the batch engine's build_beam_loop runs per slot with
+    # vector step counters, so slots at different generation depths share
+    # one dispatch. All beam state is device-resident; the host fetches
+    # only the [S] active flags per block and a finished slot's store rows.
+    # ------------------------------------------------------------------
+
+    def _build_beam_step(self):
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+        K, M = self._beam, self._num_hyp
+        K2 = 2 * K
+        block = self._block
+        lp_pen = self._length_penalty
+        max_cand = self._max_candidates
+        early = self._allow_early_exit
+        NEG = -1e10
+        end_ids = jnp.asarray(self._end_ids or (0,), jnp.int32)
+        has_end = bool(self._end_ids)
+        has_memory = self._beam_has_memory
+        S_max = getattr(self, "_max_src", 0)
+        cap = self._capacity
+        from ..decoding.sampling import small_top_k
+
+        def is_end(tok):
+            if not has_end:
+                return jnp.zeros(tok.shape, jnp.bool_)
+            return jnp.any(tok[..., None] == end_ids, axis=-1)
+
+        def step(params, consts, cache, bstate, min_len, max_len,
+                 prefix, plen, mem=None, src_len=None):
+            S = bstate["gen"].shape[0]
+            mem_bias = None
+            if has_memory:
+                from ..ops import attention as attn_ops
+
+                mem_bias = attn_ops.length_mask_bias(src_len, S_max)
+            rows_s = jnp.arange(S, dtype=jnp.int32)
+
+            def body(_, carry):
+                cache, st = carry
+                tokens, pos, gen = st["tokens"], st["pos"], st["gen"]
+                scores, alive, active = (st["scores"], st["alive"],
+                                         st["active"])
+
+                fed = tokens.reshape(S * K)
+                pos_rows = jnp.repeat(jnp.minimum(pos, cap - 1), K)
+                logits, cache, _ = T.decoder_forward(
+                    arch, params, consts, fed[:, None], pos_rows, cache,
+                    mem, mem_bias, beam_size=K,
+                    quantize_acts=quantize_acts, out_dtype=out_dtype)
+                l = logits[:, -1].astype(jnp.float32)  # [S*K, V]
+                V = l.shape[-1]
+                l = proc.disable_tokens(l, self._suppress_ids)
+                if has_end:
+                    l = proc.disable_tokens_if(
+                        l, self._end_ids, jnp.repeat(gen < min_len, K))
+
+                log_probs = jax.nn.log_softmax(l, axis=-1)
+                total = log_probs + scores.reshape(S * K)[:, None]
+                flat = total.reshape(S, K * V)
+                ts, ti = small_top_k(flat, K2)  # [S, 2K]
+                words = (ti % V).astype(jnp.int32)
+                origins = (ti // V).astype(jnp.int32)
+                cand_idx = jnp.arange(K2, dtype=jnp.int32)[None, :]
+
+                # Hard-prefix override (reference update_sample_with_prefix,
+                # src/decoding.cc:21-67): force the prefix token as
+                # candidate 0 with score 0 while gen < plen; penalize EOS
+                # among secondary candidates at the first free step.
+                forced = (gen < plen)[:, None]
+                ptok = jnp.take_along_axis(
+                    prefix, jnp.minimum(gen, prefix.shape[1] - 1)[:, None],
+                    axis=1)
+                words = jnp.where(forced, ptok, words)
+                ts = jnp.where(forced,
+                               jnp.where(cand_idx == 0, 0.0, NEG), ts)
+                origins = jnp.where(forced, 0, origins)
+                boundary = (gen == plen)[:, None]
+                eos_k = is_end(words) & (cand_idx > 0) & boundary
+                words = jnp.where(eos_k, 0, words)
+                ts = jnp.where(eos_k, NEG, ts)
+
+                is_eos_cand = is_end(words)  # [S, 2K]
+                past_prefix = (gen >= plen)[:, None]
+                last_step_b = (gen + 1) >= max_len  # [S]
+
+                # Harvest finished hypotheses among the first K candidates.
+                finish_k = active[:, None] & (
+                    (is_eos_cand[:, :K] & past_prefix)
+                    | last_step_b[:, None])
+                top_fin = st["top_fin"] | finish_k[:, 0]
+
+                Lb = alive.shape[2]
+                wcol = jnp.minimum(gen, Lb - 1)
+
+                def insert_one(k, c):
+                    sseq, slen, ssc, scount = c
+                    o_k = origins[:, k]
+                    seq = jnp.take_along_axis(
+                        alive, o_k[:, None, None], axis=1)[:, 0]  # [S, L]
+                    seq = seq.at[rows_s, wcol].set(words[:, k])
+                    # include_eos=False: EOS never lands in the hypothesis;
+                    # count_eos=True: the norm length still counts it
+                    # (reference include_eos_in_hypotheses default).
+                    hyp_len = jnp.where(is_eos_cand[:, k], gen, gen + 1)
+                    norm_len = jnp.maximum(gen + 1, 1).astype(jnp.float32)
+                    norm_score = ts[:, k] / jnp.power(norm_len, lp_pen)
+                    slot = jnp.argmin(ssc, axis=1)  # [S]
+                    cur_min = jnp.take_along_axis(
+                        ssc, slot[:, None], axis=1)[:, 0]
+                    do = finish_k[:, k] & (norm_score > cur_min)
+                    hit = (jnp.arange(M)[None, :] == slot[:, None]) \
+                        & do[:, None]
+                    ssc = jnp.where(hit, norm_score[:, None], ssc)
+                    slen = jnp.where(hit, hyp_len[:, None], slen)
+                    sseq = jnp.where(hit[:, :, None], seq[:, None, :], sseq)
+                    scount = scount + finish_k[:, k].astype(jnp.int32)
+                    return sseq, slen, ssc, scount
+
+                sseq, slen, ssc, scount = jax.lax.fori_loop(
+                    0, K, insert_one,
+                    (st["store_seqs"], st["store_lens"],
+                     st["store_scores"], st["store_count"]))
+
+                if early:
+                    finished_b = top_fin & (scount >= M)
+                else:
+                    finished_b = scount >= max_cand
+                new_active = active & jnp.logical_not(
+                    finished_b | last_step_b)
+
+                # Select the next K active beams (non-EOS first, stable).
+                order = jnp.argsort(is_eos_cand.astype(jnp.int32), axis=1,
+                                    stable=True)[:, :K]
+                new_words = jnp.take_along_axis(words, order, axis=1)
+                new_scores = jnp.take_along_axis(ts, order, axis=1)
+                new_origins = jnp.take_along_axis(origins, order, axis=1)
+
+                rows = (rows_s[:, None] * K + new_origins).reshape(S * K)
+                cache = T.cache_gather_rows(cache, rows)
+                new_alive = jnp.take_along_axis(
+                    alive, new_origins[:, :, None], axis=1)
+                new_alive = new_alive.at[
+                    rows_s[:, None], jnp.arange(K, dtype=jnp.int32)[None, :],
+                    wcol[:, None]].set(new_words)
+
+                a_i = active.astype(jnp.int32)
+                st = {
+                    "tokens": jnp.where(active[:, None], new_words, tokens),
+                    "pos": pos + a_i,
+                    "gen": gen + a_i,
+                    "scores": jnp.where(active[:, None], new_scores, scores),
+                    "alive": jnp.where(active[:, None, None], new_alive,
+                                       alive),
+                    "store_seqs": sseq, "store_lens": slen,
+                    "store_scores": ssc, "store_count": scount,
+                    "top_fin": top_fin, "active": new_active,
+                }
+                return cache, st
+
+            return jax.lax.fori_loop(0, block, body, (cache, bstate))
+
+        return jax.jit(step, donate_argnums=(2, 3))
+
+    def _build_beam_reset(self):
+        K = self._beam
+
+        def reset(st, slot, start_tok, pos0):
+            L = st["alive"].shape[2]
+            M = st["store_lens"].shape[1]
+            out = dict(st)
+            out["tokens"] = jax.lax.dynamic_update_slice(
+                st["tokens"], jnp.full((1, K), start_tok, jnp.int32),
+                (slot, 0))
+            out["pos"] = st["pos"].at[slot].set(pos0)
+            out["gen"] = st["gen"].at[slot].set(0)
+            out["scores"] = jax.lax.dynamic_update_slice(
+                st["scores"],
+                jnp.full((1, K), -1e10, jnp.float32).at[0, 0].set(0.0),
+                (slot, 0))
+            out["alive"] = jax.lax.dynamic_update_slice(
+                st["alive"], jnp.zeros((1, K, L), jnp.int32), (slot, 0, 0))
+            out["store_seqs"] = jax.lax.dynamic_update_slice(
+                st["store_seqs"], jnp.zeros((1, M, L), jnp.int32),
+                (slot, 0, 0))
+            out["store_lens"] = jax.lax.dynamic_update_slice(
+                st["store_lens"], jnp.zeros((1, M), jnp.int32), (slot, 0))
+            out["store_scores"] = jax.lax.dynamic_update_slice(
+                st["store_scores"], jnp.full((1, M), -jnp.inf, jnp.float32),
+                (slot, 0))
+            out["store_count"] = st["store_count"].at[slot].set(0)
+            out["top_fin"] = st["top_fin"].at[slot].set(False)
+            out["active"] = st["active"].at[slot].set(True)
+            return out
+
+        return jax.jit(reset, donate_argnums=(0,))
+
+    def _get_cache_prefill(self, padded_len: int):
+        """Prompt prefill that returns ONLY the cache (beam admits expand
+        from the re-fed last prompt token, so no token is sampled here)."""
+        fn = self._cache_prefill_fns.get(padded_len)
+        if fn is not None:
+            return fn
+        model = self.model
+        arch = model.arch
+        quantize_acts = model.policy.quantize_activations
+        out_dtype = model.out_dtype
+        kv_dtype = model.kv_dtype
+        stacked = model.scan_layers
+
+        def prefill(params, consts, ids, length):
+            cache = T.init_self_cache(arch, 1, padded_len, dtype=kv_dtype,
+                                      stacked=stacked)
+            _, cache, _ = T.decoder_forward(
+                arch, params, consts, ids, jnp.int32(0), cache,
+                None, None, lengths=length[None],
+                quantize_acts=quantize_acts, out_dtype=out_dtype,
+                fresh_prefill=True)
+            return cache
+
+        fn = jax.jit(prefill)
+        self._cache_prefill_fns[padded_len] = fn
+        return fn
+
+    def _prefill_into_slot_beam(self, slot: int, req: _Request):
+        """Decoder-only beam admit: write the prompt-minus-last-token KV
+        into all K rows of the slot, then start every beam from the LAST
+        prompt token at its original position — the first decode step
+        recomputes its KV (identical) and the beam expansion falls out of
+        the unified candidate step (only beam 0 carries score 0)."""
+        model = self.model
+        ids = req.prompt_ids
+        K = self._beam
+        pos0 = len(ids) - 1
+        if pos0 > 0:
+            P = _round_up(pos0, self._prefill_bucket)
+            padded = np.zeros((1, P), np.int32)
+            padded[0, :pos0] = ids[:-1]
+            sub = self._get_cache_prefill(P)(
+                model.params, model.consts, jnp.asarray(padded),
+                jnp.int32(pos0))
+            for k in range(K):
+                self._cache = self._insert_fn(
+                    self._cache, sub, jnp.int32(slot * K + k))
+        self._bstate = self._beam_reset_fn(
+            self._bstate, jnp.int32(slot), jnp.int32(ids[-1]),
+            jnp.int32(pos0))
+        self._slots[slot] = req
+        self._b_active_host[slot] = True
+        self._pos[slot] = pos0
+
+    def _decode_step_beam(self, active: List[int]):
+        model = self.model
+        S = self._num_slots
+        min_len = np.zeros(S, np.int32)
+        max_len = np.full(S, 1, np.int32)
+        for i in active:
+            req = self._slots[i]
+            min_len[i] = req.min_length
+            max_len[i] = req.max_length
+        prefix = getattr(self, "_prefix", None)
+        if prefix is None:
+            prefix = np.zeros((S, 1), np.int32)
+            plen = np.zeros(S, np.int32)
+        else:
+            plen = self._plen
+        args = [model.params, model.consts, self._cache, self._bstate,
+                jnp.asarray(min_len), jnp.asarray(max_len),
+                jnp.asarray(prefix), jnp.asarray(plen)]
+        if self._beam_has_memory:
+            args += [self._mem, jnp.asarray(self._src_len)]
+        self._cache, self._bstate = self._beam_step_fn(*args)
+        self._step_count += self._block
+        self._slot_steps += len(active) * self._block
+        if not self._queue.empty():
+            self._steps_while_pending += 1
+        # The only per-block fetch: which slots are still decoding.
+        self._b_active_host = np.array(self._bstate["active"])
+
+    def _harvest_beam(self):
+        for i, req in enumerate(self._slots):
+            if req is not None and not self._b_active_host[i]:
+                self._finish_beam(i, req)
+
+    def _finish_beam(self, slot: int, req: _Request):
+        v = self._vocab
+        sseq = np.asarray(self._bstate["store_seqs"][slot])
+        slen = np.asarray(self._bstate["store_lens"][slot])
+        ssc = np.asarray(self._bstate["store_scores"][slot])
+        self._slots[slot] = None
+        hyps, scores = [], []
+        for j in np.argsort(-ssc):
+            if not np.isfinite(ssc[j]):
+                continue
+            hyps.append([int(t) for t in sseq[j, : slen[j]]])
+            scores.append(float(ssc[j]))
+        hyps = hyps[: self._num_hyp] or [[]]
+        scores = scores[: self._num_hyp] or [0.0]
+        self._tokens_out += len(hyps[0])
+        self._requests_done += 1
+        result = GenerationResult(
+            sequences=[[v.to_token(t) for t in h] for h in hyps],
+            sequences_ids=[list(h) for h in hyps],
+            scores=scores)
+        if not req.future.done():
+            req.future.set_result(result)
 
     def _build_spec_step(self):
         model = self.model
@@ -990,7 +1386,10 @@ class ContinuousBatcher:
     def _loop(self):
         try:
             while True:
-                self._harvest()
+                if self._beam > 1:
+                    self._harvest_beam()
+                else:
+                    self._harvest()
                 self._admit()
                 active = [i for i, s in enumerate(self._slots) if s is not None]
                 if not active:
@@ -1000,7 +1399,9 @@ class ContinuousBatcher:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
                     continue
-                if self._spec_k > 1:
+                if self._beam > 1:
+                    self._decode_step_beam(active)
+                elif self._spec_k > 1:
                     self._decode_step_spec(active)
                 else:
                     self._decode_step(active)
@@ -1073,6 +1474,8 @@ class ContinuousBatcher:
             self._prefill_into_slot(slot, req)
 
     def _prefill_into_slot(self, slot: int, req: _Request):
+        if self._beam > 1:
+            return self._prefill_into_slot_beam(slot, req)
         model = self.model
         ids = req.prompt_ids
         rb = T.ring_block(model.arch)
@@ -1296,6 +1699,7 @@ class ContinuousTranslator(ContinuousBatcher):
                     f"target_prefix length {len(prefix_ids)} exceeds "
                     f"max_target_prefix ({self._max_prefix})")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
+        self._validate_beam_request(callback, stop_sequences, end_token)
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length + len(prefix_ids),
                        temperature=sampling_temperature or 0.0,
@@ -1396,12 +1800,21 @@ class ContinuousTranslator(ContinuousBatcher):
         self._slots[slot] = req
         self._src_len[slot] = min(len(ids), P)
         self._pos[slot] = 0
-        self._tokens[slot] = self._start_id
-        self._set_slot_sampling(slot, req)
         prefix = getattr(req, "prefix_ids", None) or []
         self._prefix[slot, :] = 0
         self._prefix[slot, : len(prefix)] = prefix
         self._plen[slot] = len(prefix)
+        if self._beam > 1:
+            # Beam rows all start from the decoder start token at
+            # position 0; only beam 0 carries score 0, so the first step's
+            # candidate selection performs the initial expansion.
+            self._bstate = self._beam_reset_fn(
+                self._bstate, jnp.int32(slot), jnp.int32(self._start_id),
+                jnp.int32(0))
+            self._b_active_host[slot] = True
+            return
+        self._tokens[slot] = self._start_id
+        self._set_slot_sampling(slot, req)
 
     def _init_draft(self, dm):
         """Encoder-decoder draft model: per-slot cross-attention memory of
@@ -1787,6 +2200,7 @@ class ContinuousWhisper(ContinuousTranslator):
                 f"features length {feats.shape[-1]} exceeds the encoder "
                 f"capacity ({2 * self._max_src} frames)")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
+        self._validate_beam_request(callback, stop_sequences, end_token)
         req = _Request(prompt_ids=[], max_length=max_length,
                        min_length=min_length + (len(ids) - 1),
                        temperature=sampling_temperature or 0.0,
@@ -1831,9 +2245,15 @@ class ContinuousWhisper(ContinuousTranslator):
         # kernel 3, padding 1), capped by the PE table.
         self._src_len[slot] = min((feats.shape[-1] + 1) // 2, self._max_src)
         self._pos[slot] = 0
-        self._tokens[slot] = req.start_id
-        self._set_slot_sampling(slot, req)
         prefix = req.prefix_ids or []
         self._prefix[slot, :] = 0
         self._prefix[slot, : len(prefix)] = prefix
         self._plen[slot] = len(prefix)
+        if self._beam > 1:
+            self._bstate = self._beam_reset_fn(
+                self._bstate, jnp.int32(slot), jnp.int32(req.start_id),
+                jnp.int32(0))
+            self._b_active_host[slot] = True
+            return
+        self._tokens[slot] = req.start_id
+        self._set_slot_sampling(slot, req)

@@ -1327,3 +1327,148 @@ def test_per_request_options_continuous_translator():
         assert f2.result(timeout=300).sequences == [base]
     finally:
         ct.close()
+
+
+# ----------------------------------------------------------------------
+# Beam search in the continuous engines (round 3): per-slot on-device
+# candidate bookkeeping, K beam rows per slot (reference: beam is the
+# serving default, src/decoding.cc:411-720).
+# ----------------------------------------------------------------------
+
+
+def test_continuous_beam_matches_generate_batch(gen_model):
+    """beam_size=2 serving reproduces the batch engine's beam tokens AND
+    normalized scores, including a mid-decode join."""
+    e1 = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12, beam_size=2,
+        include_prompt_in_result=False, return_scores=True)[0]
+    e2 = gen_model.generate_batch(
+        [["tok3"]], max_length=12, beam_size=2,
+        include_prompt_in_result=False, return_scores=True)[0]
+    cb = _batcher(gen_model, num_slots=3, beam_size=2)
+    try:
+        f1 = cb.submit(["tok1", "tok2"], max_length=12)
+        f2 = cb.submit(["tok3"], max_length=12)
+        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert r1.sequences_ids[0] == e1.sequences_ids[0]
+        assert r2.sequences_ids[0] == e2.sequences_ids[0]
+        assert abs(r1.scores[0] - e1.scores[0]) < 1e-4
+        # Mid-decode join: the fleet is already decoding when this lands.
+        e3 = gen_model.generate_batch(
+            [["tok2", "tok4"]], max_length=10, beam_size=2,
+            include_prompt_in_result=False)[0]
+        f3 = cb.submit(["tok2", "tok4"], max_length=10)
+        assert f3.result(timeout=300).sequences_ids[0] == e3.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_num_hypotheses(gen_model):
+    """num_hypotheses=2 at beam_size=3 with an explicit length penalty:
+    both returned hypotheses and their normalized scores match."""
+    exp = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12, beam_size=3, num_hypotheses=2,
+        length_penalty=1.0, include_prompt_in_result=False,
+        return_scores=True)[0]
+    cb = _batcher(gen_model, num_slots=2, beam_size=3, num_hypotheses=2,
+                  length_penalty=1.0)
+    try:
+        r = cb.submit(["tok1", "tok2"], max_length=12).result(timeout=300)
+        assert r.sequences_ids == exp.sequences_ids
+        assert all(abs(a - b) < 1e-4 for a, b in zip(r.scores, exp.scores))
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_translator():
+    """Encoder-decoder beam serving (the reference's flagship mode):
+    token- and score-identical to translate_batch(beam_size=2) on mixed
+    traffic, including forced target prefixes."""
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    SRC1 = ["آ", "ت", "ز", "م", "و", "ن"]
+    SRC2 = ["آ", "ت", "ش", "ي", "س", "و", "ن"]
+    t = Translator(MODEL)
+    e1 = t.translate_batch([SRC1], beam_size=2, return_scores=True)[0]
+    e2 = t.translate_batch([SRC2], beam_size=2, return_scores=True)[0]
+    ep = t.translate_batch([SRC1], beam_size=2, return_scores=True,
+                           target_prefix=[["a", "t", "z"]])[0]
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32, beam_size=2)
+    try:
+        f1 = ct.submit(SRC1, max_length=32)
+        f2 = ct.submit(SRC2, max_length=32)
+        fp = ct.submit(SRC1, max_length=32, target_prefix=["a", "t", "z"])
+        r1, r2, rp = (f1.result(timeout=300), f2.result(timeout=300),
+                      fp.result(timeout=300))
+        assert r1.sequences == [e1.hypotheses[0]]
+        assert abs(r1.scores[0] - e1.scores[0]) < 1e-4
+        assert r2.sequences == [e2.hypotheses[0]]
+        assert rp.sequences == [ep.hypotheses[0]]
+        assert abs(rp.scores[0] - ep.scores[0]) < 1e-4
+    finally:
+        ct.close()
+
+
+def test_continuous_beam_whisper(tmp_path):
+    """Speech beam serving (the reference Whisper default is beam=5)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ctranslate2_tpu import ContinuousWhisper, Whisper
+    from ctranslate2_tpu.converters.builder import build_whisper_model
+    from ctranslate2_tpu.decoding.options import DecodingOptions
+
+    d, vocab = build_whisper_model(str(tmp_path / "w"))
+    w = Whisper(d)
+    v = w.model.target_vocabulary
+    rng = np.random.default_rng(3)
+    feats = [rng.standard_normal((24, 64)).astype(np.float32)
+             for _ in range(2)]
+    prompt = ["<|startoftranscript|>", "<|en|>", "<|transcribe|>",
+              "<|notimestamps|>"]
+    prompt_ids = [v.to_id(t) for t in prompt]
+    sup = tuple(int(i) for i in w.model.config["suppress_ids"])
+    eot = v.to_id("<|endoftext|>")
+
+    expected = []
+    for f in feats:
+        mem = w.encode(f[None])
+        opts = DecodingOptions(beam_size=2, max_length=16, min_length=0,
+                               suppress_tokens=sup, num_hypotheses=1,
+                               return_prefix=True)
+        rs = w.engine.decode(
+            [prompt_ids[0]], opts, memory=mem,
+            memory_lengths=jnp.asarray([mem.shape[1]]),
+            prefix_ids=[prompt_ids[1:]], end_ids=(eot,))
+        expected.append(rs[0].hypotheses[0])
+
+    cw = ContinuousWhisper(w, num_slots=2, capacity=64, beam_size=2)
+    try:
+        futs = [cw.submit(f, prompt, max_length=16) for f in feats]
+        got = [f.result(timeout=600).sequences_ids[0] for f in futs]
+    finally:
+        cw.close()
+    assert got == expected
+
+
+def test_continuous_beam_validation(gen_model):
+    with pytest.raises(NotImplementedError, match="BestSampler"):
+        _batcher(gen_model, beam_size=2, sampling_topk=5)
+    with pytest.raises(NotImplementedError, match="repetition_penalty"):
+        _batcher(gen_model, beam_size=2, repetition_penalty=1.2)
+    with pytest.raises(NotImplementedError, match="greedy"):
+        _batcher(gen_model, beam_size=2, speculation_k=3)
+    with pytest.raises(ValueError, match="num_hypotheses"):
+        _batcher(gen_model, beam_size=2, num_hypotheses=3)
+    cb = _batcher(gen_model, beam_size=2)
+    try:
+        with pytest.raises(NotImplementedError, match="callback"):
+            cb.submit(["tok1"], max_length=8, callback=lambda sr: False)
+        with pytest.raises(NotImplementedError, match="stop_sequences"):
+            cb.submit(["tok1"], max_length=8, stop_sequences=[["tok2"]])
+        with pytest.raises(NotImplementedError, match="sampling overrides"):
+            cb.submit(["tok1"], max_length=8, sampling_topk=5)
+    finally:
+        cb.close()
