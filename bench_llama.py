@@ -28,10 +28,12 @@ HEADS, HEADS_KV = 32, 8
 QUANT = os.environ.get("LLAMA_QUANT", "int8")  # int8 | w4
 
 
-def build_llama_int8_modelfile():
+def build_llama_int8_modelfile(layers=None, quant=None):
     """Fabricate the geometry directly as int8 payloads + scales."""
     from ctranslate2_tpu.formats.model_file import ModelFile, make_variable
 
+    LAYERS = layers if layers is not None else globals()["LAYERS"]
+    QUANT = quant if quant is not None else globals()["QUANT"]
     rng = np.random.default_rng(0)
     mf = ModelFile(spec_name="TransformerDecoderSpec", spec_revision=8,
                    binary_version=6)
@@ -131,10 +133,16 @@ def main():
             quantize_acts=model.policy.quantize_activations,
             out_dtype=model.out_dtype, return_logits=False)
         sampling = int(os.environ.get("LLAMA_SAMPLING", "0"))
+        # LLAMA_SPEC > 1 turns on lossless self-speculation in the batch
+        # device loop (prompt-lookup drafting): effective matmul M of
+        # BATCH*K per verify dispatch — the README's identified lever for
+        # small-batch MXU under-utilization.
+        spec_k = int(os.environ.get("LLAMA_SPEC", "0"))
         opts = DecodingOptions(
             max_length=DECODE, min_length=DECODE, beam_size=1,
             sampling_topk=40 if sampling else 1,
-            sampling_temperature=0.8 if sampling else 1.0)
+            sampling_temperature=0.8 if sampling else 1.0,
+            speculation_k=0 if sampling else spec_k)
         return engine.decode(
             [p[-1] for p in prompts], opts, cache=cache,
             start_step=PREFILL - 1, end_ids=(2,), capacity=capacity)
@@ -148,7 +156,7 @@ def main():
     results = run()
     elapsed = time.perf_counter() - t0
     total = sum(len(r.hypotheses[0]) for r in results)
-    print(json.dumps({
+    row = {
         "metric": f"llama8b_{QUANT}_decode_tokens_per_sec",
         "value": round(total / elapsed, 1),
         "unit": "tokens/s/chip",
@@ -158,7 +166,11 @@ def main():
         "layers": LAYERS,
         "quant": QUANT,
         **roofline(elapsed / DECODE, BATCH, model),
-    }))
+    }
+    spec_k = int(os.environ.get("LLAMA_SPEC", "0"))
+    if spec_k > 1:
+        row["speculation_k"] = spec_k
+    print(json.dumps(row))
 
 
 def roofline(step_s, batch, model):

@@ -33,6 +33,46 @@ def make_model(args):
         quantization=args.quantization)
 
 
+class _ModelShim:
+    """Generator-shaped wrapper for a LoadedModel (the continuous engines
+    only touch ``.model``)."""
+
+    def __init__(self, model):
+        self.model = model
+
+
+def make_llama8b(args):
+    """Flagship-geometry serving target: the real Llama-3-8B shape
+    (32L/d4096/32q8kv/ffn14336/V128256) with W4 (AWQ-layout) weights
+    fabricated in memory — same fabrication as bench_llama.py, wrapped
+    for the continuous engines. Returns (shim_generator, draft_or_None)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench_llama
+
+    from ctranslate2_tpu.formats.vocabulary import Vocabulary
+    from ctranslate2_tpu.models.loader import load_model
+
+    quant = args.quantization or "w4"
+    mf = bench_llama.build_llama_int8_modelfile(quant=quant)
+    max_pos = args.capacity + 64
+    model = load_model(mf, compute_type="int8", max_positions=max_pos)
+    V = bench_llama.VOCAB
+    vocab = Vocabulary(["<unk>", "<s>", "</s>"]
+                       + [f"t{i}" for i in range(V - 3)])
+    model.target_vocabulary = vocab
+    draft = None
+    if args.draft_layers > 0:
+        dmf = bench_llama.build_llama_int8_modelfile(
+            layers=args.draft_layers, quant=quant)
+        draft = load_model(dmf, compute_type="int8", max_positions=max_pos)
+        draft.target_vocabulary = vocab
+    return _ModelShim(model), draft
+
+
 def gen_traffic(vocab, n, max_new, seed):
     rng = random.Random(seed)
     out = []
@@ -48,12 +88,13 @@ def gen_traffic(vocab, n, max_new, seed):
 
 
 def bench_continuous(gen, traffic, slots, capacity, speculation_k=0,
-                     draft_model=None):
+                     draft_model=None, steps_per_sync=8):
     from ctranslate2_tpu import ContinuousBatcher
 
     cb = ContinuousBatcher(gen, num_slots=slots, capacity=capacity,
                            speculation_k=speculation_k,
-                           draft_model=draft_model)
+                           draft_model=draft_model,
+                           steps_per_sync=steps_per_sync)
     try:
         # Warmup compile.
         cb.submit(traffic[0][0], max_length=4).result(timeout=600)
@@ -127,48 +168,68 @@ def main():
                          "geometry/vocab) for draft-model speculation")
     ap.add_argument("--draft_model", default=None,
                     help="existing draft model directory")
+    ap.add_argument("--llama8b", action="store_true",
+                    help="serve the Llama-3-8B W4 geometry (fabricated "
+                         "in memory; skips the sequential comparator — "
+                         "bench_llama.py records the batch-API number)")
+    ap.add_argument("--steps-per-sync", default="8",
+                    help="comma list of block sizes to sweep (e.g. 1,4,8,16)")
     args = ap.parse_args()
 
-    from ctranslate2_tpu import Generator
+    blocks = [int(b) for b in str(args.steps_per_sync).split(",")]
 
-    path = make_model(args)
-    gen = Generator(path)
-    tv = gen.model.target_vocabulary
-    vocab = [tv.to_token(i) for i in range(len(tv))]
-    vocab = [t for t in vocab if not t.startswith("<")][:200]
-    traffic = gen_traffic(vocab, args.requests, args.max_new, args.seed)
+    draft = None
+    if args.llama8b:
+        gen, draft = make_llama8b(args)
+        ids = list(range(10, 1010))
+        traffic = gen_traffic(ids, args.requests, args.max_new, args.seed)
+    else:
+        from ctranslate2_tpu import Generator
 
-    draft = args.draft_model
-    if draft is None and args.draft_layers > 0:
-        import tempfile
+        path = make_model(args)
+        gen = Generator(path)
+        tv = gen.model.target_vocabulary
+        vocab = [tv.to_token(i) for i in range(len(tv))]
+        vocab = [t for t in vocab if not t.startswith("<")][:200]
+        traffic = gen_traffic(vocab, args.requests, args.max_new, args.seed)
 
-        from ctranslate2_tpu.converters.builder import (
-            build_decoder_only_model,
-        )
+        draft = args.draft_model
+        if draft is None and args.draft_layers > 0:
+            import tempfile
 
-        # Match the target model's vocabulary so the draft verifies.
-        tv_full = gen.model.target_vocabulary
-        draft = build_decoder_only_model(
-            tempfile.mkdtemp(prefix="bench_draft_"),
-            vocab_size=len(tv_full),
-            vocabulary=[tv_full.to_token(i) for i in range(len(tv_full))],
-            num_layers=args.draft_layers, num_heads=8,
-            d_model=args.d_model, d_ff=4 * args.d_model, num_heads_kv=4,
-            rotary_dim=args.d_model // 8, glu=True, rms_norm=True)
+            from ctranslate2_tpu.converters.builder import (
+                build_decoder_only_model,
+            )
 
-    runs = [
-        ("sequential", lambda: bench_sequential(gen, traffic, args.slots)),
-        ("continuous", lambda: bench_continuous(
-            gen, traffic, args.slots, args.capacity)),
-    ]
+            # Match the target model's vocabulary so the draft verifies.
+            tv_full = gen.model.target_vocabulary
+            draft = build_decoder_only_model(
+                tempfile.mkdtemp(prefix="bench_draft_"),
+                vocab_size=len(tv_full),
+                vocabulary=[tv_full.to_token(i) for i in range(len(tv_full))],
+                num_layers=args.draft_layers, num_heads=8,
+                d_model=args.d_model, d_ff=4 * args.d_model, num_heads_kv=4,
+                rotary_dim=args.d_model // 8, glu=True, rms_norm=True)
+
+    runs = []
+    if not args.llama8b:
+        runs.append(
+            ("sequential", lambda: bench_sequential(gen, traffic,
+                                                    args.slots)))
+    for b in blocks:
+        name = "continuous" if len(blocks) == 1 else f"continuous/block{b}"
+        runs.append((name, lambda b=b: bench_continuous(
+            gen, traffic, args.slots, args.capacity, steps_per_sync=b)))
     if args.speculation_k > 1:
         runs.append(("continuous+spec", lambda: bench_continuous(
             gen, traffic, args.slots, args.capacity,
-            speculation_k=args.speculation_k)))
+            speculation_k=args.speculation_k,
+            steps_per_sync=blocks[0])))
         if draft is not None:
             runs.append(("continuous+draft", lambda: bench_continuous(
                 gen, traffic, args.slots, args.capacity,
-                speculation_k=args.speculation_k, draft_model=draft)))
+                speculation_k=args.speculation_k, draft_model=draft,
+                steps_per_sync=blocks[0])))
 
     for name, fn in runs:
         tokens, dt, lat, spec_rate = fn()
@@ -182,6 +243,8 @@ def main():
             "p50_latency_s": round(lat[len(lat) // 2], 3),
             "p95_latency_s": round(lat[int(len(lat) * 0.95)], 3),
         }
+        if args.llama8b:
+            row["model"] = "llama3-8b-" + (args.quantization or "w4")
         if spec_rate is not None:
             row["spec_tokens_per_dispatch"] = round(spec_rate, 2)
         print(json.dumps(row))
