@@ -82,15 +82,15 @@ class _Request:
 class ContinuousBatcher:
     """Continuous batching front-end over a ``Generator``'s model.
 
-    One options signature per batcher (same restriction the reference
-    applies per batch): sampling settings, end tokens and suppressions are
-    fixed at construction; ``max_length``/``min_length`` are per request.
+    Serves every decoder position family: rotary / learned / sinusoidal /
+    ALiBi / T5 relative bias / Shaw relative positions (position-dependent
+    biases are rebuilt per step from each slot's own row position).
 
-    Restrictions (clear errors otherwise): decoder-only models without
-    T5 relative bias / Shaw relative positions — i.e. the rotary /
-    learned / sinusoidal / ALiBi position families that dominate serving
-    workloads (ALiBi steps build a per-row bias from each slot's own
-    position).
+    Construction fixes the options *signature* (suppressions, beam
+    width); sampling settings (topk/topp/temperature/seed), end tokens,
+    stop sequences and streaming callbacks are per request on
+    ``submit``, mirroring the reference's per-call option structs
+    (include/ctranslate2/generation.h:14-78).
     """
 
     def __init__(self, generator, **kw):
