@@ -48,6 +48,70 @@ def repetition_penalty(logits, alive_seq, seq_len, penalty: float):
     return jnp.where(seen, penalized, logits)
 
 
+def repetition_penalty_per_row(logits, seen, penalties):
+    """Row-vectorized RepetitionPenalty with a per-row penalty value
+    (reference: per-call options through the pool,
+    include/ctranslate2/translation.h:11-86).
+
+    ``seen``: [N, V] bool presence mask; ``penalties``: [N] float
+    (1.0 rows are an exact no-op).
+    """
+    p = penalties[:, None]
+    penalized = jnp.where(logits > 0, logits / p, logits * p)
+    return jnp.where(seen, penalized, logits)
+
+
+def no_repeat_ngram_per_row(logits, hist, seq_len, ngram_sizes, max_n: int):
+    """Row-vectorized NoRepeatNgram with a per-row ngram size
+    (0 disables the row; sizes are bounded by the static ``max_n``).
+
+    End-position formulation: the token ``hist[e]`` is banned for row r
+    iff ``hist[e-k] == hist[len-k]`` for every k in 1..n_r-1, with the
+    window fully inside the generated region. Same bans as
+    :func:`no_repeat_ngram` when all rows share one size.
+    """
+    N, V = logits.shape
+    L = hist.shape[1]
+    if max_n < 2:
+        return logits
+    n = jnp.asarray(ngram_sizes, jnp.int32)  # [N]
+    seq_len = jnp.asarray(seq_len, jnp.int32)
+    if seq_len.ndim == 0:
+        seq_len = jnp.full((N,), seq_len, jnp.int32)
+    e = jnp.arange(L, dtype=jnp.int32)                      # [L]
+    k = jnp.arange(1, max_n, dtype=jnp.int32)               # [K]
+    # hist[e - k] for every end position / lag.
+    he = hist[:, jnp.clip(e[:, None] - k[None, :], 0, L - 1)]   # [N, L, K]
+    # The row's current tail: hist[len - k].
+    tail_idx = jnp.clip(seq_len[:, None] - k[None, :], 0, L - 1)  # [N, K]
+    ht = jnp.take_along_axis(hist, tail_idx, axis=1)        # [N, K]
+    # Lags beyond the row's n-1 don't participate (auto-match).
+    lag_off = k[None, None, :] >= n[:, None, None]
+    eq = (he == ht[:, None, :]) | lag_off                   # [N, L, K]
+    match = jnp.all(eq, axis=-1)                            # [N, L]
+    valid = ((e[None, :] >= n[:, None] - 1)
+             & (e[None, :] < seq_len[:, None])
+             & (seq_len[:, None] >= n[:, None])
+             & (n[:, None] >= 2))
+    match = match & valid
+    rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, L))
+    ban = jnp.zeros((N, V), jnp.bool_).at[rows, hist].max(match)
+    return jnp.where(ban, DISABLE, logits)
+
+
+def disable_tokens_per_row(logits, token_table):
+    """Disable per-row token sets given as an [N, W] id table
+    (-1 entries drop; W == 0 is a no-op)."""
+    if token_table.shape[1] == 0:
+        return logits
+    N, V = logits.shape
+    rows = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], token_table.shape)
+    mask = jnp.zeros((N, V), jnp.bool_).at[rows, token_table].set(
+        True, mode="drop")
+    return jnp.where(mask, DISABLE, logits)
+
+
 def no_repeat_ngram(logits, alive_seq, seq_len, ngram_size: int):
     """Ban tokens that would complete an already-seen n-gram
     (reference: src/decoding_utils.cc NoRepeatNgram::apply).

@@ -58,6 +58,10 @@ class _Request:
     topp: Optional[float] = None
     seed: Optional[int] = None
     end_ids: Optional[tuple] = None
+    # Per-request logits-processor overrides (None = batcher default).
+    rep_penalty: Optional[float] = None
+    ngram: Optional[int] = None
+    suppress_ids: Optional[tuple] = None
     future: Future = field(default_factory=Future)
     # Token-streaming callback (reference GenerationStepResult callback
     # semantics: return True to stop this request early).
@@ -86,9 +90,10 @@ class ContinuousBatcher:
     ALiBi / T5 relative bias / Shaw relative positions (position-dependent
     biases are rebuilt per step from each slot's own row position).
 
-    Construction fixes the options *signature* (suppressions, beam
-    width); sampling settings (topk/topp/temperature/seed), end tokens,
-    stop sequences and streaming callbacks are per request on
+    Construction fixes the options *signature* (beam width, defaults);
+    sampling settings (topk/topp/temperature/seed), end tokens, stop
+    sequences, streaming callbacks, repetition_penalty,
+    no_repeat_ngram_size and suppress_tokens are per request on
     ``submit``, mirroring the reference's per-call option structs
     (include/ctranslate2/generation.h:14-78).
     """
@@ -119,6 +124,7 @@ class ContinuousBatcher:
         speculation_k: int = 0,
         draft_model=None,
         max_sampling_topk: int = 64,
+        max_no_repeat_ngram_size: int = 8,
         beam_size: int = 1,
         num_hypotheses: int = 1,
         length_penalty: float = 1.0,
@@ -196,9 +202,12 @@ class ContinuousBatcher:
         self._temperature = sampling_temperature
         # Repetition penalty over each slot's generated tokens (reference
         # RepetitionPenalty semantics, decoding/processors.py): tracked as
-        # a per-slot [V] presence table on device.
+        # a per-slot [V] presence table on device. Both penalties are
+        # per-request (vectorized per slot); the batcher values are the
+        # defaults.
         self._rep_penalty = float(repetition_penalty)
         self._ngram = int(no_repeat_ngram_size)
+        self._max_ngram = max(int(max_no_repeat_ngram_size), self._ngram, 2)
         v = self._vocab
         if end_token is None or end_token == "":
             self._end_ids = (v.eos_id,)
@@ -214,55 +223,61 @@ class ContinuousBatcher:
 
         model.ensure_consts(capacity)
 
-        # Per-slot generated-token presence table for the repetition
-        # penalty (None when off).
-        self._seen = (jnp.zeros((num_slots, len(v)), jnp.bool_)
-                      if self._rep_penalty != 1.0 else None)
-        # Per-slot generated-token history for no-repeat-ngram (None when
-        # off); entry t = the t-th generated token of the slot.
-        self._hist = (jnp.zeros((num_slots, capacity), jnp.int32)
-                      if self._ngram else None)
-        if self._hist is not None:
-            def _hist_admit(hist, slot, tok):
-                row = jnp.zeros((hist.shape[1],), jnp.int32).at[0].set(tok)
-                return jax.lax.dynamic_update_slice(hist, row[None],
-                                                    (slot, 0))
+        # Penalty tables: [S, V] generated-token presence (repetition
+        # penalty) and [S, capacity] generated-token history
+        # (no-repeat-ngram; entry t = the t-th generated token). Zero-row
+        # tables mean "penalties off": the jitted step functions key on
+        # the static shape, so enabling them (at construction, or lazily
+        # when the first request carries an override) only changes the
+        # argument shapes and jax.jit recompiles — no closure rebuild.
+        pen_rows = (num_slots
+                    if (self._rep_penalty != 1.0 or self._ngram) else 0)
+        self._seen = jnp.zeros((pen_rows, len(v)), jnp.bool_)
+        self._hist = jnp.zeros((pen_rows, capacity), jnp.int32)
 
-            def _hist_accept(hist, toks, counts, gen_len):
-                # toks [S, K] emitted tokens of a speculative round; row s
-                # accepted counts[s], written at gen_len[s]..+counts[s]-1.
-                S_h, K_h = toks.shape
-                Lh = hist.shape[1]
-                valid = (jnp.arange(K_h, dtype=jnp.int32)[None]
-                         < counts[:, None])
-                posn = (gen_len[:, None]
-                        + jnp.arange(K_h, dtype=jnp.int32)[None])
-                posn = jnp.where(valid & (posn < Lh), posn, Lh)
-                rows = jnp.broadcast_to(
-                    jnp.arange(S_h, dtype=jnp.int32)[:, None], toks.shape)
-                return hist.at[rows, posn].set(toks, mode="drop")
+        def _hist_admit(hist, slot, tok):
+            # tok < 0 resets the row without recording a token (entry 0
+            # is then dead until the first in-step scatter overwrites it).
+            row = jnp.zeros((hist.shape[1],), jnp.int32).at[0].set(
+                jnp.maximum(tok, 0))
+            return jax.lax.dynamic_update_slice(hist, row[None], (slot, 0))
 
-            self._hist_admit = jax.jit(_hist_admit, donate_argnums=(0,))
-            self._hist_accept = jax.jit(_hist_accept, donate_argnums=(0,))
-        if self._seen is not None:
-            S = num_slots
+        def _hist_accept(hist, toks, counts, gen_len):
+            # toks [S, K] emitted tokens of a speculative round; row s
+            # accepted counts[s], written at gen_len[s]..+counts[s]-1.
+            S_h, K_h = toks.shape
+            Lh = hist.shape[1]
+            valid = (jnp.arange(K_h, dtype=jnp.int32)[None]
+                     < counts[:, None])
+            posn = (gen_len[:, None]
+                    + jnp.arange(K_h, dtype=jnp.int32)[None])
+            posn = jnp.where(valid & (posn < Lh), posn, Lh)
+            rows = jnp.broadcast_to(
+                jnp.arange(S_h, dtype=jnp.int32)[:, None], toks.shape)
+            return hist.at[rows, posn].set(toks, mode="drop")
 
-            def _seen_admit(seen, slot, tok):
-                row = jnp.zeros((seen.shape[1],), jnp.bool_).at[tok].set(True)
-                return jax.lax.dynamic_update_slice(
-                    seen, row[None], (slot, 0))
+        self._hist_admit = jax.jit(_hist_admit, donate_argnums=(0,))
+        self._hist_accept = jax.jit(_hist_accept, donate_argnums=(0,))
 
-            def _seen_accept(seen, toks, counts):
-                # toks [S, K] emitted tokens; rows valid up to counts[s].
-                K = toks.shape[1]
-                valid = (jnp.arange(K, dtype=jnp.int32)[None]
-                         < counts[:, None])
-                rows = jnp.broadcast_to(
-                    jnp.arange(S, dtype=jnp.int32)[:, None], toks.shape)
-                return seen.at[rows, toks].max(valid)
+        def _seen_admit(seen, slot, tok):
+            # tok < 0 resets the row empty (mode="drop" discards the
+            # negative scatter index instead of wrapping it).
+            row = jnp.zeros((seen.shape[1],), jnp.bool_).at[tok].set(
+                True, mode="drop")
+            return jax.lax.dynamic_update_slice(seen, row[None], (slot, 0))
 
-            self._seen_admit = jax.jit(_seen_admit, donate_argnums=(0,))
-            self._seen_accept = jax.jit(_seen_accept, donate_argnums=(0,))
+        def _seen_accept(seen, toks, counts):
+            # toks [S, K] emitted tokens; rows valid up to counts[s].
+            K = toks.shape[1]
+            valid = (jnp.arange(K, dtype=jnp.int32)[None]
+                     < counts[:, None])
+            rows = jnp.broadcast_to(
+                jnp.arange(seen.shape[0], dtype=jnp.int32)[:, None],
+                toks.shape)
+            return seen.at[rows, toks].max(valid)
+
+        self._seen_admit = jax.jit(_seen_admit, donate_argnums=(0,))
+        self._seen_accept = jax.jit(_seen_accept, donate_argnums=(0,))
 
         # Device state (owned by the scheduler thread after start).
         # Windowed layers use O(window) ring buffers (single-token decode).
@@ -335,6 +350,13 @@ class ContinuousBatcher:
         self._end_table = np.full((num_slots, self._end_cols), -1, np.int32)
         for e, eid in enumerate(self._end_ids):
             self._end_table[:, e] = eid
+        # Per-slot logits-processor values (per-request overrides; the
+        # batcher options are the defaults). The suppress table starts
+        # zero-width (exact no-op) and grows on the first request that
+        # carries per-request suppress_tokens.
+        self._rep_pens = np.full(num_slots, self._rep_penalty, np.float32)
+        self._ngrams = np.full(num_slots, self._ngram, np.int32)
+        self._sup_table = np.full((num_slots, 0), -1, np.int32)
         self._step_count = 0
         self._steps_while_pending = 0
         # Serving counters (ExecutionStats analog for the continuous
@@ -388,6 +410,9 @@ class ContinuousBatcher:
                sampling_topp: float = None,
                seed: int = None,
                end_token=None,
+               repetition_penalty: float = None,
+               no_repeat_ngram_size: int = None,
+               suppress_tokens: Sequence = None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one prompt; the Future resolves to a GenerationResult
@@ -412,6 +437,8 @@ class ContinuousBatcher:
                 f"capacity ({self._capacity})")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
         self._validate_beam_request(callback, stop_sequences, end_token)
+        rep, ngram, sup_ids = self._validate_request_penalties(
+            repetition_penalty, no_repeat_ngram_size, suppress_tokens)
         # Window models: prompts longer than one ring block run through
         # the chunked prefill path (see _prefill_chunked).
         req = _Request(prompt_ids=ids, max_length=max_length,
@@ -419,6 +446,7 @@ class ContinuousBatcher:
                        temperature=sampling_temperature or 0.0,
                        topk=sampling_topk, topp=sampling_topp, seed=seed,
                        end_ids=self._resolve_request_end_ids(end_token),
+                       rep_penalty=rep, ngram=ngram, suppress_ids=sup_ids,
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         self._queue.put(req)
@@ -520,6 +548,24 @@ class ContinuousBatcher:
                 f"end_token lists up to {self._end_cols} ids per request")
         return ids
 
+    def _ensure_pen_tables(self) -> None:
+        """Allocate the seen/hist penalty tables on first use, exactly
+        backfilling the generated history of every in-flight slot from
+        the host-side request records (runs on the scheduler thread)."""
+        if self._seen.shape[0]:
+            return
+        S, V, C = self._num_slots, len(self._vocab), self._capacity
+        seen = np.zeros((S, V), bool)
+        hist = np.zeros((S, C), np.int32)
+        for s, req in enumerate(self._slots):
+            if req is None:
+                continue
+            gen = req.generated[:C]
+            hist[s, : len(gen)] = gen
+            seen[s, gen] = True
+        self._seen = jnp.asarray(seen)
+        self._hist = jnp.asarray(hist)
+
     def _set_slot_sampling(self, slot: int, req: _Request) -> None:
         """Write the request's sampling overrides into the per-slot
         device-step arrays (defaults = the batcher's options)."""
@@ -532,6 +578,21 @@ class ContinuousBatcher:
         self._end_table[slot, :] = -1
         for e, eid in enumerate(self._req_end_ids(req)):
             self._end_table[slot, e] = eid
+        rp = (req.rep_penalty if req.rep_penalty is not None
+              else self._rep_penalty)
+        ng = req.ngram if req.ngram is not None else self._ngram
+        if rp != 1.0 or ng:
+            self._ensure_pen_tables()
+        self._rep_pens[slot] = rp
+        self._ngrams[slot] = ng
+        sup = req.suppress_ids or ()
+        if len(sup) > self._sup_table.shape[1]:
+            W = _round_up(len(sup), 4)
+            grown = np.full((self._num_slots, W), -1, np.int32)
+            grown[:, : self._sup_table.shape[1]] = self._sup_table
+            self._sup_table = grown
+        self._sup_table[slot, :] = -1
+        self._sup_table[slot, : len(sup)] = sup
 
     def _validate_request_sampling(self, topk, topp, seed) -> None:
         if self._beam > 1 and (topk is not None or topp is not None
@@ -552,6 +613,34 @@ class ContinuousBatcher:
             raise NotImplementedError(
                 "speculation requires greedy decoding; per-request "
                 "sampling overrides must keep topk=1/topp=1")
+
+    def _validate_request_penalties(self, rep_penalty, ngram,
+                                    suppress_tokens) -> tuple:
+        """Validate per-request logits-processor overrides and resolve
+        suppress tokens to ids. Returns (rep_penalty, ngram, sup_ids)."""
+        if self._beam > 1 and (rep_penalty is not None or ngram is not None
+                               or suppress_tokens):
+            raise NotImplementedError(
+                "per-request repetition_penalty / no_repeat_ngram_size / "
+                "suppress_tokens are not supported with beam_size > 1 in "
+                "the continuous engines (use the batch APIs)")
+        if rep_penalty is not None and rep_penalty <= 0:
+            raise ValueError("repetition_penalty must be positive")
+        if ngram is not None and ngram != 0:
+            if ngram < 2:
+                raise ValueError("no_repeat_ngram_size must be 0 or >= 2")
+            if ngram > self._max_ngram:
+                raise ValueError(
+                    f"per-request no_repeat_ngram_size must be <= "
+                    f"{self._max_ngram} (raise max_no_repeat_ngram_size "
+                    "at construction for larger values)")
+        sup_ids = None
+        if suppress_tokens:
+            v = self._vocab
+            sup_ids = tuple(
+                t if isinstance(t, int) else v.to_id(t, allow_unk=False)
+                for t in suppress_tokens)
+        return rep_penalty, ngram, sup_ids
 
     def _validate_beam_request(self, callback, stop_sequences,
                                end_token) -> None:
@@ -675,7 +764,8 @@ class ContinuousBatcher:
             True, mode="drop")
 
     def _sample_logits(self, l, disable_end, key, temps, topks=None,
-                       topps=None, seeds=None, end_table=None):
+                       topps=None, seeds=None, end_table=None,
+                       sup_table=None):
         """Row-vectorized sampling with per-request
         topk/topp/temperature/seed/end_token (reference: per-call options
         through the buffered wrapper, translation.h:11-86). Rows with
@@ -686,6 +776,8 @@ class ContinuousBatcher:
 
         l = l.astype(jnp.float32)
         l = proc.disable_tokens(l, self._suppress_ids)
+        if sup_table is not None:
+            l = proc.disable_tokens_per_row(l, sup_table)
         if end_table is not None:
             l = jnp.where(
                 disable_end[:, None] & self._end_mask(end_table, l.shape[-1]),
@@ -706,11 +798,13 @@ class ContinuousBatcher:
                    else jnp.full((S,), self._temperature or 1.0)),
             seeds=seeds, max_topk=self._max_topk)
 
-    def _apply_rep_penalty(self, l, seen, intra=None):
+    def _apply_rep_penalty(self, l, seen, penalties, intra=None):
         """Reference RepetitionPenalty: positive logits divided, negative
-        multiplied (processors.py:35-48). ``seen`` may broadcast against
-        an optional intra-chunk mask."""
-        P = self._rep_penalty
+        multiplied (processors.py:35-48), with a per-row penalty vector
+        (1.0 rows are an exact no-op). ``penalties`` [S] broadcasts into
+        ``l``'s shape; ``seen`` may broadcast against an optional
+        intra-chunk mask."""
+        P = penalties.reshape(penalties.shape + (1,) * (l.ndim - 1))
         mask = seen if intra is None else (seen | intra)
         penalized = jnp.where(l > 0, l / P, l * P)
         return jnp.where(mask, penalized, l)
@@ -720,13 +814,18 @@ class ContinuousBatcher:
         arch = model.arch
         quantize_acts = model.policy.quantize_activations
         out_dtype = model.out_dtype
-        use_rep = self._rep_penalty != 1.0
-        use_ngram = bool(self._ngram)
+        max_ngram = self._max_ngram
 
         block = self._block
 
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 temps, topks, topps, seeds, end_table, key, n, seen, hist):
+                 temps, topks, topps, seeds, end_table, sup_table,
+                 rep_pens, ngrams, key, n, seen, hist):
+            # Penalties compile in iff the tables have rows (the host
+            # enables them by allocating [S, ...] tables; 1.0/0 rows are
+            # exact no-ops so mixed traffic shares one dispatch).
+            pen = seen.shape[0] > 0
+
             def body(carry, i):
                 tokens, pos, gen_len, cache, seen, hist = carry
                 logits, cache, _ = T.decoder_forward(
@@ -734,20 +833,19 @@ class ContinuousBatcher:
                     None, None, quantize_acts=quantize_acts,
                     out_dtype=out_dtype)
                 l = logits[:, -1].astype(jnp.float32)
-                if use_rep:
-                    l = self._apply_rep_penalty(l, seen)
-                if use_ngram:
-                    l = proc.no_repeat_ngram(l, hist, gen_len, self._ngram)
+                if pen:
+                    l = self._apply_rep_penalty(l, seen, rep_pens)
+                    l = proc.no_repeat_ngram_per_row(
+                        l, hist, gen_len, ngrams, max_ngram)
                 disable_end = gen_len < min_len
                 ids, scores = self._sample_logits(
                     l, disable_end,
                     jax.random.fold_in(key, n * block + i), temps=temps,
                     topks=topks, topps=topps, seeds=seeds,
-                    end_table=end_table)
+                    end_table=end_table, sup_table=sup_table)
                 rows = jnp.arange(ids.shape[0])
-                if use_rep:
+                if pen:
                     seen = seen.at[rows, ids].set(True)
-                if use_ngram:
                     hist = hist.at[rows, gen_len].set(ids)
                 return ((ids, pos + 1, gen_len + 1, cache, seen, hist),
                         (ids, scores))
@@ -758,7 +856,7 @@ class ContinuousBatcher:
                     jnp.arange(block, dtype=jnp.int32))
             return ids_k, scores_k, cache, seen, hist
 
-        return jax.jit(step, donate_argnums=(2, 14, 15))
+        return jax.jit(step, donate_argnums=(2, 17, 18))
 
     # ------------------------------------------------------------------
     # Continuous beam search (reference: beam is the serving default,
@@ -1078,20 +1176,20 @@ class ContinuousBatcher:
         quantize_acts = model.policy.quantize_activations
         out_dtype = model.out_dtype
         K = self._spec_k
-
-        use_rep = self._rep_penalty != 1.0
-        use_ngram = bool(self._ngram)
+        max_ngram = self._max_ngram
 
         def step(params, consts, cache, tokens, pos, gen_len, min_len,
-                 temps, end_table, key, n, seen, hist):
+                 temps, end_table, sup_table, rep_pens, ngrams, key, n,
+                 seen, hist):
             # tokens [S, K]: [last accepted | K-1 drafted]; verify in one
             # T=K forward. Position i's logits give the greedy target for
             # the token at position i+1.
+            pen = seen.shape[0] > 0
             logits, cache, _ = T.decoder_forward(
                 arch, params, consts, tokens, pos, cache, None, None,
                 quantize_acts=quantize_acts, out_dtype=out_dtype)
             l = logits.astype(jnp.float32)  # [S, K, V]
-            if use_rep:
+            if pen:
                 # Intra-chunk history: the token FED at position m (>= 1)
                 # is an emitted token for every query at positions >= m —
                 # exactly what the sequential penalty would have seen.
@@ -1101,14 +1199,13 @@ class ContinuousBatcher:
                     jnp.logical_or, oh, axis=1)  # [S, K-1, V]
                 intra = jnp.concatenate(
                     [jnp.zeros((S_n, 1, V_n), jnp.bool_), cum], axis=1)
-                l = self._apply_rep_penalty(l, seen[:, None, :], intra)
-            if use_ngram:
+                l = self._apply_rep_penalty(l, seen[:, None, :], rep_pens,
+                                            intra)
                 # Sequentialized intra-chunk ngram state: position j bans
                 # with history = hist[:gen_len] + the fed draft tokens at
                 # generated indices gen_len..gen_len+j-1 (exactly what the
                 # sequential step would have seen; logits past the first
                 # draft mismatch are discarded by the host anyway).
-                S_n = l.shape[0]
                 Lh = hist.shape[1]
                 rows_h = jnp.arange(S_n, dtype=jnp.int32)[:, None]
                 posn = (gen_len[:, None]
@@ -1117,10 +1214,14 @@ class ContinuousBatcher:
                 hist_fed = hist.at[rows_h, posn].set(
                     tokens[:, 1:], mode="drop")
                 l = jnp.stack(
-                    [proc.no_repeat_ngram(l[:, j], hist_fed, gen_len + j,
-                                          self._ngram)
+                    [proc.no_repeat_ngram_per_row(
+                        l[:, j], hist_fed, gen_len + j, ngrams, max_ngram)
                      for j in range(K)], axis=1)
             l = proc.disable_tokens(l, self._suppress_ids)
+            if sup_table.shape[1]:
+                l = jnp.where(
+                    self._end_mask(sup_table, l.shape[-1])[:, None, :],
+                    proc.DISABLE, l)
             gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
             disable = gl < min_len[:, None]
             mask = self._end_mask(end_table, l.shape[-1])  # [S, V]
@@ -1243,7 +1344,8 @@ class ContinuousBatcher:
             jnp.asarray(tokens), jnp.asarray(pos),
             jnp.asarray(gen_len), jnp.asarray(min_len),
             jnp.asarray(self._temps), jnp.asarray(self._end_table),
-            self._key,
+            jnp.asarray(self._sup_table), jnp.asarray(self._rep_pens),
+            jnp.asarray(self._ngrams), self._key,
             jnp.int32(self._step_count + 0x40000000), self._seen,
             self._hist)
         self._step_count += 1
@@ -1258,9 +1360,8 @@ class ContinuousBatcher:
         until an end/stop condition or the first draft mismatch."""
         # The device ngram history can only stay correct if the caller
         # provides per-slot generated lengths; fail loudly rather than
-        # silently stop updating it (a caller that rejects
-        # no_repeat_ngram_size, like ContinuousTranslator, has _hist=None).
-        assert self._hist is None or gen_len is not None, (
+        # silently stop updating it.
+        assert not self._hist.shape[0] or gen_len is not None, (
             "speculative accept with an active ngram history requires "
             "gen_len")
         counts = np.zeros(greedy.shape[0], np.int32)
@@ -1285,10 +1386,9 @@ class ContinuousBatcher:
             self._pos[i] += emitted
             counts[i] = emitted
             self._spec_dispatches += 1
-        if self._seen is not None:
+        if self._seen.shape[0]:
             self._seen = self._seen_accept(
                 self._seen, jnp.asarray(greedy), jnp.asarray(counts))
-        if self._hist is not None:
             self._hist = self._hist_accept(
                 self._hist, jnp.asarray(greedy), jnp.asarray(counts),
                 jnp.asarray(gen_len))
@@ -1305,7 +1405,7 @@ class ContinuousBatcher:
         stacked = model.scan_layers
 
         def prefill(params, consts, ids, length, disable_end, temp, topk,
-                    topp, seed, end_row, key, n):
+                    topp, seed, end_row, sup_row, key, n):
             # ids [1, P] padded; real prompt occupies [0, length). The
             # prefill cache is prompt-sized (O(P^2) attention, not O(P*C));
             # cache_insert_row pads it into the full-capacity slot row.
@@ -1320,7 +1420,8 @@ class ContinuousBatcher:
             ids_out, scores = self._sample_logits(
                 last[None], disable_end[None], jax.random.fold_in(key, n),
                 temps=temp[None], topks=topk[None], topps=topp[None],
-                seeds=seed[None], end_table=end_row[None])
+                seeds=seed[None], end_table=end_row[None],
+                sup_table=sup_row[None])
             return ids_out[0], scores[0], cache
 
         fn = jax.jit(prefill)
@@ -1364,13 +1465,13 @@ class ContinuousBatcher:
             topks=jnp.asarray(self._topks[slot: slot + 1]),
             topps=jnp.asarray(self._topps[slot: slot + 1]),
             seeds=jnp.asarray(self._seeds[slot: slot + 1]),
-            end_table=jnp.asarray(self._end_table[slot: slot + 1]))
+            end_table=jnp.asarray(self._end_table[slot: slot + 1]),
+            sup_table=jnp.asarray(self._sup_table[slot: slot + 1]))
         self._cache = self._insert_fn(self._cache, cache, jnp.int32(slot))
         first = int(tok[0])
-        if self._seen is not None:
+        if self._seen.shape[0]:
             self._seen = self._seen_admit(
                 self._seen, jnp.int32(slot), jnp.int32(first))
-        if self._hist is not None:
             self._hist = self._hist_admit(
                 self._hist, jnp.int32(slot), jnp.int32(first))
         self._emit(req, first, float(score[0]))
@@ -1494,16 +1595,16 @@ class ContinuousBatcher:
             jnp.int32(self._topks[slot]), jnp.float32(self._topps[slot]),
             jnp.int32(self._seeds[slot]),
             jnp.asarray(self._end_table[slot]),
+            jnp.asarray(self._sup_table[slot]),
             self._key, jnp.int32(self._step_count))
         self._cache = self._insert_fn(
             self._cache, sub_cache, jnp.int32(slot))
         if self._draft_model is not None:
             self._draft_prefill(slot, ids)
         first = int(tok)
-        if self._seen is not None:
+        if self._seen.shape[0]:
             self._seen = self._seen_admit(
                 self._seen, jnp.int32(slot), jnp.int32(first))
-        if self._hist is not None:
             self._hist = self._hist_admit(
                 self._hist, jnp.int32(slot), jnp.int32(first))
         self._emit(req, first, float(score))
@@ -1531,7 +1632,9 @@ class ContinuousBatcher:
                 jnp.asarray(gen_len), jnp.asarray(min_len),
                 jnp.asarray(self._temps), jnp.asarray(self._topks),
                 jnp.asarray(self._topps), jnp.asarray(self._seeds),
-                jnp.asarray(self._end_table), self._key,
+                jnp.asarray(self._end_table), jnp.asarray(self._sup_table),
+                jnp.asarray(self._rep_pens), jnp.asarray(self._ngrams),
+                self._key,
                 jnp.int32((self._step_count // max(1, self._block))
                           + 0x40000000), self._seen, self._hist)
         self._step_count += self._block
@@ -1610,10 +1713,6 @@ class ContinuousTranslator(ContinuousBatcher):
     def _init_seq2seq_state(self, max_target_prefix: int):
         """Per-slot cross-attention memory (zeros attend as masked) and
         forced target-prefix buffers."""
-        if self._rep_penalty != 1.0 or self._ngram:
-            raise NotImplementedError(
-                "repetition_penalty / no_repeat_ngram_size are only "
-                "supported by the decoder-only ContinuousBatcher")
         model = self.model
         self._mem = []
         for layer in model.arch.decoder.layers:
@@ -1653,6 +1752,9 @@ class ContinuousTranslator(ContinuousBatcher):
                sampling_topp: float = None,
                seed: int = None,
                end_token=None,
+               repetition_penalty: float = None,
+               no_repeat_ngram_size: int = None,
+               suppress_tokens: Sequence = None,
                target_prefix: Sequence[str] = None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
@@ -1700,11 +1802,14 @@ class ContinuousTranslator(ContinuousBatcher):
                     f"max_target_prefix ({self._max_prefix})")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
         self._validate_beam_request(callback, stop_sequences, end_token)
+        rep, ngram, sup_ids = self._validate_request_penalties(
+            repetition_penalty, no_repeat_ngram_size, suppress_tokens)
         req = _Request(prompt_ids=ids, max_length=max_length,
                        min_length=min_length + len(prefix_ids),
                        temperature=sampling_temperature or 0.0,
                        topk=sampling_topk, topp=sampling_topp, seed=seed,
                        end_ids=self._resolve_request_end_ids(end_token),
+                       rep_penalty=rep, ngram=ngram, suppress_ids=sup_ids,
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         req.prefix_ids = prefix_ids
@@ -1815,6 +1920,13 @@ class ContinuousTranslator(ContinuousBatcher):
             return
         self._tokens[slot] = self._start_id
         self._set_slot_sampling(slot, req)
+        if self._seen.shape[0]:
+            # Reset the slot's penalty history (no token generated yet —
+            # the -1 sentinel resets without recording).
+            self._seen = self._seen_admit(
+                self._seen, jnp.int32(slot), jnp.int32(-1))
+            self._hist = self._hist_admit(
+                self._hist, jnp.int32(slot), jnp.int32(-1))
 
     def _init_draft(self, dm):
         """Encoder-decoder draft model: per-slot cross-attention memory of
@@ -1936,17 +2048,46 @@ class ContinuousTranslator(ContinuousBatcher):
         out_dtype = model.out_dtype
         K = self._spec_k
         S_max = self._max_src
+        max_ngram = self._max_ngram
 
         def step(params, consts, cache, mem, src_len, tokens, pos,
-                 gen_len, min_len, temps, end_table, prefix, plen, key, n):
+                 gen_len, min_len, temps, end_table, sup_table, rep_pens,
+                 ngrams, prefix, plen, key, n, seen, hist):
             from ..ops import attention as attn_ops
 
+            pen = seen.shape[0] > 0
             mem_bias = attn_ops.length_mask_bias(src_len, S_max)
             logits, cache, _ = T.decoder_forward(
                 arch, params, consts, tokens, pos, cache, mem, mem_bias,
                 quantize_acts=quantize_acts, out_dtype=out_dtype)
             l = logits.astype(jnp.float32)  # [S, K, V]
+            if pen:
+                # Same sequentialized intra-chunk state as the
+                # decoder-only spec step (see _build_spec_step above).
+                S_n, V_n = l.shape[0], l.shape[-1]
+                oh = jax.nn.one_hot(tokens[:, 1:], V_n, dtype=jnp.bool_)
+                cum = jax.lax.associative_scan(
+                    jnp.logical_or, oh, axis=1)
+                intra = jnp.concatenate(
+                    [jnp.zeros((S_n, 1, V_n), jnp.bool_), cum], axis=1)
+                l = self._apply_rep_penalty(l, seen[:, None, :], rep_pens,
+                                            intra)
+                Lh = hist.shape[1]
+                rows_h = jnp.arange(S_n, dtype=jnp.int32)[:, None]
+                posn = (gen_len[:, None]
+                        + jnp.arange(K - 1, dtype=jnp.int32)[None, :])
+                posn = jnp.where(posn < Lh, posn, Lh)
+                hist_fed = hist.at[rows_h, posn].set(
+                    tokens[:, 1:], mode="drop")
+                l = jnp.stack(
+                    [proc.no_repeat_ngram_per_row(
+                        l[:, j], hist_fed, gen_len + j, ngrams, max_ngram)
+                     for j in range(K)], axis=1)
             l = proc.disable_tokens(l, self._suppress_ids)
+            if sup_table.shape[1]:
+                l = jnp.where(
+                    self._end_mask(sup_table, l.shape[-1])[:, None, :],
+                    proc.DISABLE, l)
             gl = gen_len[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
             disable = gl < min_len[:, None]
             mask = self._end_mask(end_table, l.shape[-1])
@@ -1974,26 +2115,34 @@ class ContinuousTranslator(ContinuousBatcher):
         out_dtype = model.out_dtype
         block = self._block
         S_max = self._max_src
+        max_ngram = self._max_ngram
 
         def step(params, consts, cache, mem, src_len, tokens, pos,
                  gen_len, min_len, temps, topks, topps, seeds, end_table,
-                 prefix, plen, key, n):
+                 sup_table, rep_pens, ngrams, prefix, plen, key, n,
+                 seen, hist):
             from ..ops import attention as attn_ops
 
+            pen = seen.shape[0] > 0
             mem_bias = attn_ops.length_mask_bias(src_len, S_max)
 
             def body(carry, i):
-                tokens, pos, gen_len, cache = carry
+                tokens, pos, gen_len, cache, seen, hist = carry
                 logits, cache, _ = T.decoder_forward(
                     arch, params, consts, tokens[:, None], pos, cache,
                     mem, mem_bias, quantize_acts=quantize_acts,
                     out_dtype=out_dtype)
+                l = logits[:, -1].astype(jnp.float32)
+                if pen:
+                    l = self._apply_rep_penalty(l, seen, rep_pens)
+                    l = proc.no_repeat_ngram_per_row(
+                        l, hist, gen_len, ngrams, max_ngram)
                 disable_end = gen_len < min_len
                 ids, scores = self._sample_logits(
-                    logits[:, -1], disable_end,
+                    l, disable_end,
                     jax.random.fold_in(key, n * block + i), temps=temps,
                     topks=topks, topps=topps, seeds=seeds,
-                    end_table=end_table)
+                    end_table=end_table, sup_table=sup_table)
                 # Hard target prefix: force while gen_len < plen (the
                 # forced token is what gets FED, so the cache stays right).
                 forced = jnp.take_along_axis(
@@ -2002,14 +2151,20 @@ class ContinuousTranslator(ContinuousBatcher):
                 use = gen_len < plen
                 ids = jnp.where(use, forced, ids)
                 scores = jnp.where(use, 0.0, scores)
-                return (ids, pos + 1, gen_len + 1, cache), (ids, scores)
+                if pen:
+                    rows = jnp.arange(ids.shape[0])
+                    seen = seen.at[rows, ids].set(True)
+                    hist = hist.at[rows, gen_len].set(ids)
+                return ((ids, pos + 1, gen_len + 1, cache, seen, hist),
+                        (ids, scores))
 
-            (tokens, pos, gen_len, cache), (ids_k, scores_k) = jax.lax.scan(
-                body, (tokens, pos, gen_len, cache),
-                jnp.arange(block, dtype=jnp.int32))
-            return ids_k, scores_k, cache
+            (tokens, pos, gen_len, cache, seen, hist), (ids_k, scores_k) = \
+                jax.lax.scan(
+                    body, (tokens, pos, gen_len, cache, seen, hist),
+                    jnp.arange(block, dtype=jnp.int32))
+            return ids_k, scores_k, cache, seen, hist
 
-        return jax.jit(step, donate_argnums=(2,))
+        return jax.jit(step, donate_argnums=(2, 21, 22))
 
     def _decode_step_spec(self, active):
         model = self.model
@@ -2041,13 +2196,16 @@ class ContinuousTranslator(ContinuousBatcher):
             jnp.asarray(self._src_len), jnp.asarray(tokens),
             jnp.asarray(pos), jnp.asarray(gen_len), jnp.asarray(min_len),
             jnp.asarray(self._temps), jnp.asarray(self._end_table),
-            jnp.asarray(self._prefix),
+            jnp.asarray(self._sup_table), jnp.asarray(self._rep_pens),
+            jnp.asarray(self._ngrams), jnp.asarray(self._prefix),
             jnp.asarray(self._plen), self._key,
-            jnp.int32(self._step_count + 0x40000000))
+            jnp.int32(self._step_count + 0x40000000), self._seen,
+            self._hist)
         self._step_count += 1
         self._slot_steps += len(active)
         self._accept_spec_round(active, np.asarray(greedy_d),
-                                np.asarray(scores_d, np.float32), tokens, K)
+                                np.asarray(scores_d, np.float32), tokens, K,
+                                gen_len)
 
     def _decode_step(self, active: List[int]):
         model = self.model
@@ -2059,16 +2217,21 @@ class ContinuousTranslator(ContinuousBatcher):
             gen_len[i] = len(req.generated)
         pos = np.minimum(self._pos, self._capacity - self._block)
 
-        ids_d, scores_d, self._cache = self._step_fn(
-            model.params, model.consts, self._cache, self._mem,
-            jnp.asarray(self._src_len), jnp.asarray(self._tokens),
-            jnp.asarray(pos), jnp.asarray(gen_len), jnp.asarray(min_len),
-            jnp.asarray(self._temps), jnp.asarray(self._topks),
-            jnp.asarray(self._topps), jnp.asarray(self._seeds),
-            jnp.asarray(self._end_table), jnp.asarray(self._prefix),
-            jnp.asarray(self._plen), self._key,
-            jnp.int32((self._step_count // max(1, self._block))
-                      + 0x40000000))
+        ids_d, scores_d, self._cache, self._seen, self._hist = \
+            self._step_fn(
+                model.params, model.consts, self._cache, self._mem,
+                jnp.asarray(self._src_len), jnp.asarray(self._tokens),
+                jnp.asarray(pos), jnp.asarray(gen_len),
+                jnp.asarray(min_len),
+                jnp.asarray(self._temps), jnp.asarray(self._topks),
+                jnp.asarray(self._topps), jnp.asarray(self._seeds),
+                jnp.asarray(self._end_table),
+                jnp.asarray(self._sup_table),
+                jnp.asarray(self._rep_pens), jnp.asarray(self._ngrams),
+                jnp.asarray(self._prefix),
+                jnp.asarray(self._plen), self._key,
+                jnp.int32((self._step_count // max(1, self._block))
+                          + 0x40000000), self._seen, self._hist)
         self._step_count += self._block
         self._slot_steps += len(active) * self._block
         ids = np.asarray(ids_d)
@@ -2169,6 +2332,9 @@ class ContinuousWhisper(ContinuousTranslator):
                sampling_topp: float = None,
                seed: int = None,
                end_token=None,
+               repetition_penalty: float = None,
+               no_repeat_ngram_size: int = None,
+               suppress_tokens: Sequence = None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one audio segment: ``features`` [n_mels, frames] mel
@@ -2201,11 +2367,14 @@ class ContinuousWhisper(ContinuousTranslator):
                 f"capacity ({2 * self._max_src} frames)")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
         self._validate_beam_request(callback, stop_sequences, end_token)
+        rep, ngram, sup_ids = self._validate_request_penalties(
+            repetition_penalty, no_repeat_ngram_size, suppress_tokens)
         req = _Request(prompt_ids=[], max_length=max_length,
                        min_length=min_length + (len(ids) - 1),
                        temperature=sampling_temperature or 0.0,
                        topk=sampling_topk, topp=sampling_topp, seed=seed,
                        end_ids=self._resolve_request_end_ids(end_token),
+                       rep_penalty=rep, ngram=ngram, suppress_ids=sup_ids,
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         req.start_id = ids[0]
@@ -2257,3 +2426,8 @@ class ContinuousWhisper(ContinuousTranslator):
             return
         self._tokens[slot] = req.start_id
         self._set_slot_sampling(slot, req)
+        if self._seen.shape[0]:
+            self._seen = self._seen_admit(
+                self._seen, jnp.int32(slot), jnp.int32(-1))
+            self._hist = self._hist_admit(
+                self._hist, jnp.int32(slot), jnp.int32(-1))

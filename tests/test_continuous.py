@@ -627,14 +627,187 @@ def test_repetition_penalty_matches_generate_batch(gen_model, tmp_path):
     finally:
         cbs.close()
 
-    # Encoder-decoder engines reject it explicitly.
+    # Encoder-decoder engines serve it too (batcher-level default).
     from ctranslate2_tpu import ContinuousTranslator, Translator
     from ctranslate2_tpu.converters.builder import build_seq2seq_model
 
     s2s = build_seq2seq_model(str(tmp_path / "s2s"))
-    with pytest.raises(NotImplementedError, match="repetition_penalty"):
-        ContinuousTranslator(Translator(s2s), max_source_len=16,
-                             repetition_penalty=1.2)
+    tr = Translator(s2s)
+    src = ["tok1", "tok2", "tok3"]
+    texp = tr.translate_batch([src], max_decoding_length=16,
+                              beam_size=1,
+                              repetition_penalty=1.4)[0].hypotheses[0]
+    tplain = tr.translate_batch([src], max_decoding_length=16,
+                                beam_size=1)[0].hypotheses[0]
+    assert texp != tplain  # the penalty must bite on the seq2seq model too
+    ct = ContinuousTranslator(tr, max_source_len=16,
+                              repetition_penalty=1.4)
+    try:
+        v = tr.model.target_vocabulary
+        got = ct.submit(src, max_length=16).result(timeout=600)
+        assert [v.to_token(i) for i in got.sequences_ids[0]] == texp
+    finally:
+        ct.close()
+
+
+def test_per_request_penalties_mixed_traffic(gen_model):
+    """One slot runs repetition_penalty + no_repeat_ngram, its neighbor
+    does not, in the SAME batcher with neutral defaults (exercising the
+    lazy table enable): each matches the batch engine (reference:
+    per-call options through the pool, translation.h:11-86)."""
+    prompt = ["tok1", "tok2"]
+    exp_pen = gen_model.generate_batch(
+        [prompt], max_length=24, include_prompt_in_result=False,
+        repetition_penalty=1.4,
+        no_repeat_ngram_size=2)[0].sequences_ids[0]
+    exp_plain = gen_model.generate_batch(
+        [prompt], max_length=24,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    assert exp_pen != exp_plain  # the penalties must actually bite
+
+    cb = _batcher(gen_model, num_slots=2)  # neutral defaults
+    try:
+        f_pen = cb.submit(prompt, max_length=24, repetition_penalty=1.4,
+                          no_repeat_ngram_size=2)
+        f_plain = cb.submit(prompt, max_length=24)
+        assert f_pen.result(timeout=600).sequences_ids[0] == exp_pen
+        assert f_plain.result(timeout=600).sequences_ids[0] == exp_plain
+        # Tables stay enabled; later neutral traffic is still exact.
+        f3 = cb.submit(prompt, max_length=24)
+        assert f3.result(timeout=600).sequences_ids[0] == exp_plain
+        # And a later penalized request reuses the (reset) slot state.
+        f4 = cb.submit(prompt, max_length=24, repetition_penalty=1.4,
+                       no_repeat_ngram_size=2)
+        assert f4.result(timeout=600).sequences_ids[0] == exp_pen
+    finally:
+        cb.close()
+
+
+def test_per_request_penalties_enable_mid_flight(gen_model):
+    """Enabling the penalty tables while another request is mid-decode
+    backfills its history exactly: the in-flight neutral request is
+    unaffected and finishes identical to the batch engine."""
+    long_prompt = ["tok3", "tok4"]
+    exp_long = gen_model.generate_batch(
+        [long_prompt], max_length=48,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    exp_pen = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=16, include_prompt_in_result=False,
+        repetition_penalty=1.4)[0].sequences_ids[0]
+
+    cb = _batcher(gen_model, num_slots=2, steps_per_sync=1)
+    try:
+        import threading as _threading
+
+        started = _threading.Event()
+        f_long = cb.submit(long_prompt, max_length=48,
+                           callback=lambda sr: bool(started.set()))
+        # Admit the penalized request only once the first is mid-decode.
+        assert started.wait(timeout=300)
+        f_pen = cb.submit(["tok1", "tok2"], max_length=16,
+                          repetition_penalty=1.4)
+        assert f_pen.result(timeout=600).sequences_ids[0] == exp_pen
+        assert f_long.result(timeout=600).sequences_ids[0] == exp_long
+    finally:
+        cb.close()
+
+
+@pytest.mark.parametrize("spec_k", [3])
+def test_per_request_penalties_with_speculation(gen_model, spec_k):
+    """Per-request penalties stay lossless under speculative decoding
+    (the verify chunk sequentializes per-row intra-chunk state)."""
+    prompt = ["tok1", "tok2"]
+    exp_pen = gen_model.generate_batch(
+        [prompt], max_length=24, include_prompt_in_result=False,
+        repetition_penalty=1.4,
+        no_repeat_ngram_size=2)[0].sequences_ids[0]
+    exp_plain = gen_model.generate_batch(
+        [prompt], max_length=24,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+
+    cb = _batcher(gen_model, num_slots=2, speculation_k=spec_k)
+    try:
+        f_pen = cb.submit(prompt, max_length=24, repetition_penalty=1.4,
+                          no_repeat_ngram_size=2)
+        f_plain = cb.submit(prompt, max_length=24)
+        assert f_pen.result(timeout=600).sequences_ids[0] == exp_pen
+        assert f_plain.result(timeout=600).sequences_ids[0] == exp_plain
+    finally:
+        cb.close()
+
+
+def test_per_request_suppress_tokens(gen_model):
+    """Per-request suppress_tokens (zero-width table grown on demand)
+    matches the batch engine's single-token suppress_sequences."""
+    prompt = ["tok1", "tok2"]
+    plain = gen_model.generate_batch(
+        [prompt], max_length=12,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    v = gen_model.model.target_vocabulary
+    banned = v.to_token(plain[0])
+    exp = gen_model.generate_batch(
+        [prompt], max_length=12, include_prompt_in_result=False,
+        suppress_sequences=[[banned]])[0].sequences_ids[0]
+    assert exp != plain
+
+    cb = _batcher(gen_model, num_slots=2)
+    try:
+        f_sup = cb.submit(prompt, max_length=12, suppress_tokens=[banned])
+        f_plain = cb.submit(prompt, max_length=12)
+        assert f_sup.result(timeout=600).sequences_ids[0] == exp
+        assert f_plain.result(timeout=600).sequences_ids[0] == plain
+    finally:
+        cb.close()
+
+
+def test_per_request_penalty_validation(gen_model):
+    cb = _batcher(gen_model, num_slots=2)
+    try:
+        with pytest.raises(ValueError, match="max_no_repeat_ngram_size"):
+            cb.submit(["tok1"], max_length=4, no_repeat_ngram_size=99)
+        with pytest.raises(ValueError, match="positive"):
+            cb.submit(["tok1"], max_length=4, repetition_penalty=0.0)
+        with pytest.raises(ValueError, match="no_repeat_ngram_size"):
+            cb.submit(["tok1"], max_length=4, no_repeat_ngram_size=1)
+    finally:
+        cb.close()
+    cbb = _batcher(gen_model, num_slots=2, beam_size=2)
+    try:
+        with pytest.raises(NotImplementedError, match="per-request"):
+            cbb.submit(["tok1"], max_length=4, repetition_penalty=1.2)
+    finally:
+        cbb.close()
+
+
+def test_per_request_penalties_seq2seq(tmp_path):
+    """The continuous translator serves per-request penalties too: one
+    slot penalized, the neighbor not, each matching translate_batch."""
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    s2s = build_seq2seq_model(str(tmp_path / "s2sp"))
+    tr = Translator(s2s)
+    src = ["tok1", "tok2", "tok3"]
+    exp_pen = tr.translate_batch(
+        [src], max_decoding_length=16, beam_size=1,
+        repetition_penalty=1.4)[0].hypotheses[0]
+    exp_plain = tr.translate_batch(
+        [src], max_decoding_length=16, beam_size=1)[0].hypotheses[0]
+    assert exp_pen != exp_plain
+    ct = ContinuousTranslator(tr, num_slots=2, capacity=64,
+                              max_source_len=16)
+    try:
+        v = tr.model.target_vocabulary
+        f_pen = ct.submit(src, max_length=16, repetition_penalty=1.4)
+        f_plain = ct.submit(src, max_length=16)
+        assert [v.to_token(i)
+                for i in f_pen.result(timeout=600).sequences_ids[0]] \
+            == exp_pen
+        assert [v.to_token(i)
+                for i in f_plain.result(timeout=600).sequences_ids[0]] \
+            == exp_plain
+    finally:
+        ct.close()
 
 
 def test_stream_iterator(gen_model):
