@@ -1680,9 +1680,11 @@ class ContinuousTranslator(ContinuousBatcher):
     per-slot memory via the memory_kv projection), T5 relative bias and
     Shaw relative positions (per-row bucketed biases), and
     source-factor inputs (per-feature id streams split at submit).
-    Restrictions: greedy/sampling (no beam) and a config-known decoder
-    start token. Target prefixes ARE supported (forced-prefix buffers,
-    see ``submit(target_prefix=...)``).
+    Target prefixes ARE supported (forced-prefix buffers, see
+    ``submit(target_prefix=...)``), including models with
+    ``decoder_start_token=null`` where the prefix's first token plays
+    the start-token role (reference:
+    src/models/sequence_to_sequence.cc:169-186).
     """
 
     def __init__(self, translator, *, max_source_len: int = 128,
@@ -1699,12 +1701,13 @@ class ContinuousTranslator(ContinuousBatcher):
         # src/utils.cc:158-190 + src/layers/common.cc:49-148).
         self._num_features = model.arch.encoder.embeddings.num_features
         start = model.config.get("decoder_start_token", "<s>")
-        if start is None:
-            raise NotImplementedError(
-                "models requiring user decoder start tokens need "
-                "target_prefix, which the continuous translator does not "
-                "support yet")
-        self._start_id = model.target_vocabulary.to_id(start)
+        # start=None: the model has no decoder start token; each request
+        # must carry a target_prefix whose FIRST token plays that role
+        # (reference: make_target_ids with a null decoder_start_token,
+        # src/models/sequence_to_sequence.cc:169-186 — mirrored by the
+        # batch path, runtime/translator.py:_translate_padded).
+        self._start_id = (None if start is None
+                          else model.target_vocabulary.to_id(start))
         # Force the decoder-only check off; init the shared machinery.
         self._init_common(model, **kw)
         self._init_seq2seq_state(max_target_prefix)
@@ -1796,10 +1799,20 @@ class ContinuousTranslator(ContinuousBatcher):
         if target_prefix:
             tv = self.model.target_vocabulary
             prefix_ids = [tv.to_id(t) for t in target_prefix]
-            if len(prefix_ids) > self._max_prefix:
+        start_id = self._start_id
+        if start_id is None:
+            # User decoder start tokens: the prefix's first token is fed
+            # as the start token; the rest is the forced prefix (matches
+            # translate_batch, runtime/translator.py start_ids=[p[0]]).
+            if not prefix_ids:
                 raise ValueError(
-                    f"target_prefix length {len(prefix_ids)} exceeds "
-                    f"max_target_prefix ({self._max_prefix})")
+                    "The model requires a target prefix as the decoder "
+                    "start token")
+            start_id, prefix_ids = prefix_ids[0], prefix_ids[1:]
+        if len(prefix_ids) > self._max_prefix:
+            raise ValueError(
+                f"target_prefix length {len(prefix_ids)} exceeds "
+                f"max_target_prefix ({self._max_prefix})")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
         self._validate_beam_request(callback, stop_sequences, end_token)
         rep, ngram, sup_ids = self._validate_request_penalties(
@@ -1814,6 +1827,7 @@ class ContinuousTranslator(ContinuousBatcher):
                        stop_sequences=self._stop_ids(stop_sequences))
         req.prefix_ids = prefix_ids
         req.forced_len = len(prefix_ids)
+        req.start_id = start_id
         req.feature_ids = feature_ids
         self._queue.put(req)
         self._wake.set()
@@ -1909,16 +1923,19 @@ class ContinuousTranslator(ContinuousBatcher):
         self._prefix[slot, :] = 0
         self._prefix[slot, : len(prefix)] = prefix
         self._plen[slot] = len(prefix)
+        start_id = getattr(req, "start_id", None)
+        if start_id is None:
+            start_id = self._start_id
         if self._beam > 1:
             # Beam rows all start from the decoder start token at
             # position 0; only beam 0 carries score 0, so the first step's
             # candidate selection performs the initial expansion.
             self._bstate = self._beam_reset_fn(
-                self._bstate, jnp.int32(slot), jnp.int32(self._start_id),
+                self._bstate, jnp.int32(slot), jnp.int32(start_id),
                 jnp.int32(0))
             self._b_active_host[slot] = True
             return
-        self._tokens[slot] = self._start_id
+        self._tokens[slot] = start_id
         self._set_slot_sampling(slot, req)
         if self._seen.shape[0]:
             # Reset the slot's penalty history (no token generated yet —

@@ -779,6 +779,46 @@ def test_per_request_penalty_validation(gen_model):
         cbb.close()
 
 
+def test_user_decoder_start_tokens(tmp_path):
+    """Models with decoder_start_token=null are served continuously: the
+    target_prefix's first token plays the start-token role (reference:
+    src/models/sequence_to_sequence.cc:169-186), matching translate_batch
+    with the same target_prefix."""
+    import json
+    import os
+
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+    from ctranslate2_tpu.converters.builder import build_seq2seq_model
+
+    s2s = build_seq2seq_model(str(tmp_path / "s2s_nostart"))
+    cfg_path = os.path.join(s2s, "config.json")
+    with open(cfg_path, encoding="utf-8") as f:
+        cfg = json.load(f)
+    cfg["decoder_start_token"] = None
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        json.dump(cfg, f)
+    tr = Translator(s2s)
+    src = ["tok1", "tok2", "tok3"]
+    prefix = ["tok4", "tok5"]
+    exp = tr.translate_batch(
+        [src], target_prefix=[prefix], max_decoding_length=16,
+        beam_size=1)[0].hypotheses[0]
+    ct = ContinuousTranslator(tr, num_slots=2, capacity=64,
+                              max_source_len=16)
+    try:
+        v = tr.model.target_vocabulary
+        got = ct.submit(src, max_length=16,
+                        target_prefix=prefix).result(timeout=600)
+        assert [v.to_token(i) for i in got.sequences_ids[0]] == exp
+        # prefix[0] is consumed as the start token; the rest is forced.
+        assert [v.to_token(i)
+                for i in got.sequences_ids[0][:1]] == prefix[1:]
+        with pytest.raises(ValueError, match="target prefix"):
+            ct.submit(src, max_length=16)
+    finally:
+        ct.close()
+
+
 def test_per_request_penalties_seq2seq(tmp_path):
     """The continuous translator serves per-request penalties too: one
     slot penalized, the neighbor not, each matching translate_batch."""
