@@ -45,6 +45,55 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class _DistControl:
+    """Multi-host verb broadcast for the continuous engines (reference
+    anchor: the whole serving stack runs per-rank under mpirun,
+    /root/reference/docs/parallel.md:43-90). Process 0 is the leader: it
+    owns the request queue and host bookkeeping and broadcasts one
+    control record per scheduler iteration (admitted requests + whether
+    to step); followers replay the records so every process dispatches
+    the SAME global computations in the SAME order — the single-program
+    contract the batch APIs already rely on (docs/parallel.md).
+
+    Transport: a fixed-size uint8 buffer through
+    ``multihost_utils.broadcast_one_to_all`` (a device collective —
+    gloo on CPU, ICI/DCN on TPU slices)."""
+
+    MAXLEN = 1 << 16
+
+    def __init__(self):
+        import jax
+
+        self.is_leader = jax.process_index() == 0
+        self._zeros = np.zeros(self.MAXLEN, np.uint8)
+
+    def send(self, obj) -> None:
+        import json as _json
+
+        from jax.experimental import multihost_utils
+
+        data = _json.dumps(obj).encode()
+        if len(data) > self.MAXLEN - 4:
+            raise ValueError(
+                f"continuous-serving control record ({len(data)} bytes) "
+                f"exceeds the broadcast buffer ({self.MAXLEN - 4}); "
+                "submit shorter prompts or fewer concurrent admits")
+        buf = np.zeros(self.MAXLEN, np.uint8)
+        buf[:4] = np.frombuffer(
+            np.uint32(len(data)).tobytes(), np.uint8)
+        buf[4: 4 + len(data)] = np.frombuffer(data, np.uint8)
+        multihost_utils.broadcast_one_to_all(buf)
+
+    def recv(self):
+        import json as _json
+
+        from jax.experimental import multihost_utils
+
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(self._zeros))
+        n = int(np.frombuffer(buf[:4].tobytes(), np.uint32)[0])
+        return _json.loads(buf[4: 4 + n].tobytes().decode())
+
+
 @dataclass
 class _Request:
     prompt_ids: List[int]
@@ -67,8 +116,13 @@ class _Request:
     # semantics: return True to stop this request early).
     callback: Optional[object] = None
     # Multi-token stop sequences (token id tuples); matched host-side on
-    # the generated tail, matched suffix trimmed from the result.
+    # the generated tail (greedy) or device-side in the candidate
+    # bookkeeping (beam), matched suffix trimmed from the result.
     stop_sequences: tuple = ()
+    # Per-request hypothesis count (beam serving; None = batcher default).
+    num_hypotheses: Optional[int] = None
+    # Beam streaming: number of committed tokens already delivered.
+    streamed: int = 0
     # Filled while decoding:
     generated: List[int] = field(default_factory=list)
     score: float = 0.0
@@ -153,10 +207,6 @@ class ContinuousBatcher:
             if not (1 <= num_hypotheses <= self._beam):
                 raise ValueError(
                     "num_hypotheses must be in [1, beam_size]")
-            if T.ring_capacity(model.arch):
-                raise NotImplementedError(
-                    "sliding-window (ring-cache) models are not supported "
-                    "with beam_size > 1 in the continuous engines")
         self._num_hyp = int(num_hypotheses)
         self._length_penalty = float(length_penalty)
         self._max_candidates = max(1, round(self._beam * patience))
@@ -284,22 +334,28 @@ class ContinuousBatcher:
         self._ring = T.ring_capacity(model.arch)
         self._cache = T.init_self_cache(
             model.arch, num_slots * self._beam, capacity,
-            dtype=model.kv_dtype, stacked=model.scan_layers,
-            ring=(self._beam == 1))
+            dtype=model.kv_dtype, stacked=model.scan_layers, ring=True)
         if self._beam > 1:
             self._beam_has_memory = model.is_sequence_to_sequence
             self._step_fn = None
             self._beam_step_fn = self._build_beam_step()
             self._beam_reset_fn = self._build_beam_reset()
             self._cache_prefill_fns = {}
-            K, M, L = self._beam, self._num_hyp, capacity
+            # The hypothesis store is sized at K rows (the per-request
+            # num_hypotheses ceiling); the ctor value is the default.
+            K, M, L = self._beam, self._beam, capacity
             self._bstate = {
                 "tokens": jnp.zeros((num_slots, K), jnp.int32),
                 "pos": jnp.zeros((num_slots,), jnp.int32),
                 "gen": jnp.zeros((num_slots,), jnp.int32),
                 "scores": jnp.full((num_slots, K), -1e10, jnp.float32),
                 "alive": jnp.zeros((num_slots, K, L), jnp.int32),
+                # Per-position cumulative scores along each alive beam /
+                # stored hypothesis: stop-sequence trimming refunds the
+                # matched suffix and streaming reports per-token scores.
+                "alive_sc": jnp.zeros((num_slots, K, L), jnp.float32),
                 "store_seqs": jnp.zeros((num_slots, M, L), jnp.int32),
+                "store_sc": jnp.zeros((num_slots, M, L), jnp.float32),
                 "store_lens": jnp.zeros((num_slots, M), jnp.int32),
                 "store_scores": jnp.full((num_slots, M), -jnp.inf,
                                          jnp.float32),
@@ -308,6 +364,13 @@ class ContinuousBatcher:
                 "active": jnp.zeros((num_slots,), jnp.bool_),
             }
             self._b_active_host = np.zeros(num_slots, bool)
+            # Per-slot hypothesis targets and stop-sequence tables (the
+            # stop tables start zero-size — exact no-op — and grow on the
+            # first request that carries stop_sequences, recompiling the
+            # step like the penalty tables do).
+            self._nhyps = np.full(num_slots, self._num_hyp, np.int32)
+            self._bstop_tab = np.full((num_slots, 0, 0), -1, np.int32)
+            self._bstop_len = np.zeros((num_slots, 0), np.int32)
         else:
             self._step_fn = (self._build_spec_step() if self._spec_k > 1
                              else self._build_step())
@@ -375,6 +438,42 @@ class ContinuousBatcher:
         self._closed = False
         self._wake = threading.Event()
 
+        # Multi-host serving: every process constructs the batcher with
+        # the SAME kwargs (like the batch APIs under tensor_parallel);
+        # process 0 leads, the rest follow (_leader_loop/_follower_loop).
+        self._dist = None
+        if jax.process_count() > 1:
+            if self._draft_model is not None:
+                raise NotImplementedError(
+                    "draft-model speculation is not supported in "
+                    "multi-host continuous serving yet")
+            mesh = getattr(model, "mesh", None)
+            if mesh is None:
+                raise ValueError(
+                    "multi-host continuous serving requires the model to "
+                    "be loaded with tensor_parallel=True (a global mesh)")
+            self._dist = _DistControl()
+            from ..parallel.sharding import shard_cache, NamedSharding, P
+
+            # Device state must be GLOBAL arrays on the mesh: the KV
+            # cache with its TP layout, everything else replicated.
+            # Round-trip through host values — device_put from uniform
+            # host data forms global arrays on every process.
+            self._cache = shard_cache(
+                jax.tree.map(np.asarray, self._cache), model.arch, mesh)
+            rep = NamedSharding(mesh, P())
+
+            def _replicate(x):
+                return jax.device_put(np.asarray(x), rep)
+
+            self._seen = _replicate(self._seen)
+            self._hist = _replicate(self._hist)
+            if self._beam > 1:
+                self._bstate = jax.tree.map(_replicate, self._bstate)
+            # PRNG keys stay host-side so they enter jit as replicated
+            # values on every process.
+            self._key = np.asarray(self._key)
+
     def _init_draft(self, dm):
         if not dm.is_decoder_only:
             raise ValueError("draft_model must be a decoder-only model")
@@ -413,6 +512,7 @@ class ContinuousBatcher:
                repetition_penalty: float = None,
                no_repeat_ngram_size: int = None,
                suppress_tokens: Sequence = None,
+               num_hypotheses: int = None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one prompt; the Future resolves to a GenerationResult
@@ -425,6 +525,7 @@ class ContinuousBatcher:
         request and surfaces through its future."""
         if self._closed:
             raise RuntimeError("The batcher is closed")
+        self._check_distributed_submit(callback)
         if not prompt:
             raise ValueError("The prompt must contain at least one token")
         ids = [self._vocab.to_id(t) if isinstance(t, str) else int(t)
@@ -436,7 +537,7 @@ class ContinuousBatcher:
                 f"dispatch margin ({margin}) exceeds the slot "
                 f"capacity ({self._capacity})")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
-        self._validate_beam_request(callback, stop_sequences, end_token)
+        self._validate_beam_request(num_hypotheses)
         rep, ngram, sup_ids = self._validate_request_penalties(
             repetition_penalty, no_repeat_ngram_size, suppress_tokens)
         # Window models: prompts longer than one ring block run through
@@ -447,6 +548,7 @@ class ContinuousBatcher:
                        topk=sampling_topk, topp=sampling_topp, seed=seed,
                        end_ids=self._resolve_request_end_ids(end_token),
                        rep_penalty=rep, ngram=ngram, suppress_ids=sup_ids,
+                       num_hypotheses=num_hypotheses,
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         self._queue.put(req)
@@ -642,23 +744,33 @@ class ContinuousBatcher:
                 for t in suppress_tokens)
         return rep_penalty, ngram, sup_ids
 
-    def _validate_beam_request(self, callback, stop_sequences,
-                               end_token) -> None:
-        if self._beam <= 1:
+    def _check_distributed_submit(self, callback) -> None:
+        if self._dist is None:
             return
+        if not self._dist.is_leader:
+            raise RuntimeError(
+                "multi-host continuous serving: submit() is leader-only "
+                "(process 0); this process is a follower")
         if callback is not None:
             raise NotImplementedError(
-                "token-streaming callbacks are not supported with "
-                "beam_size > 1 (hypotheses are not final until the beam "
-                "settles)")
-        if stop_sequences:
+                "token-streaming callbacks are not supported in "
+                "multi-host continuous serving (early stop would "
+                "desynchronize the follower replay)")
+
+    def _validate_beam_request(self, num_hypotheses) -> None:
+        """Per-request num_hypotheses: under beam serving any value in
+        [1, beam_size]; the greedy engines return a single hypothesis."""
+        if num_hypotheses is None:
+            return
+        if self._beam > 1:
+            if not (1 <= num_hypotheses <= self._beam):
+                raise ValueError(
+                    f"num_hypotheses must be in [1, beam_size] "
+                    f"(= [1, {self._beam}])")
+        elif num_hypotheses != 1:
             raise NotImplementedError(
-                "stop_sequences are not supported with beam_size > 1 in "
-                "the continuous engines")
-        if end_token is not None:
-            raise NotImplementedError(
-                "per-request end_token is not supported with "
-                "beam_size > 1 (set end_token on the batcher)")
+                "num_hypotheses > 1 requires beam serving (construct "
+                "with beam_size > 1) or the batch APIs")
 
     def _stop_ids(self, stop_sequences) -> tuple:
         v = self._vocab
@@ -749,6 +861,13 @@ class ContinuousBatcher:
         self._closed = True
         self._wake.set()
         self._thread.join(timeout=30)
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        """Block until the scheduler thread exits. Multi-host followers
+        use this to wait for the leader's close broadcast (the leader
+        must be closed first; follower close() alone cannot interrupt
+        the blocking collective recv)."""
+        self._thread.join(timeout)
 
     # ------------------------------------------------------------------
     # Jitted pieces.
@@ -872,27 +991,21 @@ class ContinuousBatcher:
         arch = model.arch
         quantize_acts = model.policy.quantize_activations
         out_dtype = model.out_dtype
-        K, M = self._beam, self._num_hyp
+        K, M = self._beam, self._beam
         K2 = 2 * K
         block = self._block
         lp_pen = self._length_penalty
         max_cand = self._max_candidates
         early = self._allow_early_exit
         NEG = -1e10
-        end_ids = jnp.asarray(self._end_ids or (0,), jnp.int32)
-        has_end = bool(self._end_ids)
         has_memory = self._beam_has_memory
         S_max = getattr(self, "_max_src", 0)
         cap = self._capacity
         from ..decoding.sampling import small_top_k
 
-        def is_end(tok):
-            if not has_end:
-                return jnp.zeros(tok.shape, jnp.bool_)
-            return jnp.any(tok[..., None] == end_ids, axis=-1)
-
         def step(params, consts, cache, bstate, min_len, max_len,
-                 prefix, plen, mem=None, src_len=None):
+                 prefix, plen, end_table, nhyp, stop_tab, stop_lens,
+                 mem=None, src_len=None):
             S = bstate["gen"].shape[0]
             mem_bias = None
             if has_memory:
@@ -900,12 +1013,22 @@ class ContinuousBatcher:
 
                 mem_bias = attn_ops.length_mask_bias(src_len, S_max)
             rows_s = jnp.arange(S, dtype=jnp.int32)
+            # Per-slot end tokens (per-request end_token override; -1
+            # table entries never match a real token id).
+            NS, LS = stop_tab.shape[1], stop_tab.shape[2]
+            has_stop = NS > 0 and LS > 0
+
+            def is_end(tok):
+                # tok [S, C] -> [S, C] any of the slot's end ids.
+                return jnp.any(
+                    tok[:, :, None] == end_table[:, None, :], axis=-1)
 
             def body(_, carry):
                 cache, st = carry
                 tokens, pos, gen = st["tokens"], st["pos"], st["gen"]
                 scores, alive, active = (st["scores"], st["alive"],
                                          st["active"])
+                alive_sc = st["alive_sc"]
 
                 fed = tokens.reshape(S * K)
                 pos_rows = jnp.repeat(jnp.minimum(pos, cap - 1), K)
@@ -916,9 +1039,11 @@ class ContinuousBatcher:
                 l = logits[:, -1].astype(jnp.float32)  # [S*K, V]
                 V = l.shape[-1]
                 l = proc.disable_tokens(l, self._suppress_ids)
-                if has_end:
-                    l = proc.disable_tokens_if(
-                        l, self._end_ids, jnp.repeat(gen < min_len, K))
+                end_mask = self._end_mask(end_table, V)  # [S, V]
+                l = jnp.where(
+                    jnp.repeat((gen < min_len)[:, None] & end_mask, K,
+                               axis=0),
+                    proc.DISABLE, l)
 
                 log_probs = jax.nn.log_softmax(l, axis=-1)
                 total = log_probs + scores.reshape(S * K)[:, None]
@@ -948,28 +1073,86 @@ class ContinuousBatcher:
                 is_eos_cand = is_end(words)  # [S, 2K]
                 past_prefix = (gen >= plen)[:, None]
                 last_step_b = (gen + 1) >= max_len  # [S]
+                Lb = alive.shape[2]
+                wcol = jnp.minimum(gen, Lb - 1)
+
+                # Stop-sequence matching (beyond parity; the greedy
+                # engines match host-side): a candidate whose token tail
+                # [gen-n+1 .. gen] equals a stop sequence finishes like
+                # EOS, with the matched suffix trimmed and its scores
+                # refunded from the cumulative-score table.
+                if has_stop:
+                    n_st = stop_lens  # [S, NS]
+                    i_idx = jnp.arange(LS, dtype=jnp.int32)
+                    # Absolute generated index of stop element i.
+                    p_idx = (gen[:, None, None, None]
+                             - n_st[:, None, :, None] + 1
+                             + i_idx[None, None, None, :])  # [S,2K?,NS,LS]
+                    seqs = jnp.take_along_axis(
+                        alive, origins[:, :, None], axis=1)  # [S, 2K, L]
+                    pc = jnp.broadcast_to(
+                        jnp.clip(p_idx, 0, Lb - 1), (S, K2, NS, LS))
+                    toks = jnp.take_along_axis(
+                        seqs[:, :, None, :],
+                        pc.reshape(S, K2, NS * LS)[:, :, None, :],
+                        axis=-1).reshape(S, K2, NS, LS)
+                    tok_p = jnp.where(p_idx == gen[:, None, None, None],
+                                      words[:, :, None, None], toks)
+                    valid_i = i_idx[None, None, None, :] < \
+                        n_st[:, None, :, None]
+                    eq_all = jnp.all(
+                        (tok_p == stop_tab[:, None, :, :]) | ~valid_i,
+                        axis=-1)  # [S, 2K, NS]
+                    # A match must fit the generated range and lie fully
+                    # beyond the forced prefix.
+                    okn = ((n_st > 0)
+                           & ((gen[:, None] + 1) >= n_st)
+                           & ((gen[:, None] + 1 - n_st)
+                              >= plen[:, None]))  # [S, NS]
+                    stop_hit = eq_all & okn[:, None, :]
+                    stop_n = jnp.max(
+                        jnp.where(stop_hit, n_st[:, None, :], 0),
+                        axis=-1)  # [S, 2K]
+                else:
+                    stop_n = jnp.zeros((S, K2), jnp.int32)
+                stopped_cand = stop_n > 0
+                dead_cand = is_eos_cand | stopped_cand
 
                 # Harvest finished hypotheses among the first K candidates.
                 finish_k = active[:, None] & (
                     (is_eos_cand[:, :K] & past_prefix)
+                    | stopped_cand[:, :K]
                     | last_step_b[:, None])
                 top_fin = st["top_fin"] | finish_k[:, 0]
 
-                Lb = alive.shape[2]
-                wcol = jnp.minimum(gen, Lb - 1)
-
                 def insert_one(k, c):
-                    sseq, slen, ssc, scount = c
+                    sseq, s_sc, slen, ssc, scount = c
                     o_k = origins[:, k]
                     seq = jnp.take_along_axis(
                         alive, o_k[:, None, None], axis=1)[:, 0]  # [S, L]
+                    seq_sc = jnp.take_along_axis(
+                        alive_sc, o_k[:, None, None], axis=1)[:, 0]
                     seq = seq.at[rows_s, wcol].set(words[:, k])
+                    seq_sc = seq_sc.at[rows_s, wcol].set(ts[:, k])
                     # include_eos=False: EOS never lands in the hypothesis;
                     # count_eos=True: the norm length still counts it
-                    # (reference include_eos_in_hypotheses default).
-                    hyp_len = jnp.where(is_eos_cand[:, k], gen, gen + 1)
-                    norm_len = jnp.maximum(gen + 1, 1).astype(jnp.float32)
-                    norm_score = ts[:, k] / jnp.power(norm_len, lp_pen)
+                    # (reference include_eos_in_hypotheses default). Stop
+                    # matches trim the suffix and refund its scores.
+                    sn = stop_n[:, k]
+                    stp = sn > 0
+                    is_e = is_eos_cand[:, k]
+                    hyp_len = jnp.where(
+                        stp, gen + 1 - sn, jnp.where(is_e, gen, gen + 1))
+                    kept = jnp.clip(gen - sn, 0, Lb - 1)
+                    cum_kept = jnp.take_along_axis(
+                        seq_sc, kept[:, None], axis=1)[:, 0]
+                    raw = jnp.where(
+                        stp, jnp.where(gen - sn >= 0, cum_kept, 0.0),
+                        ts[:, k])
+                    norm_len = jnp.maximum(
+                        jnp.where(stp, hyp_len, gen + 1), 1
+                    ).astype(jnp.float32)
+                    norm_score = raw / jnp.power(norm_len, lp_pen)
                     slot = jnp.argmin(ssc, axis=1)  # [S]
                     cur_min = jnp.take_along_axis(
                         ssc, slot[:, None], axis=1)[:, 0]
@@ -979,23 +1162,30 @@ class ContinuousBatcher:
                     ssc = jnp.where(hit, norm_score[:, None], ssc)
                     slen = jnp.where(hit, hyp_len[:, None], slen)
                     sseq = jnp.where(hit[:, :, None], seq[:, None, :], sseq)
+                    s_sc = jnp.where(hit[:, :, None], seq_sc[:, None, :],
+                                     s_sc)
                     scount = scount + finish_k[:, k].astype(jnp.int32)
-                    return sseq, slen, ssc, scount
+                    return sseq, s_sc, slen, ssc, scount
 
-                sseq, slen, ssc, scount = jax.lax.fori_loop(
+                sseq, s_sc, slen, ssc, scount = jax.lax.fori_loop(
                     0, K, insert_one,
-                    (st["store_seqs"], st["store_lens"],
+                    (st["store_seqs"], st["store_sc"], st["store_lens"],
                      st["store_scores"], st["store_count"]))
 
                 if early:
-                    finished_b = top_fin & (scount >= M)
+                    finished_b = top_fin & (scount >= nhyp)
                 else:
                     finished_b = scount >= max_cand
+                # A stop match on the TOP candidate ends the request at
+                # this step (greedy contract: the emitted stream matched),
+                # instead of letting longer continuations outscore the
+                # trimmed hypothesis.
+                finished_b = finished_b | stopped_cand[:, 0]
                 new_active = active & jnp.logical_not(
                     finished_b | last_step_b)
 
-                # Select the next K active beams (non-EOS first, stable).
-                order = jnp.argsort(is_eos_cand.astype(jnp.int32), axis=1,
+                # Select the next K active beams (live-first, stable).
+                order = jnp.argsort(dead_cand.astype(jnp.int32), axis=1,
                                     stable=True)[:, :K]
                 new_words = jnp.take_along_axis(words, order, axis=1)
                 new_scores = jnp.take_along_axis(ts, order, axis=1)
@@ -1005,9 +1195,13 @@ class ContinuousBatcher:
                 cache = T.cache_gather_rows(cache, rows)
                 new_alive = jnp.take_along_axis(
                     alive, new_origins[:, :, None], axis=1)
+                k_arange = jnp.arange(K, dtype=jnp.int32)[None, :]
                 new_alive = new_alive.at[
-                    rows_s[:, None], jnp.arange(K, dtype=jnp.int32)[None, :],
-                    wcol[:, None]].set(new_words)
+                    rows_s[:, None], k_arange, wcol[:, None]].set(new_words)
+                new_alive_sc = jnp.take_along_axis(
+                    alive_sc, new_origins[:, :, None], axis=1)
+                new_alive_sc = new_alive_sc.at[
+                    rows_s[:, None], k_arange, wcol[:, None]].set(new_scores)
 
                 a_i = active.astype(jnp.int32)
                 st = {
@@ -1017,7 +1211,10 @@ class ContinuousBatcher:
                     "scores": jnp.where(active[:, None], new_scores, scores),
                     "alive": jnp.where(active[:, None, None], new_alive,
                                        alive),
-                    "store_seqs": sseq, "store_lens": slen,
+                    "alive_sc": jnp.where(active[:, None, None],
+                                          new_alive_sc, alive_sc),
+                    "store_seqs": sseq, "store_sc": s_sc,
+                    "store_lens": slen,
                     "store_scores": ssc, "store_count": scount,
                     "top_fin": top_fin, "active": new_active,
                 }
@@ -1045,8 +1242,14 @@ class ContinuousBatcher:
                 (slot, 0))
             out["alive"] = jax.lax.dynamic_update_slice(
                 st["alive"], jnp.zeros((1, K, L), jnp.int32), (slot, 0, 0))
+            out["alive_sc"] = jax.lax.dynamic_update_slice(
+                st["alive_sc"], jnp.zeros((1, K, L), jnp.float32),
+                (slot, 0, 0))
             out["store_seqs"] = jax.lax.dynamic_update_slice(
                 st["store_seqs"], jnp.zeros((1, M, L), jnp.int32),
+                (slot, 0, 0))
+            out["store_sc"] = jax.lax.dynamic_update_slice(
+                st["store_sc"], jnp.zeros((1, M, L), jnp.float32),
                 (slot, 0, 0))
             out["store_lens"] = jax.lax.dynamic_update_slice(
                 st["store_lens"], jnp.zeros((1, M), jnp.int32), (slot, 0))
@@ -1075,7 +1278,7 @@ class ContinuousBatcher:
 
         def prefill(params, consts, ids, length):
             cache = T.init_self_cache(arch, 1, padded_len, dtype=kv_dtype,
-                                      stacked=stacked)
+                                      stacked=stacked, ring=True)
             _, cache, _ = T.decoder_forward(
                 arch, params, consts, ids, jnp.int32(0), cache,
                 None, None, lengths=length[None],
@@ -1086,6 +1289,52 @@ class ContinuousBatcher:
         fn = jax.jit(prefill)
         self._cache_prefill_fns[padded_len] = fn
         return fn
+
+    def _beam_cache_chunked(self, ids):
+        """Ring-model prompts longer than one ring block: the reference's
+        chunked prefill (see _prefill_chunked) through a 1-row
+        slot-capacity ring cache, returning only the cache."""
+        model = self.model
+        rb = T.ring_block(model.arch)
+        cache = T.init_self_cache(
+            model.arch, 1, self._capacity, dtype=model.kv_dtype,
+            stacked=model.scan_layers, ring=True)
+        for off, size in T.split_prefill_chunks(0, len(ids), rb):
+            pad = _round_up(size, self._prefill_bucket)
+            chunk = np.zeros((1, pad), np.int32)
+            chunk[0, :size] = ids[off: off + size]
+            _, cache, _ = T.decoder_forward_jit(
+                model.arch, model.params, model.consts,
+                jnp.asarray(chunk), jnp.int32(off), cache, None, None,
+                quantize_acts=model.policy.quantize_activations,
+                out_dtype=model.out_dtype,
+                fresh_prefill=(off == 0))
+        return cache
+
+    def _set_beam_slot_options(self, slot: int, req: _Request) -> None:
+        """Write the request's beam-mode per-slot options: end tokens,
+        hypothesis count, stop sequences (tables grow on demand, like the
+        penalty tables — the jitted step keys on the static shapes)."""
+        self._end_table[slot, :] = -1
+        for e, eid in enumerate(self._req_end_ids(req)):
+            self._end_table[slot, e] = eid
+        self._nhyps[slot] = req.num_hypotheses or self._num_hyp
+        stops = req.stop_sequences
+        ns = len(stops)
+        ls = max((len(s) for s in stops), default=0)
+        NS, LS = self._bstop_tab.shape[1], self._bstop_tab.shape[2]
+        if ns > NS or ls > LS:
+            NSn, LSn = max(ns, NS, 1), max(_round_up(ls, 2), LS, 2)
+            grown = np.full((self._num_slots, NSn, LSn), -1, np.int32)
+            lens = np.zeros((self._num_slots, NSn), np.int32)
+            grown[:, :NS, :LS] = self._bstop_tab
+            lens[:, :NS] = self._bstop_len
+            self._bstop_tab, self._bstop_len = grown, lens
+        self._bstop_tab[slot] = -1
+        self._bstop_len[slot] = 0
+        for j, seq in enumerate(stops):
+            self._bstop_tab[slot, j, : len(seq)] = seq
+            self._bstop_len[slot, j] = len(seq)
 
     def _prefill_into_slot_beam(self, slot: int, req: _Request):
         """Decoder-only beam admit: write the prompt-minus-last-token KV
@@ -1098,15 +1347,20 @@ class ContinuousBatcher:
         K = self._beam
         pos0 = len(ids) - 1
         if pos0 > 0:
-            P = _round_up(pos0, self._prefill_bucket)
-            padded = np.zeros((1, P), np.int32)
-            padded[0, :pos0] = ids[:-1]
-            sub = self._get_cache_prefill(P)(
-                model.params, model.consts, jnp.asarray(padded),
-                jnp.int32(pos0))
+            rb = T.ring_block(model.arch)
+            if rb and pos0 > rb:
+                sub = self._beam_cache_chunked(ids[:-1])
+            else:
+                P = _round_up(pos0, self._prefill_bucket)
+                padded = np.zeros((1, P), np.int32)
+                padded[0, :pos0] = ids[:-1]
+                sub = self._get_cache_prefill(P)(
+                    model.params, model.consts, jnp.asarray(padded),
+                    jnp.int32(pos0))
             for k in range(K):
                 self._cache = self._insert_fn(
                     self._cache, sub, jnp.int32(slot * K + k))
+        self._set_beam_slot_options(slot, req)
         self._bstate = self._beam_reset_fn(
             self._bstate, jnp.int32(slot), jnp.int32(ids[-1]),
             jnp.int32(pos0))
@@ -1131,7 +1385,9 @@ class ContinuousBatcher:
             plen = self._plen
         args = [model.params, model.consts, self._cache, self._bstate,
                 jnp.asarray(min_len), jnp.asarray(max_len),
-                jnp.asarray(prefix), jnp.asarray(plen)]
+                jnp.asarray(prefix), jnp.asarray(plen),
+                jnp.asarray(self._end_table), jnp.asarray(self._nhyps),
+                jnp.asarray(self._bstop_tab), jnp.asarray(self._bstop_len)]
         if self._beam_has_memory:
             args += [self._mem, jnp.asarray(self._src_len)]
         self._cache, self._bstate = self._beam_step_fn(*args)
@@ -1139,30 +1395,140 @@ class ContinuousBatcher:
         self._slot_steps += len(active) * self._block
         if not self._queue.empty():
             self._steps_while_pending += 1
-        # The only per-block fetch: which slots are still decoding.
+        # The only per-block fetch: which slots are still decoding
+        # (callback slots additionally fetch the streaming snapshot in
+        # _harvest_beam).
         self._b_active_host = np.array(self._bstate["active"])
 
-    def _harvest_beam(self):
-        for i, req in enumerate(self._slots):
-            if req is not None and not self._b_active_host[i]:
-                self._finish_beam(i, req)
+    _BEAM_SNAP_KEYS = ("alive", "alive_sc", "gen", "scores", "store_seqs",
+                       "store_sc", "store_lens", "store_scores")
 
-    def _finish_beam(self, slot: int, req: _Request):
+    def _beam_snapshot(self):
+        return {k: np.asarray(self._bstate[k])
+                for k in self._BEAM_SNAP_KEYS}
+
+    def _harvest_beam(self):
+        need = any(r is not None and (r.callback is not None or r.stopped)
+                   for r in self._slots)
+        snap = self._beam_snapshot() if need else None
+        for i, req in enumerate(self._slots):
+            if req is None:
+                continue
+            if not self._b_active_host[i]:
+                self._finish_beam(i, req, snap)
+                continue
+            if req.callback is not None and not req.stopped:
+                self._stream_beam_slot(i, req, snap)
+            if req.stopped:
+                # Callback-requested stop (or callback error): force the
+                # slot inactive and finish with the best hypothesis so
+                # far (stored, else the top alive beam).
+                self._bstate["active"] = \
+                    self._bstate["active"].at[i].set(False)
+                self._b_active_host[i] = False
+                self._finish_beam(i, req, snap)
+
+    def _stream_beam_slot(self, slot: int, req: _Request, snap) -> None:
+        """Stream COMMITTED tokens: the longest prefix shared by every
+        alive beam and compatible with every stored hypothesis — any
+        future finished hypothesis descends from a current alive row, so
+        a committed token is guaranteed to be a prefix of the request's
+        final best hypothesis. A holdback of the stop-sequence window
+        (min 1 token, so is_last can always be delivered at finish)
+        protects against future stop-suffix trimming."""
+        gen = int(snap["gen"][slot])
+        hold = max(1, req.max_stop_len)
+        cap = gen - hold
+        if cap <= req.streamed:
+            return
+        alive = snap["alive"][slot]  # [K, L]
+        ne = np.flatnonzero(
+            ~(alive[:1, :cap] == alive[:, :cap]).all(axis=0))
+        lcp = int(ne[0]) if ne.size else cap
+        ssc = snap["store_scores"][slot]
+        slen = snap["store_lens"][slot]
+        sseq = snap["store_seqs"][slot]
+        for j in np.flatnonzero(np.isfinite(ssc)):
+            # An existing finished hypothesis may win the final ranking:
+            # commit only what matches it (strictly short of its end).
+            m = max(min(int(slen[j]) - 1, lcp), 0)
+            dif = np.flatnonzero(sseq[j, :m] != alive[0, :m])
+            lcp = int(dif[0]) if dif.size else m
+        if lcp <= req.streamed:
+            return
+        cum = snap["alive_sc"][slot, 0]
         v = self._vocab
-        sseq = np.asarray(self._bstate["store_seqs"][slot])
-        slen = np.asarray(self._bstate["store_lens"][slot])
-        ssc = np.asarray(self._bstate["store_scores"][slot])
+        for t in range(req.streamed, lcp):
+            prev = float(cum[t - 1]) if t > 0 else 0.0
+            tok = int(alive[0, t])
+            try:
+                stop = req.callback(GenerationStepResult(
+                    step=t, batch_id=0, token_id=tok, hypothesis_id=0,
+                    token=v.to_token(tok), score=float(cum[t]) - prev,
+                    is_last=False))
+            except BaseException as e:  # noqa: BLE001
+                req.callback_error = e
+                req.stopped = True
+                return
+            req.streamed = t + 1
+            if stop:
+                req.stopped = True
+                return
+
+    def _finish_beam(self, slot: int, req: _Request, snap=None):
+        v = self._vocab
+        if snap is not None:
+            def get(k):
+                return snap[k][slot]
+        else:
+            def get(k):
+                return np.asarray(self._bstate[k][slot])
+        sseq, slen = get("store_seqs"), get("store_lens")
+        ssc, s_sc = get("store_scores"), get("store_sc")
         self._slots[slot] = None
-        hyps, scores = [], []
+        hyps, scores, hyp_sc = [], [], []
         for j in np.argsort(-ssc):
             if not np.isfinite(ssc[j]):
                 continue
             hyps.append([int(t) for t in sseq[j, : slen[j]]])
             scores.append(float(ssc[j]))
-        hyps = hyps[: self._num_hyp] or [[]]
-        scores = scores[: self._num_hyp] or [0.0]
+            hyp_sc.append(s_sc[j])
+        if not hyps:
+            # Early stop with nothing stored yet: fall back to the best
+            # alive hypothesis so far, normalized like a finished one.
+            alive, bsc = get("alive"), get("scores")
+            gen = int(get("gen"))
+            b = int(np.argmax(bsc))
+            hyps = [[int(t) for t in alive[b, :gen]]]
+            scores = [float(bsc[b])
+                      / max(gen, 1) ** self._length_penalty]
+            hyp_sc = [get("alive_sc")[b]]
+        nh = req.num_hypotheses or self._num_hyp
+        hyps, scores = hyps[:nh], scores[:nh]
         self._tokens_out += len(hyps[0])
         self._requests_done += 1
+        if req.callback is not None and not req.stopped \
+                and req.callback_error is None:
+            # Flush the final best hypothesis's tail through the callback
+            # (committed streaming holds back at least one token, so the
+            # is_last event is always delivered here).
+            cum = hyp_sc[0]
+            for t in range(req.streamed, len(hyps[0])):
+                prev = float(cum[t - 1]) if t > 0 else 0.0
+                try:
+                    req.callback(GenerationStepResult(
+                        step=t, batch_id=0, token_id=hyps[0][t],
+                        hypothesis_id=0, token=v.to_token(hyps[0][t]),
+                        score=float(cum[t]) - prev,
+                        is_last=(t == len(hyps[0]) - 1)))
+                except BaseException as e:  # noqa: BLE001
+                    req.callback_error = e
+                    break
+            req.streamed = len(hyps[0])
+        if req.callback_error is not None:
+            if not req.future.done():
+                req.future.set_exception(req.callback_error)
+            return
         result = GenerationResult(
             sequences=[[v.to_token(t) for t in h] for h in hyps],
             sequences_ids=[list(h) for h in hyps],
@@ -1486,11 +1852,14 @@ class ContinuousBatcher:
 
     def _loop(self):
         try:
-            while True:
-                if self._beam > 1:
-                    self._harvest_beam()
+            if self._dist is not None:
+                if self._dist.is_leader:
+                    self._leader_loop()
                 else:
-                    self._harvest()
+                    self._follower_loop()
+                return
+            while True:
+                self._harvest_any()
                 self._admit()
                 active = [i for i, s in enumerate(self._slots) if s is not None]
                 if not active:
@@ -1500,17 +1869,103 @@ class ContinuousBatcher:
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
                     continue
-                if self._beam > 1:
-                    self._decode_step_beam(active)
-                elif self._spec_k > 1:
-                    self._decode_step_spec(active)
-                else:
-                    self._decode_step(active)
+                self._dispatch_step(active)
         except BaseException as e:  # noqa: BLE001
             self._fail_pending(e)
             for s in self._slots:
                 if s is not None and not s.future.done():
                     s.future.set_exception(e)
+
+    def _harvest_any(self):
+        if self._beam > 1:
+            self._harvest_beam()
+        else:
+            self._harvest()
+
+    def _dispatch_step(self, active):
+        if self._beam > 1:
+            self._decode_step_beam(active)
+        elif self._spec_k > 1:
+            self._decode_step_spec(active)
+        else:
+            self._decode_step(active)
+
+    # ------------------------------------------------------------------
+    # Multi-host serving: leader (process 0) broadcasts one control
+    # record per scheduler iteration; followers replay it so every
+    # process dispatches identical global computations in identical
+    # order (see _DistControl; design: docs/parallel.md).
+    # ------------------------------------------------------------------
+
+    def _leader_loop(self):
+        while True:
+            self._harvest_any()
+            admits = self._collect_admits()
+            step = bool(admits) or any(
+                s is not None for s in self._slots)
+            closing = self._closed and not step
+            self._dist.send({
+                "op": "iter",
+                "admits": [{"slot": s, "req": self._req_payload(r)}
+                           for s, r in admits],
+                "step": step, "close": closing})
+            for slot, req in admits:
+                self._prefill_into_slot(slot, req)
+            if closing:
+                self._fail_pending(RuntimeError("Batcher closed"))
+                return
+            if step:
+                self._dispatch_step(
+                    [i for i, s in enumerate(self._slots)
+                     if s is not None])
+            else:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    def _follower_loop(self):
+        while True:
+            msg = self._dist.recv()
+            self._harvest_any()
+            for a in msg["admits"]:
+                self._prefill_into_slot(
+                    a["slot"], self._req_from_payload(a["req"]))
+            if msg.get("close"):
+                return
+            if msg["step"]:
+                self._dispatch_step(
+                    [i for i, s in enumerate(self._slots)
+                     if s is not None])
+
+    def _req_payload(self, req: _Request) -> dict:
+        return {
+            "prompt_ids": list(req.prompt_ids),
+            "max_length": req.max_length,
+            "min_length": req.min_length,
+            "temperature": req.temperature,
+            "topk": req.topk, "topp": req.topp, "seed": req.seed,
+            "end_ids": (list(req.end_ids)
+                        if req.end_ids is not None else None),
+            "rep_penalty": req.rep_penalty, "ngram": req.ngram,
+            "suppress_ids": (list(req.suppress_ids)
+                             if req.suppress_ids else None),
+            "num_hypotheses": req.num_hypotheses,
+            "stop_sequences": [list(s) for s in req.stop_sequences],
+        }
+
+    def _req_from_payload(self, p: dict) -> _Request:
+        return _Request(
+            prompt_ids=list(p["prompt_ids"]),
+            max_length=p["max_length"], min_length=p["min_length"],
+            temperature=p["temperature"],
+            topk=p["topk"], topp=p["topp"], seed=p["seed"],
+            end_ids=(tuple(p["end_ids"])
+                     if p["end_ids"] is not None else None),
+            rep_penalty=p["rep_penalty"], ngram=p["ngram"],
+            suppress_ids=(tuple(p["suppress_ids"])
+                          if p["suppress_ids"] else None),
+            num_hypotheses=p["num_hypotheses"],
+            stop_sequences=tuple(
+                tuple(s) for s in p["stop_sequences"]))
 
     def _fail_pending(self, exc):
         while True:
@@ -1559,20 +2014,31 @@ class ContinuousBatcher:
             req.future.set_result(result)
 
     def _admit(self):
+        for slot, req in self._collect_admits():
+            self._prefill_into_slot(slot, req)
+
+    def _collect_admits(self):
+        """Pop admissible requests and assign free slots. Cancellation is
+        resolved here (leader-side in multi-host mode — followers only
+        ever see admitted requests)."""
+        picked = []
         free = [i for i, s in enumerate(self._slots) if s is None]
-        while free:
+        # Bound the control record in multi-host mode (prompt ids ride
+        # the broadcast buffer).
+        cap = 4 if self._dist is not None else len(free)
+        while free and len(picked) < max(cap, 1):
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
-                return
+                break
             # Queued requests can be cancelled through their future
             # before they claim a slot; set_running_or_notify_cancel also
             # NOTIFIES waiters of a cancelled future (wait()/as_completed()
             # would hang on a merely-CANCELLED one).
             if not req.future.set_running_or_notify_cancel():
                 continue
-            slot = free.pop(0)
-            self._prefill_into_slot(slot, req)
+            picked.append((free.pop(0), req))
+        return picked
 
     def _prefill_into_slot(self, slot: int, req: _Request):
         if self._beam > 1:
@@ -1693,6 +2159,11 @@ class ContinuousTranslator(ContinuousBatcher):
         if not model.is_sequence_to_sequence:
             raise ValueError(
                 "ContinuousTranslator requires an encoder-decoder model")
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-host continuous serving currently covers "
+                "decoder-only models (ContinuousBatcher); use the batch "
+                "translate APIs across hosts")
         self._translator = translator
         self._max_src = max_source_len
         self._src_vocab = model.source_vocabularies[0]
@@ -1758,6 +2229,7 @@ class ContinuousTranslator(ContinuousBatcher):
                repetition_penalty: float = None,
                no_repeat_ngram_size: int = None,
                suppress_tokens: Sequence = None,
+               num_hypotheses: int = None,
                target_prefix: Sequence[str] = None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
@@ -1814,7 +2286,7 @@ class ContinuousTranslator(ContinuousBatcher):
                 f"target_prefix length {len(prefix_ids)} exceeds "
                 f"max_target_prefix ({self._max_prefix})")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
-        self._validate_beam_request(callback, stop_sequences, end_token)
+        self._validate_beam_request(num_hypotheses)
         rep, ngram, sup_ids = self._validate_request_penalties(
             repetition_penalty, no_repeat_ngram_size, suppress_tokens)
         req = _Request(prompt_ids=ids, max_length=max_length,
@@ -1823,6 +2295,7 @@ class ContinuousTranslator(ContinuousBatcher):
                        topk=sampling_topk, topp=sampling_topp, seed=seed,
                        end_ids=self._resolve_request_end_ids(end_token),
                        rep_penalty=rep, ngram=ngram, suppress_ids=sup_ids,
+                       num_hypotheses=num_hypotheses,
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         req.prefix_ids = prefix_ids
@@ -1930,6 +2403,7 @@ class ContinuousTranslator(ContinuousBatcher):
             # Beam rows all start from the decoder start token at
             # position 0; only beam 0 carries score 0, so the first step's
             # candidate selection performs the initial expansion.
+            self._set_beam_slot_options(slot, req)
             self._bstate = self._beam_reset_fn(
                 self._bstate, jnp.int32(slot), jnp.int32(start_id),
                 jnp.int32(0))
@@ -2285,6 +2759,10 @@ class ContinuousWhisper(ContinuousTranslator):
         if enc is None or not enc.num_conv_layers:
             raise ValueError(
                 "ContinuousWhisper requires a Whisper-style speech model")
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-host continuous serving currently covers "
+                "decoder-only models (ContinuousBatcher)")
         self._translator = whisper
         # The encoder output capacity is the sinusoidal PE table length
         # (max_source_positions; reference src/layers/whisper.cc:44-49).
@@ -2352,6 +2830,7 @@ class ContinuousWhisper(ContinuousTranslator):
                repetition_penalty: float = None,
                no_repeat_ngram_size: int = None,
                suppress_tokens: Sequence = None,
+               num_hypotheses: int = None,
                callback=None,
                stop_sequences: Sequence[Sequence] = None) -> Future:
         """Queue one audio segment: ``features`` [n_mels, frames] mel
@@ -2383,7 +2862,7 @@ class ContinuousWhisper(ContinuousTranslator):
                 f"features length {feats.shape[-1]} exceeds the encoder "
                 f"capacity ({2 * self._max_src} frames)")
         self._validate_request_sampling(sampling_topk, sampling_topp, seed)
-        self._validate_beam_request(callback, stop_sequences, end_token)
+        self._validate_beam_request(num_hypotheses)
         rep, ngram, sup_ids = self._validate_request_penalties(
             repetition_penalty, no_repeat_ngram_size, suppress_tokens)
         req = _Request(prompt_ids=[], max_length=max_length,
@@ -2392,6 +2871,7 @@ class ContinuousWhisper(ContinuousTranslator):
                        topk=sampling_topk, topp=sampling_topp, seed=seed,
                        end_ids=self._resolve_request_end_ids(end_token),
                        rep_penalty=rep, ngram=ngram, suppress_ids=sup_ids,
+                       num_hypotheses=num_hypotheses,
                        callback=callback,
                        stop_sequences=self._stop_ids(stop_sequences))
         req.start_id = ids[0]
@@ -2436,6 +2916,7 @@ class ContinuousWhisper(ContinuousTranslator):
         self._prefix[slot, : len(prefix)] = prefix
         self._plen[slot] = len(prefix)
         if self._beam > 1:
+            self._set_beam_slot_options(slot, req)
             self._bstate = self._beam_reset_fn(
                 self._bstate, jnp.int32(slot), jnp.int32(req.start_id),
                 jnp.int32(0))

@@ -1677,11 +1677,227 @@ def test_continuous_beam_validation(gen_model):
         _batcher(gen_model, beam_size=2, num_hypotheses=3)
     cb = _batcher(gen_model, beam_size=2)
     try:
-        with pytest.raises(NotImplementedError, match="callback"):
-            cb.submit(["tok1"], max_length=8, callback=lambda sr: False)
-        with pytest.raises(NotImplementedError, match="stop_sequences"):
-            cb.submit(["tok1"], max_length=8, stop_sequences=[["tok2"]])
         with pytest.raises(NotImplementedError, match="sampling overrides"):
             cb.submit(["tok1"], max_length=8, sampling_topk=5)
+        with pytest.raises(ValueError, match="num_hypotheses"):
+            cb.submit(["tok1"], max_length=8, num_hypotheses=3)
     finally:
         cb.close()
+    cbg = _batcher(gen_model)  # greedy: multiple hypotheses need beam
+    try:
+        with pytest.raises(NotImplementedError, match="beam"):
+            cbg.submit(["tok1"], max_length=8, num_hypotheses=2)
+    finally:
+        cbg.close()
+
+
+def test_continuous_beam_stop_sequences(gen_model):
+    """Stop sequences under beam serving: a beam whose tail matches a
+    stop finishes like EOS with the suffix trimmed and its scores
+    refunded; a neighbor slot without stops stays token-identical to the
+    batch engine."""
+    expected = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=16, beam_size=2,
+        include_prompt_in_result=False, return_scores=True)[0]
+    full = expected.sequences_ids[0]
+    assert len(full) >= 4
+    stop = full[2:4]
+    cb = _batcher(gen_model, num_slots=2, beam_size=2)
+    try:
+        f_stop = cb.submit(["tok1", "tok2"], max_length=16,
+                           stop_sequences=[stop])
+        f_plain = cb.submit(["tok1", "tok2"], max_length=16)
+        r_stop = f_stop.result(timeout=600)
+        assert r_stop.sequences_ids[0] == full[:2]
+        assert f_plain.result(timeout=600).sequences_ids[0] == full
+        # The trimmed suffix's scores are refunded: the stopped
+        # hypothesis's normalized score reflects only the kept tokens.
+        r_again = cb.submit(["tok1", "tok2"], max_length=16,
+                            stop_sequences=[stop]).result(timeout=600)
+        assert r_again.sequences_ids[0] == full[:2]
+        assert r_again.scores[0] == pytest.approx(r_stop.scores[0])
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_per_request_end_token(gen_model):
+    """Per-request end_token under beam serving matches the batch engine
+    given the same end_token; the neighbor keeps the default."""
+    base = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=16, beam_size=2,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    assert len(base) >= 3
+    v = gen_model.model.target_vocabulary
+    end_tok = v.to_token(base[2])
+    exp = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=16, beam_size=2, end_token=end_tok,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    cb = _batcher(gen_model, num_slots=2, beam_size=2)
+    try:
+        f_end = cb.submit(["tok1", "tok2"], max_length=16,
+                          end_token=end_tok)
+        f_plain = cb.submit(["tok1", "tok2"], max_length=16)
+        assert f_end.result(timeout=600).sequences_ids[0] == exp
+        assert f_plain.result(timeout=600).sequences_ids[0] == base
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_per_request_num_hypotheses(gen_model):
+    """num_hypotheses is per request under beam serving: one request asks
+    for 2 hypotheses, its neighbor keeps the default 1."""
+    exp2 = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12, beam_size=3, num_hypotheses=2,
+        include_prompt_in_result=False, return_scores=True)[0]
+    exp1 = gen_model.generate_batch(
+        [["tok3"]], max_length=12, beam_size=3,
+        include_prompt_in_result=False)[0]
+    cb = _batcher(gen_model, num_slots=2, beam_size=3)
+    try:
+        f2 = cb.submit(["tok1", "tok2"], max_length=12, num_hypotheses=2)
+        f1 = cb.submit(["tok3"], max_length=12)
+        r2, r1 = f2.result(timeout=600), f1.result(timeout=600)
+        assert r2.sequences_ids == exp2.sequences_ids
+        assert all(abs(a - b) < 1e-4
+                   for a, b in zip(r2.scores, exp2.scores))
+        assert r1.sequences_ids == [exp1.sequences_ids[0]]
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_streaming_callback(gen_model):
+    """Beam streaming delivers committed tokens (prefix of the final
+    best hypothesis), per-token scores summing to the raw cumulative
+    score, and exactly one is_last event."""
+    exp = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12, beam_size=2,
+        include_prompt_in_result=False, return_scores=True)[0]
+    seen = []
+
+    def on_token(sr):
+        seen.append(sr)
+        return False
+
+    cb = _batcher(gen_model, num_slots=2, beam_size=2, steps_per_sync=2)
+    try:
+        r = cb.submit(["tok1", "tok2"], max_length=12,
+                      callback=on_token).result(timeout=600)
+        assert r.sequences_ids[0] == exp.sequences_ids[0]
+        assert [sr.token_id for sr in seen] == exp.sequences_ids[0]
+        assert [sr.step for sr in seen] == list(range(len(seen)))
+        assert [sr.is_last for sr in seen].count(True) == 1
+        assert seen[-1].is_last
+        # Raw per-token scores sum to the unnormalized total.
+        n = len(exp.sequences_ids[0])
+        raw = exp.scores[0] * max(n, 1) ** 1.0
+        assert sum(sr.score for sr in seen) == pytest.approx(raw, abs=1e-3)
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_streaming_early_stop(gen_model):
+    """Returning True from a beam callback stops the request early; the
+    result is consistent with the streamed prefix and the slot is freed
+    for the neighbor."""
+    exp = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=48, beam_size=2,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    got = []
+
+    def on_token(sr):
+        got.append(sr.token_id)
+        return len(got) >= 3
+
+    cb = _batcher(gen_model, num_slots=1, beam_size=2, steps_per_sync=2)
+    try:
+        r = cb.submit(["tok1", "tok2"], max_length=48,
+                      callback=on_token).result(timeout=600)
+        assert len(got) >= 3
+        assert r.sequences_ids[0][: len(got)] == got
+        # The slot was freed: a follow-up request is served normally.
+        r2 = cb.submit(["tok1", "tok2"], max_length=8).result(timeout=600)
+        assert r2.sequences_ids[0] == exp[:8] or r2.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_callback_exception(gen_model):
+    """A raising beam callback cancels the request and surfaces through
+    its future (greedy contract mirrored)."""
+    def boom(sr):
+        raise RuntimeError("beam-cb-fail")
+
+    cb = _batcher(gen_model, num_slots=2, beam_size=2, steps_per_sync=2)
+    try:
+        f = cb.submit(["tok1", "tok2"], max_length=32, callback=boom)
+        with pytest.raises(RuntimeError, match="beam-cb-fail"):
+            f.result(timeout=600)
+        # The engine keeps serving.
+        r = cb.submit(["tok3"], max_length=6).result(timeout=600)
+        assert len(r.sequences_ids[0]) > 0
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_ring_window(tmp_path):
+    """Beam serving on a sliding-window (ring-cache) model: tokens match
+    the batch engine's beam output, including a prompt longer than one
+    ring block (chunked prefill path)."""
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+
+    path = build_decoder_only_model(
+        str(tmp_path / "win"), sliding_window=128, rotary_dim=8,
+        num_heads_kv=2, glu=True, rms_norm=True, quantization=None)
+    gen = Generator(path)
+    short = ["tok1", "tok2"]
+    v = gen.model.target_vocabulary
+    rng = np.random.default_rng(5)
+    long_prompt = [v.to_token(int(t))
+                   for t in rng.integers(4, 40, size=140)]
+    e_short = gen.generate_batch(
+        [short], max_length=12, beam_size=2,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    e_long = gen.generate_batch(
+        [long_prompt], max_length=12, beam_size=2,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    cb = ContinuousBatcher(gen, num_slots=2, capacity=512, beam_size=2)
+    try:
+        f1 = cb.submit(short, max_length=12)
+        f2 = cb.submit(long_prompt, max_length=12)
+        assert f1.result(timeout=600).sequences_ids[0] == e_short
+        assert f2.result(timeout=600).sequences_ids[0] == e_long
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_translator_stream_and_end(tmp_path):
+    """Beam streaming + per-request end_token through the seq2seq
+    engine."""
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    MODEL = "/root/reference/tests/data/models/v2/aren-transliteration"
+    SRC = ["آ", "ت", "ز", "م", "و", "ن"]
+    t = Translator(MODEL)
+    exp = t.translate_batch([SRC], beam_size=2)[0].hypotheses[0]
+    seen = []
+    ct = ContinuousTranslator(t, num_slots=2, capacity=128,
+                              max_source_len=32, beam_size=2,
+                              steps_per_sync=2)
+    try:
+        r = ct.submit(SRC, max_length=32,
+                      callback=lambda sr: seen.append(sr) or False
+                      ).result(timeout=600)
+        v = t.model.target_vocabulary
+        assert [v.to_token(i) for i in r.sequences_ids[0]] == exp
+        assert [sr.token_id for sr in seen] == r.sequences_ids[0]
+        assert seen[-1].is_last
+        # Per-request end_token: stop at an early token of the expected
+        # output.
+        end_tok = exp[2]
+        e_end = t.translate_batch([SRC], beam_size=2,
+                                  end_token=end_tok)[0].hypotheses[0]
+        r_end = ct.submit(SRC, max_length=32,
+                          end_token=end_tok).result(timeout=600)
+        assert [v.to_token(i) for i in r_end.sequences_ids[0]] == e_end
+    finally:
+        ct.close()

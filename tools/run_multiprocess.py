@@ -60,6 +60,58 @@ def run_generation(model_dir: str, tensor_parallel: bool):
     }
 
 
+CONT_TRAFFIC = [
+    # (prompt, submit kwargs) — mixed lengths, per-request penalties,
+    # stop sequences and end tokens through the continuous engine.
+    (["tok1", "tok2"], {"max_length": 10}),
+    (["tok3"], {"max_length": 6}),
+    (["tok4", "tok1", "tok5"], {"max_length": 12,
+                                "repetition_penalty": 1.3}),
+    (["tok2", "tok4"], {"max_length": 8, "no_repeat_ngram_size": 2}),
+    (["tok1"], {"max_length": 10, "stop_sequences": [[5, 25]]}),
+    (["tok5", "tok3"], {"max_length": 7}),
+]
+
+
+def run_continuous(model_dir: str, tensor_parallel: bool):
+    """Serve mixed traffic through ContinuousBatcher in three engine
+    configurations (greedy blocks, speculative verify, beam); on
+    follower ranks each phase constructs the batcher (entering the
+    follower replay loop) and waits for the leader's close. Returns the
+    leader's results."""
+    import jax
+
+    from ctranslate2_tpu import ContinuousBatcher, Generator
+
+    g = Generator(model_dir, tensor_parallel=tensor_parallel)
+    follower = jax.process_count() > 1 and jax.process_index() != 0
+    phases = [
+        ("greedy", {"steps_per_sync": 4}, CONT_TRAFFIC),
+        ("spec", {"speculation_k": 3}, CONT_TRAFFIC[:3]),
+        ("beam", {"beam_size": 2}, [
+            (["tok1", "tok2"], {"max_length": 10}),
+            (["tok3"], {"max_length": 8, "num_hypotheses": 2}),
+        ]),
+    ]
+    out = {}
+    for name, kw, traffic in phases:
+        cb = ContinuousBatcher(g, num_slots=2, capacity=64, **kw)
+        if follower:
+            cb.join(timeout=600)
+            continue
+        try:
+            futures = [cb.submit(p, **skw) for p, skw in traffic]
+            results = [f.result(timeout=600) for f in futures]
+            out[name] = {
+                "sequences": [r.sequences_ids for r in results],
+                "scores": [[round(s, 4) for s in r.scores]
+                           for r in results],
+            }
+        finally:
+            cb.close()
+    return None if follower else out
+
+
 def worker(args) -> int:
     # Device/backend setup must precede the jax import.
     os.environ["XLA_FLAGS"] = (
@@ -78,6 +130,21 @@ def worker(args) -> int:
     assert info["process_count"] == args.num_processes, info
     assert info["global_devices"] == (
         args.num_processes * args.devices_per_process), info
+
+    if args.continuous:
+        out = run_continuous(args.model_dir, tensor_parallel=True)
+        if out is None:  # follower rank: replay loop ran to close
+            print(f"MP_OK rank={args.rank} follower", flush=True)
+            return 0
+        expected = json.load(open(args.expected))
+        for phase in expected:
+            assert out[phase]["sequences"] == \
+                expected[phase]["sequences"], (phase, out, expected)
+            assert out[phase]["scores"] == expected[phase]["scores"], (
+                phase, out, expected)
+        print(f"MP_OK rank={args.rank} continuous "
+              f"phases={sorted(out)}", flush=True)
+        return 0
 
     out = run_generation(args.model_dir, tensor_parallel=True)
     expected_devices = args.num_processes * args.devices_per_process
@@ -99,14 +166,15 @@ def launcher(args) -> int:
     # Single-process reference (unsharded) in a subprocess so the parent
     # never initializes a jax backend that would conflict with reuse.
     expected_path = os.path.join(tmp, "expected.json")
+    run_fn = "run_continuous" if args.continuous else "run_generation"
     ref_code = (
         "import os, sys, json;"
         "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=1';"
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r});"
-        "from tools.run_multiprocess import build_model, run_generation;"
+        f"from tools.run_multiprocess import build_model, {run_fn};"
         f"build_model({model_dir!r});"
-        f"out = run_generation({model_dir!r}, tensor_parallel=False);"
+        f"out = {run_fn}({model_dir!r}, tensor_parallel=False);"
         f"json.dump(out, open({expected_path!r}, 'w'))"
     )
     subprocess.run([sys.executable, "-c", ref_code], check=True,
@@ -126,7 +194,8 @@ def launcher(args) -> int:
              "--devices-per-process", str(args.devices_per_process),
              "--coordinator", coordinator,
              "--model-dir", model_dir,
-             "--expected", expected_path],
+             "--expected", expected_path]
+            + (["--continuous"] if args.continuous else []),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     rc = 0
     for rank, p in enumerate(procs):
@@ -162,6 +231,10 @@ def main() -> int:
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--model-dir", default=None)
     ap.add_argument("--expected", default=None)
+    ap.add_argument("--continuous", action="store_true",
+                    help="serve mixed traffic through ContinuousBatcher "
+                         "(leader on rank 0, follower replay on the rest) "
+                         "instead of the batch APIs")
     ap.add_argument("--timeout", type=float, default=600.0)
     args = ap.parse_args()
     if args.rank is None:
