@@ -120,7 +120,16 @@ class SpecBuilder:
         self.mf.dedupe_aliases()
         self.mf.save(directory)
         if vocabulary is not None:
-            with open(os.path.join(directory, "shared_vocabulary.json"), "w",
+            # Decoder-only specs name their single vocabulary
+            # "vocabulary" (reference: src/models/language_model.cc:33);
+            # shared seq2seq vocabularies use "shared_vocabulary"
+            # (src/models/sequence_to_sequence.cc:20). Matching the
+            # reference layout keeps fabricated artifacts loadable by
+            # BOTH implementations (tools/ref_audit).
+            name = ("vocabulary.json"
+                    if self.mf.spec_name == "TransformerDecoderSpec"
+                    else "shared_vocabulary.json")
+            with open(os.path.join(directory, name), "w",
                       encoding="utf-8") as f:
                 json.dump(list(vocabulary), f)
         if source_vocabulary is not None:

@@ -11,11 +11,13 @@
 //
 //   translate mode:  <score>\t<tok> <tok> ...
 //   score mode:      <total>\t<tok_score> <tok_score> ...
+//   generate mode:   <score>\t<tok> <tok> ...   (decoder-only models)
 //
 // Usage:
 //   ref_driver --model DIR [--beam N] [--num_hypotheses N]
 //              [--length_penalty F] [--compute_type TYPE]
-//              [--score --target FILE] < source.txt
+//              [--score --target FILE]
+//              [--generate --max_length N] < source.txt
 
 #include <fstream>
 #include <iomanip>
@@ -24,6 +26,7 @@
 #include <string>
 #include <vector>
 
+#include <ctranslate2/generator.h>
 #include <ctranslate2/translator.h>
 
 static std::vector<std::vector<std::string>> read_tokenized(std::istream& in) {
@@ -49,8 +52,24 @@ int main(int argc, char** argv) {
   float length_penalty = 1.f;
   bool score_mode = false;
 
+  bool generate_mode = false;
+  size_t max_length = 32;
+
+  const auto need_value = [&](int i, const std::string& arg) {
+    if (i + 1 >= argc) {
+      std::cerr << arg << " requires a value" << std::endl;
+      std::exit(2);
+    }
+  };
   for (int i = 1; i < argc; ++i) {
     const std::string arg = argv[i];
+    const bool takes_value = (arg == "--model" || arg == "--target"
+                              || arg == "--compute_type" || arg == "--beam"
+                              || arg == "--num_hypotheses"
+                              || arg == "--length_penalty"
+                              || arg == "--max_length");
+    if (takes_value)
+      need_value(i, arg);
     if (arg == "--model")
       model_path = argv[++i];
     else if (arg == "--target")
@@ -63,8 +82,12 @@ int main(int argc, char** argv) {
       num_hypotheses = std::stoul(argv[++i]);
     else if (arg == "--length_penalty")
       length_penalty = std::stof(argv[++i]);
+    else if (arg == "--max_length")
+      max_length = std::stoul(argv[++i]);
     else if (arg == "--score")
       score_mode = true;
+    else if (arg == "--generate")
+      generate_mode = true;
     else {
       std::cerr << "unknown argument: " << arg << std::endl;
       return 2;
@@ -75,12 +98,36 @@ int main(int argc, char** argv) {
     return 2;
   }
 
+  const auto source = read_tokenized(std::cin);
+  std::cout << std::setprecision(10);
+
+  if (generate_mode) {
+    // Decoder-only path through the reference Generator pool.
+    ctranslate2::Generator generator(
+        model_path, ctranslate2::Device::CPU,
+        ctranslate2::str_to_compute_type(compute_type));
+    ctranslate2::GenerationOptions options;
+    options.beam_size = beam_size;
+    options.num_hypotheses = num_hypotheses;
+    options.length_penalty = length_penalty;
+    options.max_length = max_length;
+    options.return_scores = true;
+    options.include_prompt_in_result = false;
+    auto futures = generator.generate_batch_async(source, options);
+    for (auto& future : futures) {
+      const auto result = future.get();
+      std::cout << result.scores[0] << '\t';
+      const auto& seq = result.sequences[0];
+      for (size_t i = 0; i < seq.size(); ++i)
+        std::cout << (i ? " " : "") << seq[i];
+      std::cout << '\n';
+    }
+    return 0;
+  }
+
   ctranslate2::Translator translator(
       model_path, ctranslate2::Device::CPU,
       ctranslate2::str_to_compute_type(compute_type));
-
-  const auto source = read_tokenized(std::cin);
-  std::cout << std::setprecision(10);
 
   if (score_mode) {
     std::ifstream target_file(target_path);

@@ -32,7 +32,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 AUDIT_DIR = os.path.join(REPO, "tools", "ref_audit")
 BUILD_DIR = os.environ.get("CT2_REF_BUILD", "/tmp/ct2ref")
-MODELS = "/root/reference/tests/data/models"
+MODELS = os.environ.get("CT2_REF_MODELS",
+                        "/root/reference/tests/data/models")
 
 
 def build_driver():
@@ -88,12 +89,23 @@ def run_ours(model_dir, corpus, beam, compute_type="default",
     return [(r.scores[0], r.hypotheses[0]) for r in results]
 
 
-def compare_translate(ref, ours):
+def compare_translate(ref, ours, tie_eps=0.02):
+    """Token/score diff, with every mismatching sentence CLASSIFIED:
+    a mismatch whose two hypotheses score within ``tie_eps`` of each
+    other is a numeric tie-break (two near-equal beams, the argmax
+    flipped by compute-dtype rounding); a larger signed gap
+    (ref better than ours) would indicate a real search/semantic
+    difference."""
     n = len(ref)
     exact = sum(1 for (_, rt), (_, ot) in zip(ref, ours) if rt == ot)
     deltas = [abs(rs - os_) for (rs, _), (os_, _) in zip(ref, ours)]
     matched_deltas = [abs(rs - os_)
                       for (rs, rt), (os_, ot) in zip(ref, ours) if rt == ot]
+    mism = [(rs, os_) for (rs, rt), (os_, ot) in zip(ref, ours) if rt != ot]
+    ties = sum(1 for rs, os_ in mism if abs(rs - os_) <= tie_eps)
+    # Positive gap = the reference found a better-scoring hypothesis
+    # than ours (a search deficiency, not a tie).
+    worst_gap = max((rs - os_ for rs, os_ in mism), default=0.0)
     return {
         "sentences": n,
         "exact_match": exact,
@@ -101,23 +113,72 @@ def compare_translate(ref, ours):
         "max_score_delta": round(max(deltas), 6),
         "max_score_delta_on_matching": (
             round(max(matched_deltas), 6) if matched_deltas else None),
+        "mismatches": len(mism),
+        "mismatch_tie_breaks": ties,
+        "mismatch_worst_ref_advantage": round(worst_gap, 6),
     }
 
 
 def compare_scores(ref, ours, tol=5e-3):
     per_tok = []
+    length_mismatches = 0
     for (_, rtoks), (_, otoks) in zip(ref, ours):
-        # Our per-token scores may include the EOS position the reference
-        # also scores; compare the overlapping prefix.
+        # Both sides score every target position incl. EOS: a length
+        # difference is itself a parity violation — count it instead of
+        # silently comparing the shared prefix.
+        if len(rtoks) != len(otoks):
+            length_mismatches += 1
         m = min(len(rtoks), len(otoks))
         per_tok.extend(abs(a - b) for a, b in zip(rtoks[:m], otoks[:m]))
     return {
         "sentences": len(ref),
         "token_scores_compared": len(per_tok),
-        "max_token_score_delta": round(max(per_tok), 6),
+        "length_mismatches": length_mismatches,
+        "max_token_score_delta": (round(max(per_tok), 6) if per_tok
+                                  else None),
         "within_tol": sum(1 for d in per_tok if d <= tol),
+        "within_tol_rate": (round(sum(1 for d in per_tok if d <= tol)
+                                  / len(per_tok), 4) if per_tok else None),
         "tol": tol,
     }
+
+
+def run_reference_generate(driver, model_dir, prompts, beam, max_length):
+    src = "\n".join(" ".join(p) for p in prompts) + "\n"
+    args = [driver, "--model", model_dir, "--generate",
+            "--beam", str(beam), "--max_length", str(max_length)]
+    proc = subprocess.run(args, input=src, capture_output=True, text=True,
+                          check=True)
+    out = []
+    for line in proc.stdout.splitlines():
+        score, _, tokens = line.partition("\t")
+        out.append((float(score), tokens.split()))
+    return out
+
+
+def run_ours_generate(model_dir, prompts, beam, max_length,
+                      compute_type="float32"):
+    from ctranslate2_tpu import Generator
+
+    g = Generator(model_dir, compute_type=compute_type)
+    results = g.generate_batch(
+        prompts, beam_size=beam, max_length=max_length,
+        include_prompt_in_result=False, return_scores=True)
+    return [(r.scores[0], r.sequences[0]) for r in results]
+
+
+def check(report, key, result, thresholds, failures):
+    """Record a case and assert its thresholds (ADVICE r3: the audit
+    must fail loudly on parity regressions, not just narrate them)."""
+    report["cases"][key] = result
+    for name, (field, op, limit) in thresholds.items():
+        value = result.get(field)
+        ok = value is not None and (
+            value >= limit if op == ">=" else value <= limit)
+        if not ok:
+            failures.append(f"{key}: {field}={value} violates "
+                            f"{field} {op} {limit}")
+    print(key, json.dumps(result), flush=True)
 
 
 def main():
@@ -128,42 +189,138 @@ def main():
 
     sys.path.insert(0, REPO)
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # The env var alone is not enough: TPU plugins may register anyway.
+    # The audit is a CPU-parity harness — force the CPU backend.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     driver = build_driver()
     report = {"driver": driver, "sentences": args.sentences, "cases": {}}
+    failures = []
+
+    # fp32 cases hold PARITY thresholds: same compute dtype on both
+    # sides, residual deltas are reduction-order only. "default" cases
+    # run this engine's TPU-first bfloat16 policy against the
+    # reference's fp32 — mismatches there must ALL classify as numeric
+    # tie-breaks (two near-equal hypotheses; see compare_translate),
+    # never as the reference finding a better hypothesis.
+    T_PARITY = {
+        "exact": ("exact_match_rate", ">=", 0.995),
+        "delta": ("max_score_delta_on_matching", "<=", 5e-3),
+    }
+    T_BF16 = {
+        "exact": ("exact_match_rate", ">=", 0.9),
+        "ties": ("mismatch_worst_ref_advantage", "<=", 0.03),
+        "delta": ("max_score_delta_on_matching", "<=", 0.08),
+    }
+    T_I8 = {
+        "exact": ("exact_match_rate", ">=", 0.85),
+        "ties": ("mismatch_worst_ref_advantage", "<=", 0.8),
+    }
 
     cases = [
-        ("v2/aren-transliteration", "default", 1),
-        ("v2/aren-transliteration", "default", 2),
-        ("v2/aren-transliteration", "default", 4),
-        ("v1/aren-transliteration", "default", 2),
-        ("v2/aren-transliteration-i16", "default", 2),
-        ("v2/aren-transliteration-i8", "int8", 2),
+        ("v2/aren-transliteration", "float32", 1, T_PARITY),
+        ("v2/aren-transliteration", "float32", 2, T_PARITY),
+        ("v2/aren-transliteration", "float32", 4, T_PARITY),
+        ("v1/aren-transliteration", "float32", 2, T_PARITY),
+        # On the forced-CPU backend both "default" and "bfloat16"
+        # resolve to float32 (utils/dtypes.py platform fallback, like
+        # the reference's own mayiuse checks) — so these are parity
+        # cases here, and would exercise the real bf16 policy (with the
+        # looser T_BF16 thresholds) only if bf16 compute ever lands on
+        # CPU. ROOT CAUSE of the round-3 audit tail (exact 0.945,
+        # scoring 61% within tol): that run did NOT force the platform,
+        # so "ours" resolved to bfloat16 on the visible TPU plugin while
+        # the reference computed fp32 — a harness compute-policy
+        # asymmetry, not an implementation divergence. Same-dtype runs
+        # (this file now) are token-identical with <=7e-6 score deltas.
+        ("v2/aren-transliteration", "default", 1, T_PARITY),
+        ("v2/aren-transliteration", "default", 2, T_PARITY),
+        ("v2/aren-transliteration", "bfloat16", 1, T_BF16),
+        ("v2/aren-transliteration", "bfloat16", 2, T_BF16),
+        ("v2/aren-transliteration-i16", "default", 2, T_PARITY),
+        # int8 artifact: the reference DEQUANTIZES to fp32 here (no int8
+        # CPU GEMM in this build) while we run the real int8 path, so
+        # this case compares int8 compute against float — bounded but
+        # loose.
+        ("v2/aren-transliteration-i8", "int8", 2, T_I8),
     ]
-    for rel, compute, beam in cases:
+    for rel, compute, beam, thresholds in cases:
         model_dir = os.path.join(MODELS, rel)
         corpus = make_corpus(model_dir, args.sentences)
         ref = run_reference(driver, model_dir, corpus, beam)
         ours = run_ours(model_dir, corpus, beam, compute_type=compute)
         key = f"translate/{rel}/beam{beam}/{compute}"
-        report["cases"][key] = compare_translate(ref, ours)
-        print(key, json.dumps(report["cases"][key]), flush=True)
+        result = compare_translate(ref, ours)
+        # BLEU anchored to the reference implementation's own corpus
+        # output (the quality-parity analog of the reference's
+        # published BLEU table, README.md:86-99, measurable without
+        # network access to WMT models).
+        try:
+            import sacrebleu
 
-    # Scoring parity: teacher-force the reference's own translations.
+            bleu = sacrebleu.corpus_bleu(
+                [" ".join(t) for _, t in ours],
+                [[" ".join(t) for _, t in ref]],
+                tokenize="none")
+            result["bleu_vs_reference"] = round(bleu.score, 2)
+        except ImportError:
+            pass
+        check(report, key, result, thresholds, failures)
+
+    # Scoring parity: teacher-force the reference's own translations,
+    # in both compute policies.
     model_dir = os.path.join(MODELS, "v2/aren-transliteration")
     corpus = make_corpus(model_dir, args.sentences)
     hyps = [t for _, t in run_reference(driver, model_dir, corpus, 2)]
     ref = run_reference(driver, model_dir, corpus, 2, score_targets=hyps)
-    ours = run_ours(model_dir, corpus, 2, score_targets=hyps)
-    report["cases"]["score/v2/aren-transliteration"] = compare_scores(
-        ref, ours)
-    print("score/v2/aren-transliteration",
-          json.dumps(report["cases"]["score/v2/aren-transliteration"]),
-          flush=True)
+    for compute, thresholds in (
+        ("float32", {"tol": ("within_tol_rate", ">=", 0.999),
+                     "len": ("length_mismatches", "<=", 0)}),
+        ("default", {"tol": ("within_tol_rate", ">=", 0.999),
+                     "len": ("length_mismatches", "<=", 0)}),
+        # The TPU-first bfloat16 policy scores within bf16 resolution
+        # (~2^-8 relative) of the reference's fp32.
+        ("bfloat16", {"tol": ("within_tol_rate", ">=", 0.55),
+                      "max": ("max_token_score_delta", "<=", 0.15),
+                      "len": ("length_mismatches", "<=", 0)}),
+    ):
+        ours = run_ours(model_dir, corpus, 2, compute_type=compute,
+                        score_targets=hyps)
+        check(report, f"score/v2/aren-transliteration/{compute}",
+              compare_scores(ref, ours), thresholds, failures)
 
+    # Generator (decoder-only) path: fabricate a tiny artifact BOTH
+    # implementations load (reference: model_factory
+    # "TransformerDecoderSpec") and compare greedy + beam generation.
+    import tempfile
+
+    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+
+    gen_dir = build_decoder_only_model(
+        os.path.join(tempfile.mkdtemp(prefix="ref_audit_gen_"), "m"),
+        vocab_size=64, num_layers=2, num_heads=4, d_model=32, d_ff=64)
+    rng = random.Random(7)
+    prompts = [[f"tok{rng.randint(1, 50)}"
+                for _ in range(rng.randint(1, 4))]
+               for _ in range(args.sentences // 4)]
+    for beam in (1, 2):
+        ref = run_reference_generate(driver, gen_dir, prompts, beam, 16)
+        ours = run_ours_generate(gen_dir, prompts, beam, 16)
+        check(report, f"generate/tiny-decoder/beam{beam}/float32",
+              compare_translate(ref, ours), T_PARITY, failures)
+
+    report["failures"] = failures
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {args.out}")
+    if failures:
+        print("AUDIT FAILURES:")
+        for f_ in failures:
+            print("  " + f_)
+        sys.exit(1)
+    print("AUDIT OK")
 
 
 if __name__ == "__main__":
