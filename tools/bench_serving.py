@@ -96,8 +96,9 @@ def bench_continuous(gen, traffic, slots, capacity, speculation_k=0,
                            draft_model=draft_model,
                            steps_per_sync=steps_per_sync)
     try:
-        # Warmup compile.
-        cb.submit(traffic[0][0], max_length=4).result(timeout=600)
+        # Warmup compile (generous: an 8B engine compile on a contended
+        # host can exceed 10 minutes).
+        cb.submit(traffic[0][0], max_length=4).result(timeout=3600)
         t0 = time.time()
         futures = [cb.submit(prompt, max_length=new)
                    for prompt, new in traffic]
@@ -105,7 +106,7 @@ def bench_continuous(gen, traffic, slots, capacity, speculation_k=0,
         done_at = [None] * len(futures)
 
         def watch(i, f):
-            f.result(timeout=1200)
+            f.result(timeout=3600)
             done_at[i] = time.time() - t0
 
         import threading
