@@ -196,11 +196,6 @@ class ContinuousBatcher:
                 raise NotImplementedError(
                     "continuous beam search uses the deterministic "
                     "BestSampler (sampling_topk must stay 1)")
-            if repetition_penalty != 1.0 or no_repeat_ngram_size:
-                raise NotImplementedError(
-                    "repetition_penalty / no_repeat_ngram_size are not "
-                    "supported with beam_size > 1 in the continuous "
-                    "engines (use the batch APIs)")
             if speculation_k or draft_model is not None:
                 raise NotImplementedError(
                     "speculation requires greedy decoding (beam_size=1)")
@@ -371,6 +366,7 @@ class ContinuousBatcher:
             self._nhyps = np.full(num_slots, self._num_hyp, np.int32)
             self._bstop_tab = np.full((num_slots, 0, 0), -1, np.int32)
             self._bstop_len = np.zeros((num_slots, 0), np.int32)
+            self._bpen = (self._rep_penalty != 1.0 or self._ngram > 0)
         else:
             self._step_fn = (self._build_spec_step() if self._spec_k > 1
                              else self._build_step())
@@ -494,9 +490,14 @@ class ContinuousBatcher:
         self._draft_prefill_fns = {}
 
     def _start_loop(self):
-        self._thread = threading.Thread(
-            target=self._loop, daemon=True, name="ct2tpu-continuous")
-        self._thread.start()
+        # The scheduler thread compiles the block-step executables: give
+        # it the same large stack as the pool workers (see
+        # pool.spawn_compile_thread — the default stack segfaults inside
+        # XLA:CPU's compiler on big device-loop graphs).
+        from .pool import spawn_compile_thread
+
+        self._thread = spawn_compile_thread(
+            self._loop, name="ct2tpu-continuous")
 
     # ------------------------------------------------------------------
     # Public API.
@@ -687,6 +688,11 @@ class ContinuousBatcher:
             self._ensure_pen_tables()
         self._rep_pens[slot] = rp
         self._ngrams[slot] = ng
+        self._set_slot_suppress(slot, req)
+
+    def _set_slot_suppress(self, slot: int, req: _Request) -> None:
+        """Per-request suppress_tokens into the [S, W] id table (grows
+        on demand; zero width is an exact no-op)."""
         sup = req.suppress_ids or ()
         if len(sup) > self._sup_table.shape[1]:
             W = _round_up(len(sup), 4)
@@ -720,12 +726,6 @@ class ContinuousBatcher:
                                     suppress_tokens) -> tuple:
         """Validate per-request logits-processor overrides and resolve
         suppress tokens to ids. Returns (rep_penalty, ngram, sup_ids)."""
-        if self._beam > 1 and (rep_penalty is not None or ngram is not None
-                               or suppress_tokens):
-            raise NotImplementedError(
-                "per-request repetition_penalty / no_repeat_ngram_size / "
-                "suppress_tokens are not supported with beam_size > 1 in "
-                "the continuous engines (use the batch APIs)")
         if rep_penalty is not None and rep_penalty <= 0:
             raise ValueError("repetition_penalty must be positive")
         if ngram is not None and ngram != 0:
@@ -1003,9 +1003,11 @@ class ContinuousBatcher:
         cap = self._capacity
         from ..decoding.sampling import small_top_k
 
+        max_ngram = self._max_ngram
+
         def step(params, consts, cache, bstate, min_len, max_len,
                  prefix, plen, end_table, nhyp, stop_tab, stop_lens,
-                 mem=None, src_len=None):
+                 rep_pens, ngrams, sup_table, mem=None, src_len=None):
             S = bstate["gen"].shape[0]
             mem_bias = None
             if has_memory:
@@ -1038,7 +1040,29 @@ class ContinuousBatcher:
                     quantize_acts=quantize_acts, out_dtype=out_dtype)
                 l = logits[:, -1].astype(jnp.float32)  # [S*K, V]
                 V = l.shape[-1]
+                Lb = alive.shape[2]
                 l = proc.disable_tokens(l, self._suppress_ids)
+                if sup_table.shape[1]:
+                    l = proc.disable_tokens_per_row(
+                        l, jnp.repeat(sup_table, K, axis=0))
+                if rep_pens.shape[0]:
+                    # Per-beam-row penalties over each row's own alive
+                    # history — the batch engine's alive_seq semantics
+                    # (generated tokens only), derived statelessly.
+                    alive_flat = alive.reshape(S * K, Lb)
+                    gen_rows = jnp.repeat(gen, K)
+                    valid = (jnp.arange(Lb, dtype=jnp.int32)[None, :]
+                             < gen_rows[:, None])
+                    rows_f = jnp.broadcast_to(
+                        jnp.arange(S * K, dtype=jnp.int32)[:, None],
+                        (S * K, Lb))
+                    seen = jnp.zeros((S * K, V), jnp.bool_).at[
+                        rows_f, alive_flat].max(valid)
+                    l = proc.repetition_penalty_per_row(
+                        l, seen, jnp.repeat(rep_pens, K))
+                    l = proc.no_repeat_ngram_per_row(
+                        l, alive_flat, gen_rows, jnp.repeat(ngrams, K),
+                        max_ngram)
                 end_mask = self._end_mask(end_table, V)  # [S, V]
                 l = jnp.where(
                     jnp.repeat((gen < min_len)[:, None] & end_mask, K,
@@ -1319,6 +1343,18 @@ class ContinuousBatcher:
         for e, eid in enumerate(self._req_end_ids(req)):
             self._end_table[slot, e] = eid
         self._nhyps[slot] = req.num_hypotheses or self._num_hyp
+        # Penalties per beam row are STATELESS (the alive table is the
+        # per-row generated history the batch engine penalizes over);
+        # the step compiles them in once any request/batcher enables
+        # them (zero-length vectors = exact no-op signature).
+        rp = (req.rep_penalty if req.rep_penalty is not None
+              else self._rep_penalty)
+        ng = req.ngram if req.ngram is not None else self._ngram
+        self._rep_pens[slot] = rp
+        self._ngrams[slot] = ng
+        if rp != 1.0 or ng:
+            self._bpen = True
+        self._set_slot_suppress(slot, req)
         stops = req.stop_sequences
         ns = len(stops)
         ls = max((len(s) for s in stops), default=0)
@@ -1383,11 +1419,16 @@ class ContinuousBatcher:
             plen = np.zeros(S, np.int32)
         else:
             plen = self._plen
+        pen_on = getattr(self, "_bpen", False)
+        rp = self._rep_pens if pen_on else np.zeros(0, np.float32)
+        ng = self._ngrams if pen_on else np.zeros(0, np.int32)
         args = [model.params, model.consts, self._cache, self._bstate,
                 jnp.asarray(min_len), jnp.asarray(max_len),
                 jnp.asarray(prefix), jnp.asarray(plen),
                 jnp.asarray(self._end_table), jnp.asarray(self._nhyps),
-                jnp.asarray(self._bstop_tab), jnp.asarray(self._bstop_len)]
+                jnp.asarray(self._bstop_tab), jnp.asarray(self._bstop_len),
+                jnp.asarray(rp), jnp.asarray(ng),
+                jnp.asarray(self._sup_table)]
         if self._beam_has_memory:
             args += [self._mem, jnp.asarray(self._src_len)]
         self._cache, self._bstate = self._beam_step_fn(*args)
@@ -1898,6 +1939,20 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def _leader_loop(self):
+        try:
+            self._leader_loop_inner()
+        except BaseException:
+            # Best effort: unblock followers (they would otherwise wait
+            # in the broadcast collective forever) before the generic
+            # exception handling in _loop fails the pending futures.
+            try:
+                self._dist.send({"op": "iter", "admits": [],
+                                 "step": False, "close": True})
+            except BaseException:  # noqa: BLE001
+                pass
+            raise
+
+    def _leader_loop_inner(self):
         while True:
             self._harvest_any()
             admits = self._collect_admits()

@@ -1669,8 +1669,6 @@ def test_continuous_beam_whisper(tmp_path):
 def test_continuous_beam_validation(gen_model):
     with pytest.raises(NotImplementedError, match="BestSampler"):
         _batcher(gen_model, beam_size=2, sampling_topk=5)
-    with pytest.raises(NotImplementedError, match="repetition_penalty"):
-        _batcher(gen_model, beam_size=2, repetition_penalty=1.2)
     with pytest.raises(NotImplementedError, match="greedy"):
         _batcher(gen_model, beam_size=2, speculation_k=3)
     with pytest.raises(ValueError, match="num_hypotheses"):
@@ -1901,3 +1899,70 @@ def test_continuous_beam_translator_stream_and_end(tmp_path):
         assert [v.to_token(i) for i in r_end.sequences_ids[0]] == e_end
     finally:
         ct.close()
+
+
+def test_continuous_beam_penalties(gen_model):
+    """repetition_penalty / no_repeat_ngram_size under beam serving are
+    per request (applied over each beam row's own generated history) and
+    match the batch engine; a neutral neighbor slot is unaffected."""
+    exp_pen = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=14, beam_size=2,
+        repetition_penalty=1.4, include_prompt_in_result=False,
+        return_scores=True)[0]
+    exp_ngram = gen_model.generate_batch(
+        [["tok3"]], max_length=14, beam_size=2, no_repeat_ngram_size=2,
+        include_prompt_in_result=False)[0]
+    exp_plain = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=14, beam_size=2,
+        include_prompt_in_result=False)[0]
+    assert exp_pen.sequences_ids[0] != exp_plain.sequences_ids[0]
+    cb = _batcher(gen_model, num_slots=3, beam_size=2)
+    try:
+        f_pen = cb.submit(["tok1", "tok2"], max_length=14,
+                          repetition_penalty=1.4)
+        f_ng = cb.submit(["tok3"], max_length=14, no_repeat_ngram_size=2)
+        f_plain = cb.submit(["tok1", "tok2"], max_length=14)
+        assert f_pen.result(timeout=600).sequences_ids[0] == \
+            exp_pen.sequences_ids[0]
+        assert abs(f_pen.result().scores[0] - exp_pen.scores[0]) < 1e-4
+        assert f_ng.result(timeout=600).sequences_ids[0] == \
+            exp_ngram.sequences_ids[0]
+        assert f_plain.result(timeout=600).sequences_ids[0] == \
+            exp_plain.sequences_ids[0]
+    finally:
+        cb.close()
+
+    # Batcher-level defaults work too.
+    cb2 = _batcher(gen_model, num_slots=2, beam_size=2,
+                   repetition_penalty=1.4)
+    try:
+        got = cb2.submit(["tok1", "tok2"],
+                         max_length=14).result(timeout=600)
+        assert got.sequences_ids[0] == exp_pen.sequences_ids[0]
+    finally:
+        cb2.close()
+
+
+def test_continuous_beam_per_request_suppress(gen_model):
+    """Per-request suppress_tokens under beam serving match the batch
+    engine's suppress_tokens option."""
+    base = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12, beam_size=2,
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    v = gen_model.model.target_vocabulary
+    banned = v.to_token(base[1])
+    # A 1-token suppress sequence is the batch API's static token ban.
+    exp = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12, beam_size=2,
+        suppress_sequences=[[banned]],
+        include_prompt_in_result=False)[0].sequences_ids[0]
+    assert exp != base
+    cb = _batcher(gen_model, num_slots=2, beam_size=2)
+    try:
+        f_sup = cb.submit(["tok1", "tok2"], max_length=12,
+                          suppress_tokens=[banned])
+        f_plain = cb.submit(["tok1", "tok2"], max_length=12)
+        assert f_sup.result(timeout=600).sequences_ids[0] == exp
+        assert f_plain.result(timeout=600).sequences_ids[0] == base
+    finally:
+        cb.close()
