@@ -178,6 +178,15 @@ def whisper_timestamp_rules(logits, alive_seq, gen_len, sample_begin,
     tok = jnp.arange(V, dtype=jnp.int32)[None, :]  # [1, V]
     is_ts_vocab = tok >= timestamp_begin_id
 
+    # gen_len / sample_begin: scalar (uniform steps) or [N] per-row
+    # (continuous batching) — normalize to per-row vectors.
+    gen_len = jnp.asarray(gen_len, jnp.int32)
+    if gen_len.ndim == 0:
+        gen_len = jnp.full((N,), gen_len, jnp.int32)
+    sample_begin = jnp.asarray(sample_begin, jnp.int32)
+    if sample_begin.ndim == 0:
+        sample_begin = jnp.full((N,), sample_begin, jnp.int32)
+
     # Always disable <|notimestamps|>.
     l = jnp.where(tok == no_timestamps_id, DISABLE, l)
 
@@ -189,8 +198,9 @@ def whisper_timestamp_rules(logits, alive_seq, gen_len, sample_begin,
     applies = gen_len > sample_begin  # [N]
     last_idx = jnp.clip(gen_len - 1, 0, L - 1)
     penult_idx = jnp.clip(gen_len - 2, 0, L - 1)
-    last = alive_seq[:, last_idx]
-    penult_raw = alive_seq[:, penult_idx]
+    last = jnp.take_along_axis(alive_seq, last_idx[:, None], axis=1)[:, 0]
+    penult_raw = jnp.take_along_axis(
+        alive_seq, penult_idx[:, None], axis=1)[:, 0]
     penult = jnp.where(gen_len - 1 > sample_begin, penult_raw, last)
     last_is_ts = last >= timestamp_begin_id
     pen_is_ts = penult >= timestamp_begin_id
@@ -204,7 +214,7 @@ def whisper_timestamp_rules(logits, alive_seq, gen_len, sample_begin,
 
     # Non-decreasing timestamps.
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    in_window = (pos < gen_len) & (pos >= sample_begin[:, None])
+    in_window = (pos < gen_len[:, None]) & (pos >= sample_begin[:, None])
     is_ts_hist = (alive_seq >= timestamp_begin_id) & in_window
     latest_pos = jnp.max(jnp.where(is_ts_hist, pos, -1), axis=1)  # [N]
     has_ts = latest_pos >= 0

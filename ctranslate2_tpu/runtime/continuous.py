@@ -2268,6 +2268,10 @@ class ContinuousTranslator(ContinuousBatcher):
         self._prefix = np.zeros((self._num_slots, max(1, max_target_prefix)),
                                 np.int32)
         self._plen = np.zeros(self._num_slots, np.int32)
+        # Whisper timestamp rules per slot (always False outside
+        # ContinuousWhisper; the step compiles the rules only when the
+        # engine carries _wts ids).
+        self._ts_on = np.zeros(self._num_slots, np.bool_)
         self._encode_fns = {}
         self._mem_insert = jax.jit(self._mem_insert_impl, donate_argnums=(0,))
 
@@ -2663,9 +2667,11 @@ class ContinuousTranslator(ContinuousBatcher):
         S_max = self._max_src
         max_ngram = self._max_ngram
 
+        wts = getattr(self, "_wts", None)
+
         def step(params, consts, cache, mem, src_len, tokens, pos,
                  gen_len, min_len, temps, topks, topps, seeds, end_table,
-                 sup_table, rep_pens, ngrams, prefix, plen, key, n,
+                 sup_table, rep_pens, ngrams, prefix, plen, ts_on, key, n,
                  seen, hist):
             from ..ops import attention as attn_ops
 
@@ -2684,6 +2690,24 @@ class ContinuousTranslator(ContinuousBatcher):
                     l = proc.no_repeat_ngram_per_row(
                         l, hist, gen_len, ngrams, max_ngram)
                 disable_end = gen_len < min_len
+                if wts is not None and pen:
+                    # Whisper timestamp rules per slot (reference:
+                    # whisper.cc:742-865 via processors.py), applied
+                    # over the same suppress/end-disable state the batch
+                    # engine's step sees, gated by each slot's prompt
+                    # (<|notimestamps|> turns them off). The generated
+                    # history is the penalty hist table; plen is the
+                    # forced-prompt length (sample_begin).
+                    lp = proc.disable_tokens(l, self._suppress_ids)
+                    if sup_table.shape[1]:
+                        lp = proc.disable_tokens_per_row(lp, sup_table)
+                    lp = jnp.where(
+                        disable_end[:, None]
+                        & self._end_mask(end_table, lp.shape[-1]),
+                        proc.DISABLE, lp)
+                    lp = proc.whisper_timestamp_rules(
+                        lp, hist, gen_len, plen, *wts)
+                    l = jnp.where(ts_on[:, None], lp, l)
                 ids, scores = self._sample_logits(
                     l, disable_end,
                     jax.random.fold_in(key, n * block + i), temps=temps,
@@ -2710,7 +2734,7 @@ class ContinuousTranslator(ContinuousBatcher):
                     jnp.arange(block, dtype=jnp.int32))
             return ids_k, scores_k, cache, seen, hist
 
-        return jax.jit(step, donate_argnums=(2, 21, 22))
+        return jax.jit(step, donate_argnums=(2, 22, 23))
 
     def _decode_step_spec(self, active):
         model = self.model
@@ -2775,7 +2799,8 @@ class ContinuousTranslator(ContinuousBatcher):
                 jnp.asarray(self._sup_table),
                 jnp.asarray(self._rep_pens), jnp.asarray(self._ngrams),
                 jnp.asarray(self._prefix),
-                jnp.asarray(self._plen), self._key,
+                jnp.asarray(self._plen), jnp.asarray(self._ts_on),
+                self._key,
                 jnp.int32((self._step_count // max(1, self._block))
                           + 0x40000000), self._seen, self._hist)
         self._step_count += self._block
@@ -2803,12 +2828,15 @@ class ContinuousWhisper(ContinuousTranslator):
     ``submit(features, prompt)`` encodes the request's mel features
     [n_mels, frames] into the slot's cross-attention memory (one
     dispatch) and forces the prompt (the SOT token sequence) exactly like
-    a target prefix. Whisper's timestamp-rules processor is NOT applied —
-    serve with ``<|notimestamps|>`` prompts; the model's config
-    ``suppress_ids`` are suppressed every step.
+    a target prefix. Whisper's timestamp-rules processor (reference:
+    src/models/whisper.cc:742-865) applies per slot whenever the
+    request's prompt does not end with ``<|notimestamps|>`` (greedy
+    serving; beam/speculation require notimestamps prompts); the
+    model's config ``suppress_ids`` are suppressed every step.
     """
 
-    def __init__(self, whisper, *, max_target_prefix: int = 16, **kw):
+    def __init__(self, whisper, *, max_target_prefix: int = 16,
+                 max_initial_timestamp_index: int = 50, **kw):
         model = whisper.model
         enc = model.arch.encoder
         if enc is None or not enc.num_conv_layers:
@@ -2818,6 +2846,17 @@ class ContinuousWhisper(ContinuousTranslator):
             raise NotImplementedError(
                 "multi-host continuous serving currently covers "
                 "decoder-only models (ContinuousBatcher)")
+        # Timestamp-rules ids (reference ApplyTimestampRules,
+        # src/models/whisper.cc:742-865): applied per request when its
+        # prompt does NOT end with <|notimestamps|>, like the batch API.
+        self._wts = None
+        v = model.target_vocabulary
+        if "<|notimestamps|>" in v and "<|endoftext|>" in v:
+            no_ts = v.to_id("<|notimestamps|>")
+            ts_begin = no_ts + 1
+            self._wts = (v.to_id("<|endoftext|>"), no_ts, ts_begin,
+                         len(v) - 1,
+                         ts_begin + max_initial_timestamp_index)
         self._translator = whisper
         # The encoder output capacity is the sinusoidal PE table length
         # (max_source_positions; reference src/layers/whisper.cc:44-49).
@@ -2933,6 +2972,14 @@ class ContinuousWhisper(ContinuousTranslator):
         req.prefix_ids = ids[1:]
         req.forced_len = len(ids) - 1
         req.features = feats
+        # Timestamp rules apply when the prompt doesn't opt out with
+        # <|notimestamps|> (batch-API semantics, runtime/whisper.py).
+        req.ts_on = self._wts is not None and ids[-1] != self._wts[1]
+        if req.ts_on and (self._spec_k > 1 or self._beam > 1):
+            raise NotImplementedError(
+                "Whisper timestamp rules are served greedily only; use "
+                "<|notimestamps|> prompts with speculation/beam, or the "
+                "batch Whisper API")
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -2978,6 +3025,12 @@ class ContinuousWhisper(ContinuousTranslator):
             self._b_active_host[slot] = True
             return
         self._tokens[slot] = req.start_id
+        self._ts_on[slot] = getattr(req, "ts_on", False)
+        if self._ts_on[slot]:
+            # The rules read the generated history from the penalty hist
+            # table — make sure it exists (1.0/0 penalty rows stay
+            # no-ops for neighbors).
+            self._ensure_pen_tables()
         self._set_slot_sampling(slot, req)
         if self._seen.shape[0]:
             self._seen = self._seen_admit(

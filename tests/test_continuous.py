@@ -1966,3 +1966,64 @@ def test_continuous_beam_per_request_suppress(gen_model):
         assert f_plain.result(timeout=600).sequences_ids[0] == base
     finally:
         cb.close()
+
+
+def test_continuous_whisper_timestamp_rules(tmp_path):
+    """Timestamp-rules serving: a prompt WITHOUT <|notimestamps|> gets
+    the reference's timestamp sampling rules (pairs, non-decreasing,
+    probability forcing), token-identical to the batch engine; a
+    neighbor slot that opts out with <|notimestamps|> is untouched."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ctranslate2_tpu import ContinuousWhisper, Whisper
+    from ctranslate2_tpu.converters.builder import build_whisper_model
+    from ctranslate2_tpu.decoding.options import DecodingOptions
+
+    d, _ = build_whisper_model(str(tmp_path / "wts"))
+    w = Whisper(d)
+    v = w.model.target_vocabulary
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((24, 64)).astype(np.float32)
+    prompt_ts = ["<|startoftranscript|>", "<|en|>", "<|transcribe|>"]
+    prompt_no = prompt_ts + ["<|notimestamps|>"]
+    sup = tuple(int(i) for i in w.model.config["suppress_ids"])
+    eot = v.to_id("<|endoftext|>")
+    no_ts = v.to_id("<|notimestamps|>")
+    wts = (eot, no_ts, no_ts + 1, len(v) - 1, no_ts + 1 + 50)
+
+    def batch_expected(prompt, whisper_ts):
+        ids = [v.to_id(t) for t in prompt]
+        mem = w.encode(feats[None])
+        opts = DecodingOptions(
+            beam_size=1, max_length=16, min_length=0,
+            suppress_tokens=sup, return_prefix=True,
+            whisper_ts=whisper_ts)
+        rs = w.engine.decode(
+            [ids[0]], opts, memory=mem,
+            memory_lengths=jnp.asarray([mem.shape[1]]),
+            prefix_ids=[ids[1:]], end_ids=(eot,))
+        return rs[0].hypotheses[0]
+
+    exp_ts = batch_expected(prompt_ts, wts)
+    exp_no = batch_expected(prompt_no, None)
+    # The rules must actually bite on this model (timestamps appear).
+    assert any(t >= no_ts + 1 for t in exp_ts[len(prompt_ts) - 1:])
+
+    cw = ContinuousWhisper(w, num_slots=2, capacity=64)
+    try:
+        f_ts = cw.submit(feats, prompt_ts, max_length=16)
+        f_no = cw.submit(feats, prompt_no, max_length=16)
+        assert f_ts.result(timeout=600).sequences_ids[0] == exp_ts
+        assert f_no.result(timeout=600).sequences_ids[0] == exp_no
+    finally:
+        cw.close()
+
+    # Rules are greedy-only in the continuous engine: beam/speculation
+    # require <|notimestamps|> prompts.
+    cwb = ContinuousWhisper(w, num_slots=2, capacity=64, beam_size=2)
+    try:
+        with pytest.raises(NotImplementedError, match="timestamp"):
+            cwb.submit(feats, prompt_ts, max_length=8)
+    finally:
+        cwb.close()
