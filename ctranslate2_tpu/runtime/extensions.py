@@ -130,8 +130,10 @@ class _StepResultIterator:
             finally:
                 self._queue.put(self._END)
 
-        self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
+        from .pool import spawn_compile_thread
+
+        self._thread = spawn_compile_thread(
+            worker, name="ct2tpu-token-stream")
 
     def __iter__(self):
         return self

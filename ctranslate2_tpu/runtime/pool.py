@@ -22,6 +22,39 @@ from typing import Callable, List, Optional, Sequence
 # worker thread, replica_pool.h:19-300 / models.cc get_model_replica).
 _worker_tls = threading.local()
 
+# Stack size for threads that trigger XLA compilation. XLA:CPU's
+# compile pipeline (backend_compile_and_load) recurses deeply on the
+# whole-generation device-loop graphs this engine builds; the platform
+# default thread stack (RLIMIT_STACK, typically 8 MB) is marginal and
+# overflows — reproducibly, late in a long-lived process — as a
+# segfault inside the compiler. 64 MB gives an order-of-magnitude
+# margin at negligible cost (virtual memory, faulted on demand).
+_COMPILE_STACK_BYTES = 64 * 1024 * 1024
+_stack_lock = threading.Lock()
+
+
+def spawn_compile_thread(target, *, name: str,
+                         args: tuple = ()) -> threading.Thread:
+    """Start a daemon thread with an explicit large stack (the stack
+    size is a process-global setting applied at start(), hence the
+    lock). Use for any thread that may jit-compile device loops."""
+    with _stack_lock:
+        old = threading.stack_size()
+        try:
+            try:
+                threading.stack_size(_COMPILE_STACK_BYTES)
+            except (ValueError, RuntimeError):
+                pass  # platform refuses: keep the default
+            t = threading.Thread(target=target, args=args, daemon=True,
+                                 name=name)
+            t.start()
+            return t
+        finally:
+            try:
+                threading.stack_size(old)
+            except (ValueError, RuntimeError):
+                pass
+
 
 def current_worker_index() -> Optional[int]:
     """Index of the WorkerPool thread running the caller, or None when
@@ -64,12 +97,10 @@ class WorkerPool:
         self._active = 0
         self._lock = threading.Lock()
         self._workers = [
-            threading.Thread(target=self._run, args=(i,), daemon=True,
-                             name=f"ct2tpu-worker-{i}")
+            spawn_compile_thread(self._run, args=(i,),
+                                 name=f"ct2tpu-worker-{i}")
             for i in range(max(1, num_workers))
         ]
-        for w in self._workers:
-            w.start()
 
     @property
     def num_workers(self) -> int:

@@ -96,8 +96,10 @@ class ServingScheduler:
         self._active = 0
         self._active_lock = threading.Lock()
         self._closed = False
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        from .pool import spawn_compile_thread
+
+        self._thread = spawn_compile_thread(
+            self._loop, name="ct2tpu-scheduler")
 
     # ------------------------------------------------------------------
 

