@@ -771,10 +771,13 @@ def test_per_request_penalty_validation(gen_model):
             cb.submit(["tok1"], max_length=4, no_repeat_ngram_size=1)
     finally:
         cb.close()
+    # Beam mode shares the same per-request validation (penalties under
+    # beam are SUPPORTED since round 4 — see
+    # test_continuous_beam_penalties for the equivalence checks).
     cbb = _batcher(gen_model, num_slots=2, beam_size=2)
     try:
-        with pytest.raises(NotImplementedError, match="per-request"):
-            cbb.submit(["tok1"], max_length=4, repetition_penalty=1.2)
+        with pytest.raises(ValueError, match="positive"):
+            cbb.submit(["tok1"], max_length=4, repetition_penalty=-1.0)
     finally:
         cbb.close()
 
