@@ -2214,11 +2214,6 @@ class ContinuousTranslator(ContinuousBatcher):
         if not model.is_sequence_to_sequence:
             raise ValueError(
                 "ContinuousTranslator requires an encoder-decoder model")
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-host continuous serving currently covers "
-                "decoder-only models (ContinuousBatcher); use the batch "
-                "translate APIs across hosts")
         self._translator = translator
         self._max_src = max_source_len
         self._src_vocab = model.source_vocabularies[0]
@@ -2260,6 +2255,19 @@ class ContinuousTranslator(ContinuousBatcher):
                 "k": jnp.zeros(shape, model.out_dtype),
                 "v": jnp.zeros(shape, model.out_dtype),
             })
+        if self._dist is not None:
+            # Multi-host: the per-slot memory buffers must be GLOBAL
+            # arrays like the KV cache (replicated; GSPMD reshards
+            # inside the jitted step as the attention layout needs).
+            from ..parallel.sharding import NamedSharding, P
+
+            rep = NamedSharding(self.model.mesh, P())
+            self._mem = [
+                None if m is None else
+                {k: jax.device_put(np.asarray(v), rep)
+                 for k, v in m.items()}
+                for m in self._mem
+            ]
         self._src_len = np.zeros(self._num_slots, np.int32)
         # Per-slot forced target prefixes (on-device so forcing happens
         # INSIDE the block scan — the forced token must be what gets fed,
@@ -2366,6 +2374,25 @@ class ContinuousTranslator(ContinuousBatcher):
         return req.future
 
     # ------------------------------------------------------------------
+
+    def _req_payload(self, req: _Request) -> dict:
+        p = super()._req_payload(req)
+        p["prefix_ids"] = list(getattr(req, "prefix_ids", []) or [])
+        p["forced_len"] = getattr(req, "forced_len", 0)
+        p["start_id"] = getattr(req, "start_id", None)
+        feats = getattr(req, "feature_ids", None)
+        p["feature_ids"] = ([list(f) for f in feats]
+                            if feats is not None else None)
+        return p
+
+    def _req_from_payload(self, p: dict) -> _Request:
+        req = super()._req_from_payload(p)
+        req.prefix_ids = list(p["prefix_ids"])
+        req.forced_len = p["forced_len"]
+        req.start_id = p["start_id"]
+        req.feature_ids = ([list(f) for f in p["feature_ids"]]
+                           if p["feature_ids"] is not None else None)
+        return req
 
     @staticmethod
     def _mem_insert_impl(mem, sub, slot):

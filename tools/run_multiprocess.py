@@ -36,12 +36,17 @@ PROMPTS = [["tok1", "tok2"], ["tok3"], ["tok4", "tok1", "tok5"]]
 
 
 def build_model(model_dir: str) -> None:
-    from ctranslate2_tpu.converters.builder import build_decoder_only_model
+    from ctranslate2_tpu.converters.builder import (
+        build_decoder_only_model,
+        build_seq2seq_model,
+    )
 
     build_decoder_only_model(
         model_dir, vocab_size=64, num_layers=2, num_heads=8, num_heads_kv=4,
         d_model=64, d_ff=128, rotary_dim=0, glu=True, rms_norm=True,
         activation="swish")
+    build_seq2seq_model(model_dir + "_s2s", vocab_size=64, num_layers=2,
+                        num_heads=8, d_model=64, d_ff=128)
 
 
 def run_generation(model_dir: str, tensor_parallel: bool):
@@ -109,7 +114,31 @@ def run_continuous(model_dir: str, tensor_parallel: bool):
             }
         finally:
             cb.close()
-    return None if follower else out
+
+    # Encoder-decoder serving across hosts (the reference's flagship
+    # mpirun mode is translation): per-slot cross-attention memory as
+    # global arrays, encode replayed on followers.
+    from ctranslate2_tpu import ContinuousTranslator, Translator
+
+    t = Translator(model_dir + "_s2s", tensor_parallel=tensor_parallel)
+    ct = ContinuousTranslator(t, num_slots=2, capacity=64,
+                              max_source_len=16)
+    if follower:
+        ct.join(timeout=600)
+        return None
+    try:
+        srcs = [(["tok1", "tok2", "tok3"], {}),
+                (["tok4"], {"target_prefix": ["tok5", "tok6"]}),
+                (["tok2", "tok5"], {"repetition_penalty": 1.3})]
+        futures = [ct.submit(s, max_length=12, **kw) for s, kw in srcs]
+        results = [f.result(timeout=600) for f in futures]
+        out["translator"] = {
+            "sequences": [r.sequences_ids for r in results],
+            "scores": [[round(s, 4) for s in r.scores] for r in results],
+        }
+    finally:
+        ct.close()
+    return out
 
 
 def worker(args) -> int:
