@@ -23,8 +23,8 @@ def test_two_process_tensor_parallel_generation():
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, tool, "--num-processes", "2",
-         "--devices-per-process", "4", "--timeout", "420"],
-        capture_output=True, text=True, timeout=600, env=env)
+         "--devices-per-process", "4", "--timeout", "900"],
+        capture_output=True, text=True, timeout=1200, env=env)
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
     assert "MULTIPROCESS_OK processes=2" in out.stdout, out.stdout[-3000:]
     assert "MP_OK rank=0" in out.stdout
@@ -44,8 +44,8 @@ def test_two_process_continuous_serving():
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, tool, "--continuous", "--num-processes", "2",
-         "--devices-per-process", "4", "--timeout", "420"],
-        capture_output=True, text=True, timeout=600, env=env)
+         "--devices-per-process", "4", "--timeout", "900"],
+        capture_output=True, text=True, timeout=1200, env=env)
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
     assert "MULTIPROCESS_OK processes=2" in out.stdout, out.stdout[-3000:]
     assert "MP_OK rank=0 continuous" in out.stdout
