@@ -1004,10 +1004,12 @@ class ContinuousBatcher:
         from ..decoding.sampling import small_top_k
 
         max_ngram = self._max_ngram
+        wts = getattr(self, "_wts", None)
 
         def step(params, consts, cache, bstate, min_len, max_len,
                  prefix, plen, end_table, nhyp, stop_tab, stop_lens,
-                 rep_pens, ngrams, sup_table, mem=None, src_len=None):
+                 rep_pens, ngrams, sup_table, ts_on, mem=None,
+                 src_len=None):
             S = bstate["gen"].shape[0]
             mem_bias = None
             if has_memory:
@@ -1063,6 +1065,27 @@ class ContinuousBatcher:
                     l = proc.no_repeat_ngram_per_row(
                         l, alive_flat, gen_rows, jnp.repeat(ngrams, K),
                         max_ngram)
+                if wts is not None:
+                    # Whisper timestamp rules under beam (the reference
+                    # default is beam 5 + rules, whisper.cc:742-865):
+                    # per beam row over its own alive history, computed
+                    # over the suppress/end-disabled state the batch
+                    # device loop sees, gated per slot by the prompt.
+                    af = alive.reshape(S * K, alive.shape[2])
+                    gr = jnp.repeat(gen, K)
+                    lp = l
+                    if sup_table.shape[1]:
+                        lp = proc.disable_tokens_per_row(
+                            lp, jnp.repeat(sup_table, K, axis=0))
+                    lp = jnp.where(
+                        jnp.repeat(
+                            (gen < min_len)[:, None]
+                            & self._end_mask(end_table, l.shape[-1]),
+                            K, axis=0),
+                        proc.DISABLE, lp)
+                    lp = proc.whisper_timestamp_rules(
+                        lp, af, gr, jnp.repeat(plen, K), *wts)
+                    l = jnp.where(jnp.repeat(ts_on, K)[:, None], lp, l)
                 end_mask = self._end_mask(end_table, V)  # [S, V]
                 l = jnp.where(
                     jnp.repeat((gen < min_len)[:, None] & end_mask, K,
@@ -1422,13 +1445,16 @@ class ContinuousBatcher:
         pen_on = getattr(self, "_bpen", False)
         rp = self._rep_pens if pen_on else np.zeros(0, np.float32)
         ng = self._ngrams if pen_on else np.zeros(0, np.int32)
+        ts_on = getattr(self, "_ts_on", None)
+        if ts_on is None:
+            ts_on = np.zeros(S, np.bool_)
         args = [model.params, model.consts, self._cache, self._bstate,
                 jnp.asarray(min_len), jnp.asarray(max_len),
                 jnp.asarray(prefix), jnp.asarray(plen),
                 jnp.asarray(self._end_table), jnp.asarray(self._nhyps),
                 jnp.asarray(self._bstop_tab), jnp.asarray(self._bstop_len),
                 jnp.asarray(rp), jnp.asarray(ng),
-                jnp.asarray(self._sup_table)]
+                jnp.asarray(self._sup_table), jnp.asarray(ts_on)]
         if self._beam_has_memory:
             args += [self._mem, jnp.asarray(self._src_len)]
         self._cache, self._bstate = self._beam_step_fn(*args)
@@ -2857,9 +2883,10 @@ class ContinuousWhisper(ContinuousTranslator):
     dispatch) and forces the prompt (the SOT token sequence) exactly like
     a target prefix. Whisper's timestamp-rules processor (reference:
     src/models/whisper.cc:742-865) applies per slot whenever the
-    request's prompt does not end with ``<|notimestamps|>`` (greedy
-    serving; beam/speculation require notimestamps prompts); the
-    model's config ``suppress_ids`` are suppressed every step.
+    request's prompt does not end with ``<|notimestamps|>``, under
+    greedy AND beam serving (speculation requires notimestamps
+    prompts); the model's config ``suppress_ids`` are suppressed every
+    step.
     """
 
     def __init__(self, whisper, *, max_target_prefix: int = 16,
@@ -3002,11 +3029,11 @@ class ContinuousWhisper(ContinuousTranslator):
         # Timestamp rules apply when the prompt doesn't opt out with
         # <|notimestamps|> (batch-API semantics, runtime/whisper.py).
         req.ts_on = self._wts is not None and ids[-1] != self._wts[1]
-        if req.ts_on and (self._spec_k > 1 or self._beam > 1):
+        if req.ts_on and self._spec_k > 1:
             raise NotImplementedError(
-                "Whisper timestamp rules are served greedily only; use "
-                "<|notimestamps|> prompts with speculation/beam, or the "
-                "batch Whisper API")
+                "Whisper timestamp rules are not compatible with "
+                "speculation; use <|notimestamps|> prompts or "
+                "speculation_k=0")
         self._queue.put(req)
         self._wake.set()
         return req.future
@@ -3044,6 +3071,7 @@ class ContinuousWhisper(ContinuousTranslator):
         self._prefix[slot, :] = 0
         self._prefix[slot, : len(prefix)] = prefix
         self._plen[slot] = len(prefix)
+        self._ts_on[slot] = getattr(req, "ts_on", False)
         if self._beam > 1:
             self._set_beam_slot_options(slot, req)
             self._bstate = self._beam_reset_fn(
@@ -3052,11 +3080,11 @@ class ContinuousWhisper(ContinuousTranslator):
             self._b_active_host[slot] = True
             return
         self._tokens[slot] = req.start_id
-        self._ts_on[slot] = getattr(req, "ts_on", False)
         if self._ts_on[slot]:
-            # The rules read the generated history from the penalty hist
-            # table — make sure it exists (1.0/0 penalty rows stay
-            # no-ops for neighbors).
+            # The greedy rules read the generated history from the
+            # penalty hist table — make sure it exists (1.0/0 penalty
+            # rows stay no-ops for neighbors). Beam rows use the alive
+            # table instead.
             self._ensure_pen_tables()
         self._set_slot_sampling(slot, req)
         if self._seen.shape[0]:

@@ -2022,11 +2022,32 @@ def test_continuous_whisper_timestamp_rules(tmp_path):
     finally:
         cw.close()
 
-    # Rules are greedy-only in the continuous engine: beam/speculation
-    # require <|notimestamps|> prompts.
+    # BEAM serving with timestamp rules (the reference default is
+    # beam 5 + rules): token-identical to the batch engine at beam 2.
+    def batch_expected_beam(prompt, whisper_ts):
+        ids = [v.to_id(t) for t in prompt]
+        mem = w.encode(feats[None])
+        opts = DecodingOptions(
+            beam_size=2, max_length=16, min_length=0,
+            suppress_tokens=sup, return_prefix=True,
+            whisper_ts=whisper_ts)
+        rs = w.engine.decode(
+            [ids[0]], opts, memory=mem,
+            memory_lengths=jnp.asarray([mem.shape[1]]),
+            prefix_ids=[ids[1:]], end_ids=(eot,))
+        return rs[0].hypotheses[0]
+
+    exp_beam = batch_expected_beam(prompt_ts, wts)
     cwb = ContinuousWhisper(w, num_slots=2, capacity=64, beam_size=2)
     try:
-        with pytest.raises(NotImplementedError, match="timestamp"):
-            cwb.submit(feats, prompt_ts, max_length=8)
+        r = cwb.submit(feats, prompt_ts, max_length=16).result(timeout=600)
+        assert r.sequences_ids[0] == exp_beam
+        # Speculation with timestamp prompts still rejects clearly.
     finally:
         cwb.close()
+    cws = ContinuousWhisper(w, num_slots=2, capacity=64, speculation_k=3)
+    try:
+        with pytest.raises(NotImplementedError, match="timestamp"):
+            cws.submit(feats, prompt_ts, max_length=8)
+    finally:
+        cws.close()
