@@ -17,7 +17,10 @@ run smoke python tools/smoke_tpu.py
 run bench python bench.py
 run bench_int8 env BENCH_COMPUTE=int8 python bench.py
 run llama python bench_llama.py
+run llama_b16 env LLAMA_BATCH=16 python bench_llama.py
+run llama_w4 env LLAMA_QUANT=w4 LLAMA_BATCH=16 python bench_llama.py
 run serving python tools/bench_serving.py --requests 48 --speculation_k 4 --draft_layers 1
+run serving8b python tools/bench_serving.py --llama8b --requests 48 --slots 8 --capacity 512 --max-new 128 --steps-per-sync 8,16
 run flash python tools/bench_flash.py
 run quality python tools/quality_parity.py
 echo "=== done; logs in $OUT ==="
