@@ -219,8 +219,99 @@ def sweep():
         main()
 
 
+def prefill_suite():
+    """Prefill measurement (VERDICT r4 item 4): tokens/s, step time and
+    MFU at real 8B geometry for prompt lengths LLAMA_PREFILL_SUITE
+    (e.g. '512,2048,8192'), flash kernel vs XLA attention — re-derives
+    the CT2TPU_FLASH_MIN_LEN crossover at full-model scale (reference
+    anchor: the FA2 prefill path, src/ops/flash_attention_gpu.cu).
+
+    MFU is reported against the bf16 MXU peak (TPU_BF16_TFLOPS, default
+    197 for v5e); the linear layers actually run int8xint8 (2x peak), so
+    the bf16-relative figure is conservative.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ctranslate2_tpu.models.loader import load_model
+    from ctranslate2_tpu.models import transformer as T
+
+    lengths = [int(x) for x in os.environ["LLAMA_PREFILL_SUITE"].split(",")]
+    B = BATCH
+    t0 = time.perf_counter()
+    mf = build_llama_int8_modelfile()
+    model = load_model(mf, compute_type="int8",
+                       max_positions=max(lengths) + 64)
+    print(f"# fabricated+loaded in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    head_dim = D_MODEL // HEADS
+    qkv_out = HEADS * head_dim + 2 * HEADS_KV * head_dim
+    per_layer = D_MODEL * qkv_out + D_MODEL * D_MODEL + 3 * D_MODEL * D_FF
+    peak = float(os.environ.get("TPU_BF16_TFLOPS", "197")) * 1e12
+    rng = np.random.default_rng(1)
+
+    for P in lengths:
+        ids = jnp.asarray(rng.integers(10, VOCAB - 10, (B, P)), jnp.int32)
+        cap = ((P + 63) // 64) * 64
+        for flash in ("1", "0"):
+            os.environ["CT2TPU_FLASH"] = flash
+            jax.clear_caches()
+
+            def run():
+                cache = T.init_self_cache(
+                    model.arch, B, cap, dtype=model.kv_dtype,
+                    stacked=model.scan_layers)
+                _, cache2, _ = T.decoder_forward_jit(
+                    model.arch, model.params, model.consts, ids,
+                    jnp.int32(0), cache, None, None,
+                    quantize_acts=model.policy.quantize_activations,
+                    out_dtype=model.out_dtype, return_logits=False,
+                    fresh_prefill=True)
+                leaf = (cache2["k"] if T.cache_is_stacked(cache2)
+                        else cache2[0]["k"])
+                # Scalar fetch forces completion through the tunnel.
+                return float(jnp.sum(leaf[0, 0, 0].astype(jnp.float32)))
+
+            try:
+                tc = time.perf_counter()
+                run()  # compile
+                compile_s = time.perf_counter() - tc
+                times = []
+                for _ in range(3):
+                    tr = time.perf_counter()
+                    run()
+                    times.append(time.perf_counter() - tr)
+                t = min(times)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({
+                    "metric": "llama8b_prefill", "prompt": P, "batch": B,
+                    "flash": flash == "1", "error": str(e)[:160]}),
+                    flush=True)
+                continue
+            lin_flops = 2 * B * P * per_layer * LAYERS
+            attn_flops = 2 * B * HEADS * P * P * head_dim  # causal halves
+            row = {
+                "metric": "llama8b_prefill_tokens_per_sec",
+                "value": round(B * P / t, 1),
+                "unit": "tokens/s/chip",
+                "prompt": P, "batch": B, "layers": LAYERS,
+                "quant": QUANT,
+                "flash": flash == "1",
+                "time_ms": round(t * 1e3, 1),
+                "compile_s": round(compile_s, 1),
+                "mfu_vs_bf16_peak": round(
+                    (lin_flops + attn_flops) / t / peak, 3),
+                "attn_flops_frac": round(
+                    attn_flops / (lin_flops + attn_flops), 3),
+            }
+            print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
-    if os.environ.get("LLAMA_SWEEP"):
+    if os.environ.get("LLAMA_PREFILL_SUITE"):
+        prefill_suite()
+    elif os.environ.get("LLAMA_SWEEP"):
         sweep()
     else:
         main()

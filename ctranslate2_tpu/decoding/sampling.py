@@ -181,6 +181,45 @@ def sample_tokens(
     return ids.astype(jnp.int32), out_scores
 
 
+def gumbel_top_k_per_row(flat_scores, key, k: int, *, topks, topps,
+                         temps, seeds, max_topk: int):
+    """Row-vectorized Gumbel-top-k for the continuous beam engine:
+    ``k`` draws without replacement per row, with per-request
+    topk/topp/temperature/seed (reference: RandomSampler composed with
+    beam search, src/sampling.cc:60-92, per-call options through the
+    buffered wrapper). Rows with topk == 1 take the deterministic
+    top-k picks, so mixed greedy/sampled beam traffic shares one
+    dispatch. Scores come from the *unperturbed* distribution.
+
+    Returns (scores [S, k], indices [S, k]).
+    """
+    S, W = flat_scores.shape
+    greedy_rows = topks == 1
+
+    work = flat_scores / jnp.maximum(temps, 1e-6)[:, None]
+    if max_topk > 0:
+        vals, _ = small_top_k(work, min(max_topk, W))  # desc
+        kth = jnp.take_along_axis(
+            vals, jnp.clip(topks - 1, 0, vals.shape[1] - 1)[:, None],
+            axis=1)  # [S, 1]
+        use_topk = ((topks > 1) & (topks < W))[:, None]
+        work = jnp.where(use_topk & (work < kth), DISABLE, work)
+    any_topp = topps < 1.0
+    masked = top_p_mask(work, jnp.minimum(topps, 1.0)[:, None])
+    work = jnp.where(any_topp[:, None], masked, work)
+
+    row_keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(seeds)
+    gumbel = jax.vmap(
+        lambda kk: jax.random.gumbel(kk, (W,), jnp.float32))(row_keys)
+    noisy = jnp.where(work <= DISABLE / 2, DISABLE, work + gumbel)
+
+    det_i = small_top_k(flat_scores, k)[1]
+    smp_i = small_top_k(noisy, k)[1]
+    idx = jnp.where(greedy_rows[:, None], det_i, smp_i)
+    scores = jnp.take_along_axis(flat_scores, idx, axis=-1)
+    return scores, idx
+
+
 def gumbel_top_k(flat_scores, key, k: int, *, topk: int = 0,
                  topp: float = 1.0, temperature: float = 1.0):
     """``k`` draws without replacement via the Gumbel-max trick

@@ -127,6 +127,81 @@ def matmul_w4a16(
     return out[:true_m]
 
 
+def _w4a16_fold_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, group: int,
+                       groups_per_step: int):
+    """Scale-folded W4A16: fold the per-group scale into the int8 (q-z)
+    payload on the VPU, then ONE full-contraction dot per k-step (vs one
+    dot per group in _w4a16_kernel) — larger MXU ops, no per-group
+    accumulate chain."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:].astype(jnp.float32)
+    bk, bn = w.shape
+    gps = groups_per_step
+    s = s_ref[pl.ds(k * gps, gps), :].astype(jnp.float32)  # [gps, bn]
+    sw = jnp.broadcast_to(s[:, None, :], (gps, group, bn)).reshape(bk, bn)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:].astype(jnp.float32), w * sw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def matmul_w4a16_fold(
+    x,  # [M, K] float
+    w4,  # [K, N] int8 (q - z values)
+    g_scale,  # [K // G, N] float32 group scales
+    *,
+    block_m: int = 256,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """Group-dequant matmul, scale-folded single-dot variant (same
+    result as matmul_w4a16; see _w4a16_fold_kernel)."""
+    M, K = x.shape
+    N = w4.shape[1]
+    G = K // g_scale.shape[0]
+
+    x, true_m = _pad_rows(x, min(block_m, 8))
+    block_m = min(block_m, x.shape[0])
+    block_n = min(block_n, N)
+    block_k = max(G, min(block_k - block_k % G, K))
+    while K % block_k:
+        block_k -= G
+    groups_per_step = block_k // G
+    Mp = x.shape[0]
+
+    grid = (pl.cdiv(Mp, block_m), pl.cdiv(N, block_n), K // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a16_fold_kernel, group=G, groups_per_step=groups_per_step
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((K // G, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w4, g_scale)
+    return out[:true_m]
+
+
 def w4a16_supported(x_shape, w4_shape, g_scale_shape) -> bool:
     K, N = w4_shape
     if g_scale_shape[0] == 0 or K % g_scale_shape[0]:
@@ -307,6 +382,108 @@ def matmul_w4p(
         interpret=interpret,
     )(x, x, w4p, g_scale, g_zs)
     return out[:true_m]
+
+
+def _w4p_fold_kernel(x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                     group: int, groups_per_step: int, k_half_groups: int):
+    """Scale-folded packed-W4 kernel: unpack nibbles, fold the per-group
+    scale into the weight block on the VPU, then run ONE full-contraction
+    dot per half instead of one dot per group — fewer, larger MXU ops
+    (better utilization at mid M) and no per-group accumulate chain.
+    The zero-point term is linear in x and handled OUTSIDE the kernel:
+    y = x @ (q * s) - xsum_g @ (z * s)  (see matmul_w4p_fold)."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[:]
+    lo = (packed & 0xF).astype(jnp.float32)          # rows [0, K/2)
+    hi = ((packed >> 4) & 0xF).astype(jnp.float32)   # rows [K/2, K)
+    bk, bn = lo.shape
+    gps = groups_per_step
+
+    def fold(w_half, g0):
+        s = s_ref[pl.ds(g0, gps), :].astype(jnp.float32)  # [gps, bn]
+        sw = jnp.broadcast_to(
+            s[:, None, :], (gps, group, bn)).reshape(bk, bn)
+        return w_half * sw
+
+    lo = fold(lo, k * gps)
+    hi = fold(hi, k_half_groups + k * gps)
+
+    acc = acc_ref[:]
+    acc = acc + jax.lax.dot_general(
+        x_lo_ref[:].astype(jnp.float32), lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(
+        x_hi_ref[:].astype(jnp.float32), hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def matmul_w4p_fold(
+    x,  # [M, K] float
+    w4p,  # [K/2, N] int8 packed nibbles
+    g_scale,  # [K/G, N] f32
+    g_zs,  # [K/G, N] f32 (zero * scale)
+    *,
+    block_m: int = 256,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """Packed-W4 matmul, scale-folded variant (see _w4p_fold_kernel).
+    Same result as matmul_w4p; the zero-point correction runs as an XLA
+    [M, K/G] @ [K/G, N] dot fused around the kernel."""
+    M, K = x.shape
+    K2, N = w4p.shape
+    G = K // g_scale.shape[0]
+    k_half_groups = (K // 2) // G
+
+    x_pad, true_m = _pad_rows(x, min(block_m, 8))
+    block_m = min(block_m, x_pad.shape[0])
+    block_n = min(block_n, N)
+    block_k = max(G, min(block_k - block_k % G, K2))
+    while K2 % block_k:
+        block_k -= G
+    groups_per_step = block_k // G
+    Mp = x_pad.shape[0]
+
+    grid = (pl.cdiv(Mp, block_m), pl.cdiv(N, block_n), K2 // block_k)
+    half = K // 2
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4p_fold_kernel, group=G, groups_per_step=groups_per_step,
+            k_half_groups=k_half_groups),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_m, block_k),
+                         lambda i, j, k, o=half // block_k: (i, k + o)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((K // G, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_pad, x_pad, w4p, g_scale)
+    # Zero-point term: sum x per group, one small XLA dot.
+    xsum = jnp.sum(
+        x.astype(jnp.float32).reshape(M, K // G, G), axis=-1)  # [M, K/G]
+    zero = jnp.dot(xsum, g_zs, preferred_element_type=jnp.float32)
+    return out[:true_m] - zero
 
 
 def w4p_supported(x_shape, w4p_shape, g_scale_shape) -> bool:

@@ -522,6 +522,34 @@ def self_attention_block(
             out = _norm(arch, ap.get("layer_norm"), out)
         return out, new_cache
 
+    if (cache is None and causal and q.shape[2] > 1
+            and alibi_bias is None and position_bias is None
+            and rel_positions is None
+            and not (spec.sliding_window and spec.sliding_window > 1)):
+        # Context-parallel fresh prefill (beyond reference, SURVEY §2.6):
+        # long-prompt attention shards the sequence over the mesh's
+        # 'data' axis (idle during single-request prefill) while heads
+        # keep the TP layout — ring attention with ppermute-rotated K/V
+        # shards (parallel/context.py). Registered by
+        # apply_tensor_parallel; static dispatch like the flash kernel.
+        from ..parallel import context as ctx_par
+
+        cp = ctx_par.context_parallel_config()
+        if (cp is not None
+                and q.shape[2] >= ctx_par.ring_prefill_min_len()
+                and ctx_par.ring_prefill_eligible(
+                    q.shape, k.shape[1], *cp)):
+            ctx = ctx_par.ring_attention_prefill(
+                q, k, v, lengths=flash_lengths,
+                scale=spec.queries_scale, mesh=cp[0], axis=cp[1])
+            out = attn_ops.combine_heads(ctx)
+            res = residual if (wrap_norm and spec.has_layer_norm) else None
+            out = linear(ap["o"], out, residual=res,
+                         quantize_activations=quantize_acts)
+            if wrap_norm and not pre_norm and spec.has_layer_norm:
+                out = _norm(arch, ap.get("layer_norm"), out)
+            return out, new_cache
+
     if (cache is None
             and _flash_eligible(spec, q, k, alibi_bias, position_bias,
                                 rel_positions, flash_lengths,
@@ -1049,8 +1077,10 @@ def init_self_cache(arch: ArchSpec, batch: int, capacity: int,
     memory and decode-read bandwidth vs bf16). ``stacked`` produces the
     layer-stacked layout used with scan-over-layers params. ``ring=True``
     allocates windowed layers as 2*Wr-slot ring buffers (O(window)
-    memory; see ring_block) — use for single-token decode paths; beam
-    chain-mask attention requires ``ring=False``."""
+    memory; see ring_block) — used by all single-token decode paths,
+    including beam serving (the continuous beam engine runs ring=True
+    unconditionally; see runtime/continuous.py and
+    tests/test_continuous.py::test_continuous_beam_ring_window)."""
     spec = arch.decoder
 
     def layer_cache(a, lead=()):

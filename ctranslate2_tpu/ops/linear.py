@@ -37,19 +37,30 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_pallas_qmm(num_rows: int) -> bool:
+def _use_pallas_qmm(num_rows: int, kind: str = "") -> bool:
     """Static dispatch to the Pallas quantized-matmul kernels.
 
     The kernels dequantize in VMEM so each decode step streams the int8
     payload instead of an XLA-hoisted float copy; measured ~3x faster than
     the XLA int8 dot at decode shapes on v5e, while XLA wins at prefill
     shapes (compute-bound) — hence the row threshold.
+
+    Per-payload thresholds (``kind`` in W4P/W4/W8A8) implement the
+    batch-adaptive W4 strategy (reference anchor: the AWQ GEMM's
+    >=1024-token dequantize-then-GEMM fallback,
+    /root/reference/src/layers/common.cc:408-425): the packed-nibble
+    kernel is HBM-optimal at decode M but pays VPU unpack cost per
+    weight, so larger M can route to XLA's fused dequant-dot instead.
+    Crossovers are measured by tools/bench_w4.py.
     """
     if os.environ.get("CT2TPU_QMM", "1") == "0":
         return False
     if jax.default_backend() != "tpu":
         return False
-    return num_rows <= int(os.environ.get("CT2TPU_QMM_MAX_M", "512"))
+    default = os.environ.get("CT2TPU_QMM_MAX_M", "512")
+    limit = os.environ.get(f"CT2TPU_QMM_MAX_M_{kind}", default) \
+        if kind else default
+    return num_rows <= int(limit)
 
 
 def quantize_per_row(x, round_before_cast: bool = True):
@@ -94,7 +105,7 @@ def linear(
             num_rows *= d
         from ..kernels.quant_matmul import matmul_w4p, w4p_supported
 
-        if _use_pallas_qmm(num_rows) and w4p_supported(
+        if _use_pallas_qmm(num_rows, "W4P") and w4p_supported(
             (num_rows, K), w4p.shape, gs.shape
         ):
             y = matmul_w4p(x.reshape(num_rows, K), w4p, gs, gzs)
@@ -127,7 +138,7 @@ def linear(
             num_rows *= d
         from ..kernels.quant_matmul import matmul_w4a16, w4a16_supported
 
-        if _use_pallas_qmm(num_rows) and w4a16_supported(
+        if _use_pallas_qmm(num_rows, "W4") and w4a16_supported(
             (num_rows, K), w4.shape, gs.shape
         ):
             y = matmul_w4a16(x.reshape(num_rows, K), w4, gs)
@@ -151,7 +162,7 @@ def linear(
                 num_rows *= d
             from ..kernels.quant_matmul import matmul_w8a8, w8a8_supported
 
-            if _use_pallas_qmm(num_rows) and w8a8_supported(
+            if _use_pallas_qmm(num_rows, "W8A8") and w8a8_supported(
                 (num_rows, K), wq.shape
             ):
                 y = matmul_w8a8(

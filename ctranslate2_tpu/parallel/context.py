@@ -14,6 +14,7 @@ Works under ``jax.shard_map`` on any mesh axis; validated on the CPU
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,12 +22,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 NEG_INF = -1e30
 
+# Active context-parallel configuration: (mesh, cp_axis). Registered by
+# apply_tensor_parallel (the CP axis is the mesh's 'data' axis, idle
+# during single-request long-prompt prefill); consumed by the prefill
+# dispatch in models/transformer.py attention_block.
+_ACTIVE_CP = None
 
-def _ring_attention_local(q, k, v, *, axis_name: str, causal: bool,
-                          scale: float):
+
+def enable_context_parallel(mesh: Mesh, axis: str = "data") -> None:
+    global _ACTIVE_CP
+    _ACTIVE_CP = (mesh, axis)
+
+
+def disable_context_parallel() -> None:
+    global _ACTIVE_CP
+    _ACTIVE_CP = None
+
+
+def context_parallel_config():
+    """(mesh, axis) when context parallelism is available, else None.
+    Gated off when the CP axis has size 1 or CT2TPU_RING_PREFILL=0."""
+    if _ACTIVE_CP is None:
+        return None
+    if os.environ.get("CT2TPU_RING_PREFILL", "1") == "0":
+        return None
+    mesh, axis = _ACTIVE_CP
+    if mesh.shape[axis] <= 1:
+        return None
+    return _ACTIVE_CP
+
+
+def ring_prefill_min_len() -> int:
+    """Sequence-length threshold for routing fresh prefill attention
+    through the ring (below it the resharding cost dominates)."""
+    return int(os.environ.get("CT2TPU_RING_PREFILL_MIN_LEN", "4096"))
+
+
+def _ring_attention_local(q, k, v, lengths=None, *, axis_name: str,
+                          causal: bool, scale: float):
     """Per-device body (inside shard_map).
 
-    q/k/v: local shards [B, H, T_local, D] (sequence-sharded).
+    q/k/v: local shards [B, H, T_local, D] (sequence-sharded); lengths
+    [B] masks key positions >= length (ragged batch rows).
     Returns the local shard of the attention output.
     """
     idx = jax.lax.axis_index(axis_name)
@@ -47,6 +84,9 @@ def _ring_attention_local(q, k, v, *, axis_name: str, causal: bool,
         if causal:
             mask = k_pos[None, :] <= q_pos[:, None]
             s = jnp.where(mask[None, None], s, NEG_INF)
+        if lengths is not None:
+            valid = k_pos[None, :] < lengths[:, None]  # [B, Tl]
+            s = jnp.where(valid[:, None, None, :], s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -67,6 +107,46 @@ def _ring_attention_local(q, k, v, *, axis_name: str, causal: bool,
         step, (k, v, m0, l0, acc0), jnp.arange(n))
     out = acc / jnp.maximum(l, 1e-20)
     return out.astype(q.dtype)
+
+
+def ring_prefill_eligible(q_shape, kv_heads: int, mesh: Mesh,
+                          axis: str) -> bool:
+    """Static shape checks for the fresh-prefill ring dispatch: the
+    sequence must divide the CP axis; heads either divide the 'model'
+    axis (TP layout preserved) or are replicated."""
+    B, Hq, T, D = q_shape
+    n = mesh.shape[axis]
+    if T % n or T // n < 128:
+        return False
+    return True
+
+
+def ring_attention_prefill(q, k, v, lengths=None, *, scale: float,
+                           mesh: Mesh, axis: str = "data"):
+    """Jit-composable fresh-prefill ring attention for long prompts:
+    [B, Hq, T, D] x [B, Hkv, T, D] causal attention with the sequence
+    axis sharded over the CP mesh axis and heads kept on the TP axis.
+    GQA expands K/V heads before sharding (prefill-sized, cheap
+    relative to the O(T^2) attention)."""
+    Hq, Hkv = q.shape[1], k.shape[1]
+    if Hkv != Hq:
+        k = jnp.repeat(k, Hq // Hkv, axis=1)
+        v = jnp.repeat(v, Hq // Hkv, axis=1)
+    head_axis = "model" if ("model" in mesh.shape
+                            and Hq % mesh.shape["model"] == 0) else None
+    spec = P(None, head_axis, axis, None)
+    in_specs = (spec, spec, spec) + ((P(None),) if lengths is not None
+                                     else ())
+    args = (q, k, v) + ((lengths,) if lengths is not None else ())
+    if lengths is None:
+        body = functools.partial(_ring_attention_local, lengths=None,
+                                 axis_name=axis, causal=True, scale=scale)
+    else:
+        body = functools.partial(_ring_attention_local, axis_name=axis,
+                                 causal=True, scale=scale)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=spec, check_vma=False)
+    return fn(*args)
 
 
 def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "model",

@@ -276,6 +276,12 @@ def apply_tensor_parallel(model, device: str = "auto",
     model.params = shard_params(model.params, model.arch, mesh)
     model.consts = shard_consts(model.consts, mesh)
     model.mesh = mesh
+    # Long-prompt prefill may additionally shard the SEQUENCE over the
+    # data axis (ring attention; parallel/context.py) — registered here
+    # so the attention dispatch can see the mesh.
+    from .context import enable_context_parallel
+
+    enable_context_parallel(mesh, axis="data")
     return mesh
 
 

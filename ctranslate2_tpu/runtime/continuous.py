@@ -25,8 +25,11 @@ TPU-first design points:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
@@ -55,9 +58,13 @@ class _DistControl:
     the SAME global computations in the SAME order — the single-program
     contract the batch APIs already rely on (docs/parallel.md).
 
-    Transport: a fixed-size uint8 buffer through
+    Transport: fixed-size uint8 frames through
     ``multihost_utils.broadcast_one_to_all`` (a device collective —
-    gloo on CPU, ICI/DCN on TPU slices)."""
+    gloo on CPU, ICI/DCN on TPU slices). The first frame carries the
+    total record length; records larger than one frame (e.g. a Whisper
+    admit whose mel features ride the record, or a very long prompt)
+    continue over follow-up frames — both sides derive the identical
+    frame count from the length, so no size limit applies."""
 
     MAXLEN = 1 << 16
 
@@ -73,16 +80,19 @@ class _DistControl:
         from jax.experimental import multihost_utils
 
         data = _json.dumps(obj).encode()
-        if len(data) > self.MAXLEN - 4:
-            raise ValueError(
-                f"continuous-serving control record ({len(data)} bytes) "
-                f"exceeds the broadcast buffer ({self.MAXLEN - 4}); "
-                "submit shorter prompts or fewer concurrent admits")
+        total = len(data)
+        head = min(total, self.MAXLEN - 4)
         buf = np.zeros(self.MAXLEN, np.uint8)
-        buf[:4] = np.frombuffer(
-            np.uint32(len(data)).tobytes(), np.uint8)
-        buf[4: 4 + len(data)] = np.frombuffer(data, np.uint8)
+        buf[:4] = np.frombuffer(np.uint32(total).tobytes(), np.uint8)
+        buf[4: 4 + head] = np.frombuffer(data[:head], np.uint8)
         multihost_utils.broadcast_one_to_all(buf)
+        off = head
+        while off < total:
+            n = min(total - off, self.MAXLEN)
+            chunk = np.zeros(self.MAXLEN, np.uint8)
+            chunk[:n] = np.frombuffer(data[off: off + n], np.uint8)
+            multihost_utils.broadcast_one_to_all(chunk)
+            off += n
 
     def recv(self):
         import json as _json
@@ -90,8 +100,17 @@ class _DistControl:
         from jax.experimental import multihost_utils
 
         buf = np.asarray(multihost_utils.broadcast_one_to_all(self._zeros))
-        n = int(np.frombuffer(buf[:4].tobytes(), np.uint32)[0])
-        return _json.loads(buf[4: 4 + n].tobytes().decode())
+        total = int(np.frombuffer(buf[:4].tobytes(), np.uint32)[0])
+        head = min(total, self.MAXLEN - 4)
+        parts = [buf[4: 4 + head].tobytes()]
+        off = head
+        while off < total:
+            chunk = np.asarray(
+                multihost_utils.broadcast_one_to_all(self._zeros))
+            n = min(total - off, self.MAXLEN)
+            parts.append(chunk[:n].tobytes())
+            off += n
+        return _json.loads(b"".join(parts).decode())
 
 
 @dataclass
@@ -127,7 +146,19 @@ class _Request:
     generated: List[int] = field(default_factory=list)
     score: float = 0.0
     stopped: bool = False
+    # Multi-host bookkeeping: a callback-driven stop is leader-local
+    # state until it has been broadcast in a control record
+    # (stop_sync=True); until then followers keep consuming, so the
+    # leader records the stop point (stop_len/stop_score) and trims the
+    # symmetric overshoot at finish.
+    stop_sync: bool = False
+    stop_len: Optional[int] = None
+    stop_score: float = 0.0
     callback_error: Optional[BaseException] = None
+    # Serving-latency bookkeeping: submission time and time of the
+    # first generated token (drives the TTFT percentiles in stats()).
+    t_submit: float = field(default_factory=time.monotonic)
+    t_first: Optional[float] = None
     # Rolling per-token scores (stop-sequence trimming refunds them).
     recent_scores: List[float] = field(default_factory=list)
     max_stop_len: int = 0
@@ -183,19 +214,22 @@ class ContinuousBatcher:
         num_hypotheses: int = 1,
         length_penalty: float = 1.0,
         patience: float = 1.0,
+        pipeline_depth: int = None,
     ):
         self._beam = max(1, int(beam_size))
+        self._bsample = False
         if self._beam > 1:
             # Beam serving (reference: beam search is the serving default,
             # src/decoding.cc:411-720): K beam rows per slot, candidate
             # bookkeeping fully on device (same algorithm as the batch
             # engine's build_beam_loop, per-slot vectors instead of
-            # scalars). Greedy-beam only; one options signature per
-            # batcher.
-            if not (sampling_topk == 1 and sampling_topp >= 1.0):
-                raise NotImplementedError(
-                    "continuous beam search uses the deterministic "
-                    "BestSampler (sampling_topk must stay 1)")
+            # scalars). Sampling composes with beam per request
+            # (reference RandomSampler + beam, src/sampling.cc:60-92):
+            # candidate selection switches to per-row Gumbel-top-2K
+            # draws for rows with topk != 1, mirroring the batch
+            # engine's gumbel beam sampling (decoding/device_loop.py).
+            self._bsample = not (sampling_topk == 1
+                                 and sampling_topp >= 1.0)
             if speculation_k or draft_model is not None:
                 raise NotImplementedError(
                     "speculation requires greedy decoding (beam_size=1)")
@@ -333,7 +367,12 @@ class ContinuousBatcher:
         if self._beam > 1:
             self._beam_has_memory = model.is_sequence_to_sequence
             self._step_fn = None
-            self._beam_step_fn = self._build_beam_step()
+            # Built lazily in _decode_step_beam: the step's candidate
+            # selection keys on self._bsample, which a later request's
+            # sampling override may flip (recompile, like the penalty
+            # tables).
+            self._beam_step_fn = None
+            self._bsample_compiled = None
             self._beam_reset_fn = self._build_beam_reset()
             self._cache_prefill_fns = {}
             # The hypothesis store is sized at K rows (the per-request
@@ -373,6 +412,45 @@ class ContinuousBatcher:
         self._prefill_fns = {}
         self._insert_fn = jax.jit(
             T.cache_insert_row, donate_argnums=(0,))
+
+        # Device-resident slot control state for the block engines
+        # (tokens/pos/gen carried on device between dispatches): block
+        # N+1 can be dispatched from block N's returned state BEFORE the
+        # host has fetched block N's tokens — the double-buffered
+        # pipeline that hides the dispatch+fetch round-trip (reference
+        # anchor: the replica pool's always-busy workers,
+        # include/ctranslate2/replica_pool.h:19-300). Admits write the
+        # slot's row through a jitted scatter that queues after any
+        # in-flight block.
+        if self._beam == 1 and self._spec_k <= 1:
+            self._dstate = {
+                "tokens": jnp.zeros((num_slots,), jnp.int32),
+                "pos": jnp.zeros((num_slots,), jnp.int32),
+                "gen": jnp.zeros((num_slots,), jnp.int32),
+            }
+        else:
+            self._dstate = None
+
+        def _slot_write(state, slot, tok, p, g):
+            return {
+                "tokens": state["tokens"].at[slot].set(tok),
+                "pos": state["pos"].at[slot].set(p),
+                "gen": state["gen"].at[slot].set(g),
+            }
+
+        self._slot_write = jax.jit(_slot_write, donate_argnums=(0,))
+
+        # Pipeline depth: how many blocks may be in flight at once.
+        # 2 (double buffering) hides the host round-trip behind the next
+        # block's device time; speculation is host-driven (depth 1) and
+        # multi-host keeps the lockstep record-per-iteration protocol.
+        if pipeline_depth is None:
+            pipeline_depth = int(os.environ.get(
+                "CT2TPU_PIPELINE_DEPTH", "2"))
+        self._depth = max(1, min(int(pipeline_depth), 4))
+        if self._spec_k > 1:
+            self._depth = 1
+        self._ttfts = deque(maxlen=10000)
 
         # Draft-MODEL speculation (lossless, same verify machinery as
         # prompt-lookup): a small model proposes spec_k-1 tokens in ONE
@@ -466,6 +544,11 @@ class ContinuousBatcher:
             self._hist = _replicate(self._hist)
             if self._beam > 1:
                 self._bstate = jax.tree.map(_replicate, self._bstate)
+            if self._dstate is not None:
+                self._dstate = jax.tree.map(_replicate, self._dstate)
+            # Multi-host keeps the lockstep one-record-per-iteration
+            # protocol: no speculative block pipelining.
+            self._depth = 1
             # PRNG keys stay host-side so they enter jit as replicated
             # values on every process.
             self._key = np.asarray(self._key)
@@ -666,8 +749,18 @@ class ContinuousBatcher:
             gen = req.generated[:C]
             hist[s, : len(gen)] = gen
             seen[s, gen] = True
-        self._seen = jnp.asarray(seen)
-        self._hist = jnp.asarray(hist)
+        if self._dist is not None:
+            # Multi-host: the tables must be GLOBAL replicated arrays
+            # like the rest of the device state (both sides allocate at
+            # the same admit, so the backfill is identical).
+            from ..parallel.sharding import NamedSharding, P
+
+            rep = NamedSharding(self.model.mesh, P())
+            self._seen = jax.device_put(seen, rep)
+            self._hist = jax.device_put(hist, rep)
+        else:
+            self._seen = jnp.asarray(seen)
+            self._hist = jnp.asarray(hist)
 
     def _set_slot_sampling(self, slot: int, req: _Request) -> None:
         """Write the request's sampling overrides into the per-slot
@@ -703,12 +796,6 @@ class ContinuousBatcher:
         self._sup_table[slot, : len(sup)] = sup
 
     def _validate_request_sampling(self, topk, topp, seed) -> None:
-        if self._beam > 1 and (topk is not None or topp is not None
-                               or seed is not None):
-            raise NotImplementedError(
-                "per-request sampling overrides are not supported with "
-                "beam_size > 1 (continuous beam uses the deterministic "
-                "BestSampler)")
         if topk is not None and topk != 0 and not (
                 1 <= topk <= self._max_topk):
             raise ValueError(
@@ -751,11 +838,10 @@ class ContinuousBatcher:
             raise RuntimeError(
                 "multi-host continuous serving: submit() is leader-only "
                 "(process 0); this process is a follower")
-        if callback is not None:
-            raise NotImplementedError(
-                "token-streaming callbacks are not supported in "
-                "multi-host continuous serving (early stop would "
-                "desynchronize the follower replay)")
+        # Streaming callbacks run on the leader only; a callback-driven
+        # early stop becomes effective when it is broadcast in the next
+        # control record (see _leader_loop_inner), keeping the follower
+        # replay in lockstep.
 
     def _validate_beam_request(self, num_hypotheses) -> None:
         """Per-request num_hypotheses: under beam serving any value in
@@ -791,6 +877,9 @@ class ContinuousBatcher:
         decode loops break on)."""
         req.generated.append(tok)
         req.score += score
+        if req.t_first is None:
+            req.t_first = time.monotonic()
+            self._ttfts.append(req.t_first - req.t_submit)
         if req.stop_sequences:
             req.recent_scores.append(score)
             del req.recent_scores[: -req.max_stop_len]
@@ -817,9 +906,13 @@ class ContinuousBatcher:
                     token=self._vocab.to_token(tok),
                     score=score, is_last=done)):
                 req.stopped = True
+                req.stop_len = len(req.generated)
+                req.stop_score = req.score
         except BaseException as e:  # noqa: BLE001
             req.callback_error = e
             req.stopped = True
+            req.stop_len = len(req.generated)
+            req.stop_score = req.score
 
     @property
     def num_active_slots(self) -> int:
@@ -831,11 +924,19 @@ class ContinuousBatcher:
 
     def stats(self) -> dict:
         """Serving counters: generated tokens, finished requests, decode
-        steps, mean slot occupancy and tokens/s since construction."""
+        steps, mean slot occupancy, tokens/s and time-to-first-token
+        percentiles since construction."""
         import time as _time
 
         dt = max(_time.monotonic() - self._started_at, 1e-9)
+        tt = np.asarray(self._ttfts, np.float64)
         return {
+            "ttft_mean_ms": (float(tt.mean() * 1e3) if tt.size else None),
+            "ttft_p50_ms": (float(np.percentile(tt, 50) * 1e3)
+                            if tt.size else None),
+            "ttft_p95_ms": (float(np.percentile(tt, 95) * 1e3)
+                            if tt.size else None),
+            "pipeline_depth": self._depth,
             "num_tokens": self._tokens_out,
             "num_requests": self._requests_done,
             "num_steps": self._step_count,
@@ -934,12 +1035,23 @@ class ContinuousBatcher:
         quantize_acts = model.policy.quantize_activations
         out_dtype = model.out_dtype
         max_ngram = self._max_ngram
+        cap = self._capacity
 
         block = self._block
 
-        def step(params, consts, cache, tokens, pos, gen_len, min_len,
+        def step(params, consts, cache, state, min_len,
                  temps, topks, topps, seeds, end_table, sup_table,
                  rep_pens, ngrams, key, n, seen, hist):
+            # Slot control state (tokens/pos/gen) lives on device so the
+            # next block can be dispatched from this block's returned
+            # state without a host round-trip (see _dispatch_block).
+            tokens, pos, gen_len = (state["tokens"], state["pos"],
+                                    state["gen"])
+            # Overshoot clamp: a slot that finished while a speculative
+            # block was in flight keeps advancing until re-admitted; its
+            # writes stay inside the buffer (the admit prefill resets
+            # the row).
+            pos = jnp.minimum(pos, cap - block)
             # Penalties compile in iff the tables have rows (the host
             # enables them by allocating [S, ...] tables; 1.0/0 rows are
             # exact no-ops so mixed traffic shares one dispatch).
@@ -973,9 +1085,10 @@ class ContinuousBatcher:
                 jax.lax.scan(
                     body, (tokens, pos, gen_len, cache, seen, hist),
                     jnp.arange(block, dtype=jnp.int32))
-            return ids_k, scores_k, cache, seen, hist
+            out_state = {"tokens": tokens, "pos": pos, "gen": gen_len}
+            return ids_k, scores_k, cache, out_state, seen, hist
 
-        return jax.jit(step, donate_argnums=(2, 17, 18))
+        return jax.jit(step, donate_argnums=(2, 3, 15, 16))
 
     # ------------------------------------------------------------------
     # Continuous beam search (reference: beam is the serving default,
@@ -1001,15 +1114,17 @@ class ContinuousBatcher:
         has_memory = self._beam_has_memory
         S_max = getattr(self, "_max_src", 0)
         cap = self._capacity
-        from ..decoding.sampling import small_top_k
+        from ..decoding.sampling import gumbel_top_k_per_row, small_top_k
 
         max_ngram = self._max_ngram
         wts = getattr(self, "_wts", None)
+        sample = self._bsample
+        max_topk = self._max_topk
 
         def step(params, consts, cache, bstate, min_len, max_len,
                  prefix, plen, end_table, nhyp, stop_tab, stop_lens,
-                 rep_pens, ngrams, sup_table, ts_on, mem=None,
-                 src_len=None):
+                 rep_pens, ngrams, sup_table, ts_on, temps, topks, topps,
+                 seeds, key, n, mem=None, src_len=None):
             S = bstate["gen"].shape[0]
             mem_bias = None
             if has_memory:
@@ -1027,7 +1142,7 @@ class ContinuousBatcher:
                 return jnp.any(
                     tok[:, :, None] == end_table[:, None, :], axis=-1)
 
-            def body(_, carry):
+            def body(it, carry):
                 cache, st = carry
                 tokens, pos, gen = st["tokens"], st["pos"], st["gen"]
                 scores, alive, active = (st["scores"], st["alive"],
@@ -1073,16 +1188,15 @@ class ContinuousBatcher:
                     # device loop sees, gated per slot by the prompt.
                     af = alive.reshape(S * K, alive.shape[2])
                     gr = jnp.repeat(gen, K)
-                    lp = l
-                    if sup_table.shape[1]:
-                        lp = proc.disable_tokens_per_row(
-                            lp, jnp.repeat(sup_table, K, axis=0))
+                    # l already carries the global + per-row suppressions
+                    # applied above; only the min-length end-disable needs
+                    # re-deriving here.
                     lp = jnp.where(
                         jnp.repeat(
                             (gen < min_len)[:, None]
                             & self._end_mask(end_table, l.shape[-1]),
                             K, axis=0),
-                        proc.DISABLE, lp)
+                        proc.DISABLE, l)
                     lp = proc.whisper_timestamp_rules(
                         lp, af, gr, jnp.repeat(plen, K), *wts)
                     l = jnp.where(jnp.repeat(ts_on, K)[:, None], lp, l)
@@ -1095,7 +1209,16 @@ class ContinuousBatcher:
                 log_probs = jax.nn.log_softmax(l, axis=-1)
                 total = log_probs + scores.reshape(S * K)[:, None]
                 flat = total.reshape(S, K * V)
-                ts, ti = small_top_k(flat, K2)  # [S, 2K]
+                if sample:
+                    # Per-request beam sampling: Gumbel-top-2K draws
+                    # without replacement for rows with topk != 1
+                    # (greedy rows take the deterministic picks inside).
+                    ts, ti = gumbel_top_k_per_row(
+                        flat, jax.random.fold_in(key, n * block + it),
+                        K2, topks=topks, topps=topps, temps=temps,
+                        seeds=seeds, max_topk=max_topk)
+                else:
+                    ts, ti = small_top_k(flat, K2)  # [S, 2K]
                 words = (ti % V).astype(jnp.int32)
                 origins = (ti // V).astype(jnp.int32)
                 cand_idx = jnp.arange(K2, dtype=jnp.int32)[None, :]
@@ -1366,6 +1489,18 @@ class ContinuousBatcher:
         for e, eid in enumerate(self._req_end_ids(req)):
             self._end_table[slot, e] = eid
         self._nhyps[slot] = req.num_hypotheses or self._num_hyp
+        # Per-request sampling under beam (reference: RandomSampler
+        # composes with beam, src/sampling.cc:60-92): the step compiles
+        # the Gumbel selection in once any request (or the batcher
+        # defaults) enables it; topk == 1 rows stay deterministic.
+        self._temps[slot] = req.temperature or self._temperature or 1.0
+        self._topks[slot] = (req.topk if req.topk is not None
+                             else max(self._topk, 0))
+        self._topps[slot] = (req.topp if req.topp is not None
+                             else min(self._topp, 1.0))
+        self._seeds[slot] = (req.seed if req.seed is not None else 0)
+        if self._topks[slot] != 1 or self._topps[slot] < 1.0:
+            self._bsample = True
         # Penalties per beam row are STATELESS (the alive table is the
         # per-row generated history the batch engine penalizes over);
         # the step compiles them in once any request/batcher enables
@@ -1454,9 +1589,18 @@ class ContinuousBatcher:
                 jnp.asarray(self._end_table), jnp.asarray(self._nhyps),
                 jnp.asarray(self._bstop_tab), jnp.asarray(self._bstop_len),
                 jnp.asarray(rp), jnp.asarray(ng),
-                jnp.asarray(self._sup_table), jnp.asarray(ts_on)]
+                jnp.asarray(self._sup_table), jnp.asarray(ts_on),
+                jnp.asarray(self._temps), jnp.asarray(self._topks),
+                jnp.asarray(self._topps), jnp.asarray(self._seeds),
+                self._key,
+                jnp.int32((self._step_count // max(1, self._block))
+                          + 0x40000000)]
         if self._beam_has_memory:
             args += [self._mem, jnp.asarray(self._src_len)]
+        if self._beam_step_fn is None \
+                or self._bsample_compiled != self._bsample:
+            self._beam_step_fn = self._build_beam_step()
+            self._bsample_compiled = self._bsample
         self._cache, self._bstate = self._beam_step_fn(*args)
         self._step_count += self._block
         self._slot_steps += len(active) * self._block
@@ -1464,8 +1608,10 @@ class ContinuousBatcher:
             self._steps_while_pending += 1
         # The only per-block fetch: which slots are still decoding
         # (callback slots additionally fetch the streaming snapshot in
-        # _harvest_beam).
-        self._b_active_host = np.array(self._bstate["active"])
+        # _harvest_beam). Copied BEFORE the next dispatch donates the
+        # bstate buffers, so the pipelined loop can fetch it while the
+        # next block runs.
+        return jnp.copy(self._bstate["active"])
 
     _BEAM_SNAP_KEYS = ("alive", "alive_sc", "gen", "scores", "store_seqs",
                        "store_sc", "store_lens", "store_scores")
@@ -1486,10 +1632,13 @@ class ContinuousBatcher:
                 continue
             if req.callback is not None and not req.stopped:
                 self._stream_beam_slot(i, req, snap)
-            if req.stopped:
+            if req.stopped and (self._dist is None or req.stop_sync):
                 # Callback-requested stop (or callback error): force the
                 # slot inactive and finish with the best hypothesis so
-                # far (stored, else the top alive beam).
+                # far (stored, else the top alive beam). Multi-host
+                # defers the device update until the stop has been
+                # broadcast, so both sides mutate bstate in the same
+                # iteration.
                 self._bstate["active"] = \
                     self._bstate["active"].at[i].set(False)
                 self._b_active_host[i] = False
@@ -1525,6 +1674,9 @@ class ContinuousBatcher:
             return
         cum = snap["alive_sc"][slot, 0]
         v = self._vocab
+        if req.t_first is None:
+            req.t_first = time.monotonic()
+            self._ttfts.append(req.t_first - req.t_submit)
         for t in range(req.streamed, lcp):
             prev = float(cum[t - 1]) if t > 0 else 0.0
             tok = int(alive[0, t])
@@ -1544,6 +1696,11 @@ class ContinuousBatcher:
 
     def _finish_beam(self, slot: int, req: _Request, snap=None):
         v = self._vocab
+        if req.t_first is None:
+            # Beam TTFT is delivery-based: first streamed commit, else
+            # the finish that materializes the hypotheses.
+            req.t_first = time.monotonic()
+            self._ttfts.append(req.t_first - req.t_submit)
         if snap is not None:
             def get(k):
                 return snap[k][slot]
@@ -1810,7 +1967,9 @@ class ContinuousBatcher:
                 if (tok in self._req_end_ids(req)
                         and len(req.generated) > req.min_length):
                     break
-                if len(req.generated) >= req.max_length or req.stopped:
+                if len(req.generated) >= req.max_length:
+                    break
+                if req.stopped and self._dist is None:
                     break
                 # The next fed token (draft) must equal this greedy target
                 # or verification stops here.
@@ -1912,6 +2071,10 @@ class ContinuousBatcher:
         self._pos[slot] = len(ids)
         self._tokens[slot] = first
         self._temps[slot] = req.temperature or self._temperature or 1.0
+        if self._dstate is not None:
+            self._dstate = self._slot_write(
+                self._dstate, jnp.int32(slot), jnp.int32(first),
+                jnp.int32(len(ids)), jnp.int32(1))
 
     # ------------------------------------------------------------------
     # Scheduler loop.
@@ -1925,18 +2088,41 @@ class ContinuousBatcher:
                 else:
                     self._follower_loop()
                 return
+            # Pipelined single-host loop: up to self._depth blocks in
+            # flight. With depth 2 (default) the host fetches block N's
+            # tokens WHILE block N+1 runs on device, hiding the
+            # dispatch+fetch round-trip behind device time (reference
+            # anchor: the replica pool's always-busy workers,
+            # include/ctranslate2/replica_pool.h:19-300).
+            inflight = deque()
             while True:
                 self._harvest_any()
                 self._admit()
-                active = [i for i, s in enumerate(self._slots) if s is not None]
-                if not active:
+                active = [i for i, s in enumerate(self._slots)
+                          if s is not None]
+                if not active and not inflight:
                     if self._closed:
                         self._fail_pending(RuntimeError("Batcher closed"))
                         return
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
                     continue
-                self._dispatch_step(active)
+                if active:
+                    h = self._dispatch_any(active)
+                    if h is not None:
+                        inflight.append(h)
+                depth = self._depth
+                if self._beam > 1 and depth > 1 and any(
+                        r is not None and r.callback is not None
+                        for r in self._slots):
+                    # Beam streaming runs lockstep: a callback-driven
+                    # early stop must finish from the state of the block
+                    # the callback saw, not one block later (greedy
+                    # engines are exempt — their consume path replays
+                    # the exact stop point).
+                    depth = 1
+                while len(inflight) >= (depth if active else 1):
+                    self._consume_any(inflight.popleft())
         except BaseException as e:  # noqa: BLE001
             self._fail_pending(e)
             for s in self._slots:
@@ -1949,13 +2135,31 @@ class ContinuousBatcher:
         else:
             self._harvest()
 
-    def _dispatch_step(self, active):
+    def _dispatch_any(self, active):
+        """Dispatch one decode block; returns a consume handle, or None
+        when the engine consumed inline (speculation is host-driven)."""
         if self._beam > 1:
-            self._decode_step_beam(active)
-        elif self._spec_k > 1:
+            return ("beam", self._decode_step_beam(active))
+        if self._spec_k > 1:
             self._decode_step_spec(active)
+            return None
+        return ("greedy", self._dispatch_block(active))
+
+    def _consume_any(self, handle):
+        kind, h = handle
+        if kind == "beam":
+            # np.array: a WRITABLE copy (np.asarray of a jax array is
+            # read-only, and _prefill_into_slot_beam writes slots).
+            self._b_active_host = np.array(h)
         else:
-            self._decode_step(active)
+            self._consume_block(h)
+
+    def _dispatch_step(self, active):
+        """Dispatch + consume one block synchronously (the lockstep path
+        used by the multi-host leader/follower loops)."""
+        h = self._dispatch_any(active)
+        if h is not None:
+            self._consume_any(h)
 
     # ------------------------------------------------------------------
     # Multi-host serving: leader (process 0) broadcasts one control
@@ -1980,13 +2184,21 @@ class ContinuousBatcher:
 
     def _leader_loop_inner(self):
         while True:
+            # Callback-driven stops raised since the last record become
+            # effective THIS iteration on every process: mark them
+            # synced (the local harvest below acts on synced stops) and
+            # ship the slot list to the followers.
+            stops = [i for i, r in enumerate(self._slots)
+                     if r is not None and r.stopped and not r.stop_sync]
+            for i in stops:
+                self._slots[i].stop_sync = True
             self._harvest_any()
             admits = self._collect_admits()
             step = bool(admits) or any(
                 s is not None for s in self._slots)
             closing = self._closed and not step
             self._dist.send({
-                "op": "iter",
+                "op": "iter", "stops": stops,
                 "admits": [{"slot": s, "req": self._req_payload(r)}
                            for s, r in admits],
                 "step": step, "close": closing})
@@ -2006,6 +2218,11 @@ class ContinuousBatcher:
     def _follower_loop(self):
         while True:
             msg = self._dist.recv()
+            for i in msg.get("stops", ()):
+                req = self._slots[i]
+                if req is not None:
+                    req.stopped = True
+                    req.stop_sync = True
             self._harvest_any()
             for a in msg["admits"]:
                 self._prefill_into_slot(
@@ -2069,8 +2286,12 @@ class ContinuousBatcher:
                 done = True
             elif len(req.generated) >= req.max_length:
                 done = True
-            elif req.stopped:
-                done = True  # callback requested stop (or raised)
+            elif req.stopped and (self._dist is None or req.stop_sync):
+                # Callback requested stop (or raised). In multi-host
+                # mode the stop only takes effect once broadcast
+                # (stop_sync), so leader and followers free the slot in
+                # the same iteration.
+                done = True
             elif int(self._pos[i]) + max(self._block, self._spec_k) \
                     > self._capacity:
                 done = True  # slot capacity exhausted
@@ -2079,6 +2300,12 @@ class ContinuousBatcher:
 
     def _finish(self, slot: int, req: _Request):
         v = self._vocab
+        if req.stop_len is not None and len(req.generated) > req.stop_len:
+            # Multi-host: followers kept consuming until the stop was
+            # broadcast; trim the leader's symmetric overshoot back to
+            # the exact stop point.
+            del req.generated[req.stop_len:]
+            req.score = req.stop_score
         self._slots[slot] = None
         self._tokens_out += len(req.generated)
         self._requests_done += 1
@@ -2159,24 +2386,30 @@ class ContinuousBatcher:
         self._pos[slot] = len(ids)
         self._tokens[slot] = first
         self._temps[slot] = req.temperature or self._temperature or 1.0
+        if self._dstate is not None:
+            # Device slot state: queued after any in-flight block, so
+            # the next dispatched block sees the admitted row.
+            self._dstate = self._slot_write(
+                self._dstate, jnp.int32(slot), jnp.int32(first),
+                jnp.int32(len(ids)), jnp.int32(1))
 
-    def _decode_step(self, active: List[int]):
+    def _dispatch_block(self, active: List[int]):
+        """Dispatch one block step from the device-resident slot state
+        (non-blocking: JAX async dispatch returns futures). Returns a
+        handle for _consume_block; the block's tokens are fetched there,
+        possibly after the NEXT block has been dispatched."""
         model = self.model
         min_len = np.zeros(self._num_slots, np.int32)
-        gen_len = np.zeros(self._num_slots, np.int32)
+        binding = {}
         for i in active:
             req = self._slots[i]
             min_len[i] = req.min_length
-            gen_len[i] = len(req.generated)
-        # Clamp inactive slots' positions inside the buffer (their writes
-        # land on rows that the next admit fully overwrites).
-        pos = np.minimum(self._pos, self._capacity - self._block)
+            binding[i] = req
 
-        ids_d, scores_d, self._cache, self._seen, self._hist = \
-            self._step_fn(
-                model.params, model.consts, self._cache,
-                jnp.asarray(self._tokens), jnp.asarray(pos),
-                jnp.asarray(gen_len), jnp.asarray(min_len),
+        ids_d, scores_d, self._cache, self._dstate, self._seen, \
+            self._hist = self._step_fn(
+                model.params, model.consts, self._cache, self._dstate,
+                jnp.asarray(min_len),
                 jnp.asarray(self._temps), jnp.asarray(self._topks),
                 jnp.asarray(self._topps), jnp.asarray(self._seeds),
                 jnp.asarray(self._end_table), jnp.asarray(self._sup_table),
@@ -2188,16 +2421,27 @@ class ContinuousBatcher:
         self._slot_steps += len(active) * self._block
         if not self._queue.empty():
             self._steps_while_pending += 1
+        return (ids_d, scores_d, binding)
+
+    def _consume_block(self, handle):
+        """Fetch one dispatched block's tokens (the sync point) and emit
+        them. A slot whose request changed since the dispatch (finished
+        and re-admitted while this block was in flight) is skipped — its
+        tokens are a discarded speculative continuation."""
+        ids_d, scores_d, binding = handle
         ids = np.asarray(ids_d)          # [block, S]
         scores = np.asarray(scores_d, np.float32)
-        for i in active:
-            req = self._slots[i]
+        for i, req in binding.items():
+            if self._slots[i] is not req:
+                continue
             for j in range(self._block):
                 tok = int(ids[j, i])
                 self._emit(req, tok, float(scores[j, i]))
                 self._tokens[i] = tok
                 self._pos[i] += 1
-                if req.stopped:
+                if req.stopped and self._dist is None:
+                    # Multi-host keeps consuming (followers can't see the
+                    # leader-local stop yet); _finish trims the overshoot.
                     break
                 # Stop consuming once this request is done (its remaining
                 # block tokens are a discarded speculative continuation);
@@ -2207,6 +2451,9 @@ class ContinuousBatcher:
                     break
                 if len(req.generated) >= req.max_length:
                     break
+
+    def _decode_step(self, active: List[int]):
+        self._consume_block(self._dispatch_block(active))
 
 
 class ContinuousTranslator(ContinuousBatcher):
@@ -2332,6 +2579,7 @@ class ContinuousTranslator(ContinuousBatcher):
         streams target tokens (same contract as ContinuousBatcher.submit)."""
         if self._closed:
             raise RuntimeError("The batcher is closed")
+        self._check_distributed_submit(callback)
         if not source:
             raise ValueError("The source must contain at least one token")
         if len(source) > self._max_src:
@@ -2523,6 +2771,12 @@ class ContinuousTranslator(ContinuousBatcher):
             return
         self._tokens[slot] = start_id
         self._set_slot_sampling(slot, req)
+        if self._dstate is not None:
+            # The decoder starts from the start token at position 0 (no
+            # decoder-side prefill for encoder-decoder admits).
+            self._dstate = self._slot_write(
+                self._dstate, jnp.int32(slot), jnp.int32(start_id),
+                jnp.int32(0), jnp.int32(0))
         if self._seen.shape[0]:
             # Reset the slot's penalty history (no token generated yet —
             # the -1 sentinel resets without recording).
@@ -2719,15 +2973,19 @@ class ContinuousTranslator(ContinuousBatcher):
         block = self._block
         S_max = self._max_src
         max_ngram = self._max_ngram
+        cap = self._capacity
 
         wts = getattr(self, "_wts", None)
 
-        def step(params, consts, cache, mem, src_len, tokens, pos,
-                 gen_len, min_len, temps, topks, topps, seeds, end_table,
+        def step(params, consts, cache, mem, src_len, state,
+                 min_len, temps, topks, topps, seeds, end_table,
                  sup_table, rep_pens, ngrams, prefix, plen, ts_on, key, n,
                  seen, hist):
             from ..ops import attention as attn_ops
 
+            tokens, pos, gen_len = (state["tokens"], state["pos"],
+                                    state["gen"])
+            pos = jnp.minimum(pos, cap - block)
             pen = seen.shape[0] > 0
             mem_bias = attn_ops.length_mask_bias(src_len, S_max)
 
@@ -2785,9 +3043,10 @@ class ContinuousTranslator(ContinuousBatcher):
                 jax.lax.scan(
                     body, (tokens, pos, gen_len, cache, seen, hist),
                     jnp.arange(block, dtype=jnp.int32))
-            return ids_k, scores_k, cache, seen, hist
+            out_state = {"tokens": tokens, "pos": pos, "gen": gen_len}
+            return ids_k, scores_k, cache, out_state, seen, hist
 
-        return jax.jit(step, donate_argnums=(2, 22, 23))
+        return jax.jit(step, donate_argnums=(2, 5, 20, 21))
 
     def _decode_step_spec(self, active):
         model = self.model
@@ -2830,21 +3089,19 @@ class ContinuousTranslator(ContinuousBatcher):
                                 np.asarray(scores_d, np.float32), tokens, K,
                                 gen_len)
 
-    def _decode_step(self, active: List[int]):
+    def _dispatch_block(self, active: List[int]):
         model = self.model
         min_len = np.zeros(self._num_slots, np.int32)
-        gen_len = np.zeros(self._num_slots, np.int32)
+        binding = {}
         for i in active:
             req = self._slots[i]
             min_len[i] = req.min_length
-            gen_len[i] = len(req.generated)
-        pos = np.minimum(self._pos, self._capacity - self._block)
+            binding[i] = req
 
-        ids_d, scores_d, self._cache, self._seen, self._hist = \
-            self._step_fn(
+        ids_d, scores_d, self._cache, self._dstate, self._seen, \
+            self._hist = self._step_fn(
                 model.params, model.consts, self._cache, self._mem,
-                jnp.asarray(self._src_len), jnp.asarray(self._tokens),
-                jnp.asarray(pos), jnp.asarray(gen_len),
+                jnp.asarray(self._src_len), self._dstate,
                 jnp.asarray(min_len),
                 jnp.asarray(self._temps), jnp.asarray(self._topks),
                 jnp.asarray(self._topps), jnp.asarray(self._seeds),
@@ -2858,20 +3115,9 @@ class ContinuousTranslator(ContinuousBatcher):
                           + 0x40000000), self._seen, self._hist)
         self._step_count += self._block
         self._slot_steps += len(active) * self._block
-        ids = np.asarray(ids_d)
-        scores = np.asarray(scores_d, np.float32)
-        for i in active:
-            req = self._slots[i]
-            for j in range(self._block):
-                tok = int(ids[j, i])
-                self._emit(req, tok, float(scores[j, i]))
-                self._tokens[i] = tok
-                self._pos[i] += 1
-                if (tok in self._req_end_ids(req)
-                        and len(req.generated) > req.min_length):
-                    break
-                if len(req.generated) >= req.max_length or req.stopped:
-                    break
+        if not self._queue.empty():
+            self._steps_while_pending += 1
+        return (ids_d, scores_d, binding)
 
 
 class ContinuousWhisper(ContinuousTranslator):
@@ -2896,10 +3142,6 @@ class ContinuousWhisper(ContinuousTranslator):
         if enc is None or not enc.num_conv_layers:
             raise ValueError(
                 "ContinuousWhisper requires a Whisper-style speech model")
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-host continuous serving currently covers "
-                "decoder-only models (ContinuousBatcher)")
         # Timestamp-rules ids (reference ApplyTimestampRules,
         # src/models/whisper.cc:742-865): applied per request when its
         # prompt does NOT end with <|notimestamps|>, like the batch API.
@@ -2968,6 +3210,30 @@ class ContinuousWhisper(ContinuousTranslator):
             self._draft_speech_encode_fns[frames] = fn
         return fn
 
+    # Multi-host: the mel features ride the admit record (base64 over
+    # the chunked _DistControl broadcast) so followers replay the same
+    # speech encode; see _leader_loop_inner.
+
+    def _req_payload(self, req: _Request) -> dict:
+        import base64
+
+        p = super()._req_payload(req)
+        p["features_shape"] = list(req.features.shape)
+        p["features_b64"] = base64.b64encode(
+            np.ascontiguousarray(req.features).tobytes()).decode("ascii")
+        p["ts_on"] = bool(getattr(req, "ts_on", False))
+        return p
+
+    def _req_from_payload(self, p: dict) -> _Request:
+        import base64
+
+        req = super()._req_from_payload(p)
+        req.features = np.frombuffer(
+            base64.b64decode(p["features_b64"]), np.float32).reshape(
+                p["features_shape"])
+        req.ts_on = bool(p["ts_on"])
+        return req
+
     def submit(self, features, prompt: Sequence, *, max_length: int = 256,
                min_length: int = 0,
                sampling_temperature: float = None,
@@ -2989,6 +3255,7 @@ class ContinuousWhisper(ContinuousTranslator):
         itself is excluded."""
         if self._closed:
             raise RuntimeError("The batcher is closed")
+        self._check_distributed_submit(callback)
         if not prompt:
             raise ValueError("The prompt must contain at least one token")
         v = self._vocab
@@ -3080,6 +3347,10 @@ class ContinuousWhisper(ContinuousTranslator):
             self._b_active_host[slot] = True
             return
         self._tokens[slot] = req.start_id
+        if self._dstate is not None:
+            self._dstate = self._slot_write(
+                self._dstate, jnp.int32(slot), jnp.int32(req.start_id),
+                jnp.int32(0), jnp.int32(0))
         if self._ts_on[slot]:
             # The greedy rules read the generated history from the
             # penalty hist table — make sure it exists (1.0/0 penalty

@@ -463,20 +463,31 @@ class Whisper(TaskAPIMixin):
             out_dtype=model.out_dtype)
 
         # Text-token probabilities over the text vocabulary only
-        # (softmax restricted to ids < eot: reference whisper.cc:495-503).
+        # (masked softmax over ids in [0, eot) — EXCLUSIVE, the
+        # reference's length-masked SoftMax: whisper.cc:495-503).
         logits_np = np.array(logits.astype(jnp.float32))
-        text_logits = logits_np[:, :, : self._eot_id + 1].copy()
+        text_logits = logits_np[:, :, : self._eot_id].copy()
         text_logits -= text_logits.max(-1, keepdims=True)
         probs = np.exp(text_logits)
         probs /= probs.sum(-1, keepdims=True)
         out_ids = np.asarray(padded_out)
         token_probs = np.take_along_axis(
-            probs, np.minimum(out_ids, self._eot_id)[..., None], axis=-1)[..., 0]
+            probs, np.minimum(out_ids, self._eot_id - 1)[..., None],
+            axis=-1)[..., 0]
 
         attn_np = np.asarray(attn.astype(jnp.float32))  # [B, P, T, S] raw
 
         results = []
         sot_len = len(start_sequence)
+        # Every row is post-processed over ITS OWN token length — the
+        # semantics of the reference's variable-frames path
+        # (whisper.cc:519-548, remove_padding before compute_alignments).
+        # The reference's uniform-frames path (whisper.cc:553-560)
+        # instead normalizes the whole PADDED batch tensor, so shorter
+        # rows' LayerNorm statistics absorb padding garbage there — a
+        # batching artifact this engine deliberately does not reproduce
+        # (see tools/ref_audit: align parity is asserted on unpadded and
+        # variable-frames cases, where both references paths are clean).
         for b in range(B):
             nf = num_frames[b]
             if nf <= 0:

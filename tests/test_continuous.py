@@ -264,7 +264,9 @@ def test_per_request_temperature(gen_model):
     try:
         cold = cb.submit(["tok1", "tok2"], max_length=12,
                          sampling_temperature=1e-4)
-        hot = cb.submit(["tok1", "tok2"], max_length=12,
+        # min_length=1 keeps the assertion robust to the ~1.5% chance of
+        # the hot request sampling EOS as its very first token.
+        hot = cb.submit(["tok1", "tok2"], max_length=12, min_length=1,
                         sampling_temperature=5.0)
         assert cold.result(timeout=300).sequences_ids[0] == \
             greedy.sequences_ids[0]
@@ -1670,16 +1672,12 @@ def test_continuous_beam_whisper(tmp_path):
 
 
 def test_continuous_beam_validation(gen_model):
-    with pytest.raises(NotImplementedError, match="BestSampler"):
-        _batcher(gen_model, beam_size=2, sampling_topk=5)
     with pytest.raises(NotImplementedError, match="greedy"):
         _batcher(gen_model, beam_size=2, speculation_k=3)
     with pytest.raises(ValueError, match="num_hypotheses"):
         _batcher(gen_model, beam_size=2, num_hypotheses=3)
     cb = _batcher(gen_model, beam_size=2)
     try:
-        with pytest.raises(NotImplementedError, match="sampling overrides"):
-            cb.submit(["tok1"], max_length=8, sampling_topk=5)
         with pytest.raises(ValueError, match="num_hypotheses"):
             cb.submit(["tok1"], max_length=8, num_hypotheses=3)
     finally:
@@ -1690,6 +1688,60 @@ def test_continuous_beam_validation(gen_model):
             cbg.submit(["tok1"], max_length=8, num_hypotheses=2)
     finally:
         cbg.close()
+
+
+def test_continuous_beam_sampling_mixed(gen_model):
+    """Sampling composes with beam serving per request (reference:
+    RandomSampler + beam, src/sampling.cc:60-92): a topk=1 request in
+    the same fleet stays token-identical to the batch engine's beam,
+    while sampled neighbors draw per-request Gumbel-top-2K candidates
+    with distinct seed streams."""
+    exp = gen_model.generate_batch(
+        [["tok1", "tok2"]], max_length=12, beam_size=2,
+        include_prompt_in_result=False, return_scores=True)[0]
+    cb = _batcher(gen_model, num_slots=3, beam_size=2)
+    try:
+        g = cb.submit(["tok1", "tok2"], max_length=12, sampling_topk=1)
+        s1 = cb.submit(["tok1", "tok2"], max_length=12, sampling_topk=0,
+                       sampling_temperature=5.0, seed=3)
+        s2 = cb.submit(["tok1", "tok2"], max_length=12, sampling_topk=0,
+                       sampling_temperature=5.0, seed=4)
+        assert g.result(timeout=300).sequences_ids[0] == \
+            exp.sequences_ids[0]
+        r1 = s1.result(timeout=300).sequences_ids[0]
+        r2 = s2.result(timeout=300).sequences_ids[0]
+        assert r1 and r2
+        assert r1 != r2  # distinct per-request seed streams
+        # A later greedy join is still exact after the sampled phase
+        # (the recompiled step keeps topk=1 rows deterministic).
+        e3 = gen_model.generate_batch(
+            [["tok3"]], max_length=10, beam_size=2,
+            include_prompt_in_result=False)[0]
+        f3 = cb.submit(["tok3"], max_length=10)
+        assert f3.result(timeout=300).sequences_ids[0] == \
+            e3.sequences_ids[0]
+    finally:
+        cb.close()
+
+
+def test_continuous_beam_sampling_reproducible(gen_model):
+    """Seeded beam sampling reproduces across batcher instances (same
+    ctor seed + per-request seed + deterministic traffic), and respects
+    num_hypotheses."""
+    def run():
+        cb = _batcher(gen_model, num_slots=2, beam_size=2,
+                      num_hypotheses=2, sampling_topk=8,
+                      sampling_temperature=2.0, seed=7)
+        try:
+            r = cb.submit(["tok3"], max_length=10,
+                          seed=5).result(timeout=300)
+            assert len(r.sequences_ids) == 2
+            assert all(s <= 0 for s in r.scores)
+            return r.sequences_ids
+        finally:
+            cb.close()
+
+    assert run() == run()
 
 
 def test_continuous_beam_stop_sequences(gen_model):

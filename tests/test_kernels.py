@@ -124,6 +124,51 @@ def test_matmul_w4a16_multi_group_block():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-4)
 
 
+def test_matmul_w4a16_fold_interpret():
+    """Scale-folded single-dot W4 variant == the per-group kernel."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels import quant_matmul as qm
+
+    rng = np.random.default_rng(3)
+    M, K, N, G = 5, 512, 256, 128
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w4 = rng.integers(-15, 16, (K, N)).astype(np.int8)
+    gs = (rng.random((K // G, N)) * 0.1 + 0.01).astype(np.float32)
+    ref = x @ (w4.astype(np.float32) * np.repeat(gs, G, 0))
+    out = qm.matmul_w4a16_fold(
+        jnp.asarray(x), jnp.asarray(w4), jnp.asarray(gs),
+        block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-4)
+
+
+def test_matmul_w4p_fold_interpret():
+    """Scale-folded packed-nibble variant == matmul_w4p (zero-point
+    correction runs as an XLA dot outside the kernel)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ctranslate2_tpu.kernels import quant_matmul as qm
+
+    rng = np.random.default_rng(4)
+    M, K, N, G = 4, 512, 256, 128
+    q4 = rng.integers(0, 16, (K, N)).astype(np.int32)
+    packed = (q4[: K // 2] | (q4[K // 2:] << 4)).astype(np.uint8).astype(
+        np.int8)
+    gs = (rng.random((K // G, N)) * 0.1 + 0.01).astype(np.float32)
+    zs = (rng.random((K // G, N)) * 0.5).astype(np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = q4.astype(np.float32) * np.repeat(gs, G, 0) - np.repeat(zs, G, 0)
+    ref = x @ w
+    base = qm.matmul_w4p(jnp.asarray(x), jnp.asarray(packed),
+                         jnp.asarray(gs), jnp.asarray(zs),
+                         block_k=128, interpret=True)
+    fold = qm.matmul_w4p_fold(jnp.asarray(x), jnp.asarray(packed),
+                              jnp.asarray(gs), jnp.asarray(zs),
+                              block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(base), ref, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fold), ref, rtol=2e-4, atol=2e-3)
+
+
 def test_matmul_w8a8_interpret():
     import numpy as np
     import jax.numpy as jnp

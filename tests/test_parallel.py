@@ -382,6 +382,44 @@ def test_one_flag_tp_unload_reload(llama_dir):
     assert ref[0].sequences == again[0].sequences
 
 
+def test_context_parallel_ring_prefill(llama_dir, monkeypatch):
+    """Context parallelism reaches user code: a long-prompt
+    Generator.generate_batch on a (data=2, model=4) mesh routes fresh
+    prefill attention through ring attention over the data axis
+    (models/transformer.py dispatch -> parallel/context.py), and the
+    generation stays token-identical to the unsharded engine."""
+    from ctranslate2_tpu import Generator
+    from ctranslate2_tpu.parallel import context as ctx_par
+
+    # 257 tokens: include_prompt_in_result=False prefills the first 256
+    # (an even length, so the sequence divides the data axis).
+    prompt = [f"tok{1 + (i % 5)}" for i in range(257)]
+    monkeypatch.setenv("CT2TPU_RING_PREFILL", "0")
+    ref = Generator(llama_dir).generate_batch(
+        [prompt], max_length=8, include_prompt_in_result=False)
+
+    monkeypatch.setenv("CT2TPU_RING_PREFILL", "1")
+    monkeypatch.setenv("CT2TPU_RING_PREFILL_MIN_LEN", "64")
+    calls = []
+    orig = ctx_par.ring_attention_prefill
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ctx_par, "ring_attention_prefill", counted)
+    try:
+        g = Generator(llama_dir, tensor_parallel=True, device_index=[0, 1])
+        assert dict(g.model.mesh.shape) == {"data": 2, "model": 4}
+        assert ctx_par.context_parallel_config() is not None
+        tp = g.generate_batch([prompt], max_length=8,
+                              include_prompt_in_result=False)
+        assert calls, "ring prefill dispatch did not fire"
+        assert ref[0].sequences == tp[0].sequences
+    finally:
+        ctx_par.disable_context_parallel()
+
+
 def test_initialize_distributed_single_process():
     """Multi-host wiring smoke test at process_count=1 (the analog of the
     reference's ScopedMPISetter bootstrap). Runs in a subprocess because

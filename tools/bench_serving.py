@@ -88,13 +88,15 @@ def gen_traffic(vocab, n, max_new, seed):
 
 
 def bench_continuous(gen, traffic, slots, capacity, speculation_k=0,
-                     draft_model=None, steps_per_sync=8):
+                     draft_model=None, steps_per_sync=8,
+                     pipeline_depth=None):
     from ctranslate2_tpu import ContinuousBatcher
 
     cb = ContinuousBatcher(gen, num_slots=slots, capacity=capacity,
                            speculation_k=speculation_k,
                            draft_model=draft_model,
-                           steps_per_sync=steps_per_sync)
+                           steps_per_sync=steps_per_sync,
+                           pipeline_depth=pipeline_depth)
     try:
         # Warmup compile (generous: an 8B engine compile on a contended
         # host can exceed 10 minutes).
@@ -120,10 +122,19 @@ def bench_continuous(gen, traffic, slots, capacity, speculation_k=0,
             tokens += len(f.result().sequences_ids[0])
         dt = time.time() - t0
         latencies = done_at
-        spec_rate = cb.stats()["spec_tokens_per_dispatch"]
+        stats = cb.stats()
+        spec_rate = stats["spec_tokens_per_dispatch"]
+        extra = {
+            "ttft_p50_ms": (round(stats["ttft_p50_ms"], 1)
+                            if stats["ttft_p50_ms"] is not None else None),
+            "ttft_p95_ms": (round(stats["ttft_p95_ms"], 1)
+                            if stats["ttft_p95_ms"] is not None else None),
+            "pipeline_depth": stats["pipeline_depth"],
+            "mean_slot_occupancy": round(stats["mean_slot_occupancy"], 3),
+        }
     finally:
         cb.close()
-    return tokens, dt, latencies, spec_rate
+    return tokens, dt, latencies, spec_rate, extra
 
 
 def bench_sequential(gen, traffic, slots):
@@ -148,7 +159,7 @@ def bench_sequential(gen, traffic, slots):
             tokens += min(len(r.sequences_ids[0]), new)
             latencies.append(done)
     dt = time.time() - t0
-    return tokens, dt, latencies, None
+    return tokens, dt, latencies, None, {}
 
 
 def main():
@@ -175,9 +186,19 @@ def main():
                          "bench_llama.py records the batch-API number)")
     ap.add_argument("--steps-per-sync", default="8",
                     help="comma list of block sizes to sweep (e.g. 1,4,8,16)")
+    ap.add_argument("--slots-sweep", default=None,
+                    help="comma list of slot counts to sweep (overrides "
+                         "--slots, e.g. 8,16,32)")
+    ap.add_argument("--pipeline-depth", default=None,
+                    help="comma list of pipeline depths to sweep (1 = "
+                         "lockstep, 2 = double-buffered dispatch)")
     args = ap.parse_args()
 
     blocks = [int(b) for b in str(args.steps_per_sync).split(",")]
+    slot_list = ([int(s) for s in args.slots_sweep.split(",")]
+                 if args.slots_sweep else [args.slots])
+    depth_list = ([int(d) for d in args.pipeline_depth.split(",")]
+                  if args.pipeline_depth else [None])
 
     draft = None
     if args.llama8b:
@@ -217,10 +238,16 @@ def main():
         runs.append(
             ("sequential", lambda: bench_sequential(gen, traffic,
                                                     args.slots)))
-    for b in blocks:
-        name = "continuous" if len(blocks) == 1 else f"continuous/block{b}"
-        runs.append((name, lambda b=b: bench_continuous(
-            gen, traffic, args.slots, args.capacity, steps_per_sync=b)))
+    sweep = len(blocks) > 1 or len(slot_list) > 1 or len(depth_list) > 1
+    for s in slot_list:
+        for b in blocks:
+            for d in depth_list:
+                name = "continuous" if not sweep else (
+                    f"continuous/slots{s}/block{b}"
+                    + (f"/depth{d}" if d is not None else ""))
+                runs.append((name, lambda s=s, b=b, d=d: bench_continuous(
+                    gen, traffic, s, args.capacity, steps_per_sync=b,
+                    pipeline_depth=d)))
     if args.speculation_k > 1:
         runs.append(("continuous+spec", lambda: bench_continuous(
             gen, traffic, args.slots, args.capacity,
@@ -233,7 +260,7 @@ def main():
                 steps_per_sync=blocks[0])))
 
     for name, fn in runs:
-        tokens, dt, lat, spec_rate = fn()
+        tokens, dt, lat, spec_rate, extra = fn()
         lat.sort()
         row = {
             "engine": name,
@@ -244,6 +271,7 @@ def main():
             "p50_latency_s": round(lat[len(lat) // 2], 3),
             "p95_latency_s": round(lat[int(len(lat) * 0.95)], 3),
         }
+        row.update(extra)
         if args.llama8b:
             row["model"] = "llama3-8b-" + (args.quantization or "w4")
         if spec_rate is not None:

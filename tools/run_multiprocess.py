@@ -16,6 +16,9 @@ Run without arguments to self-spawn the workers (no mpirun needed):
 Each worker prints ``MP_OK rank=i ...`` and asserts that
  (a) every rank computes identical outputs, and
  (b) they match a single-process (unsharded) reference run.
+
+Set CT2TPU_MP_PHASES to a comma list (greedy,spec,beam,translator,
+streaming,whisper) to isolate phases.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ def build_model(model_dir: str) -> None:
     from ctranslate2_tpu.converters.builder import (
         build_decoder_only_model,
         build_seq2seq_model,
+        build_whisper_model,
     )
 
     build_decoder_only_model(
@@ -47,6 +51,7 @@ def build_model(model_dir: str) -> None:
         activation="swish")
     build_seq2seq_model(model_dir + "_s2s", vocab_size=64, num_layers=2,
                         num_heads=8, d_model=64, d_ff=128)
+    build_whisper_model(model_dir + "_whisper")
 
 
 def run_generation(model_dir: str, tensor_parallel: bool):
@@ -78,18 +83,35 @@ CONT_TRAFFIC = [
 ]
 
 
+def _follower_wait(batcher, name: str) -> None:
+    """Follower-side phase wait that FAILS LOUDLY on a wedged replay
+    loop instead of silently timing out (a silent timeout desyncs every
+    later phase's collectives and wedges the leader)."""
+    batcher.join(timeout=600)
+    if batcher._thread.is_alive():
+        raise RuntimeError(
+            f"follower replay loop for phase {name!r} did not reach the "
+            "leader's close within 600s (wedged collective?)")
+
+
 def run_continuous(model_dir: str, tensor_parallel: bool):
-    """Serve mixed traffic through ContinuousBatcher in three engine
-    configurations (greedy blocks, speculative verify, beam); on
-    follower ranks each phase constructs the batcher (entering the
-    follower replay loop) and waits for the leader's close. Returns the
-    leader's results."""
+    """Serve mixed traffic through the continuous engines (greedy
+    blocks, speculative verify, beam, encoder-decoder, leader-side
+    streaming callbacks, Whisper); on follower ranks each phase
+    constructs the batcher (entering the follower replay loop) and
+    waits for the leader's close. Returns the leader's results."""
     import jax
 
     from ctranslate2_tpu import ContinuousBatcher, Generator
 
     g = Generator(model_dir, tensor_parallel=tensor_parallel)
     follower = jax.process_count() > 1 and jax.process_index() != 0
+    sel = os.environ.get("CT2TPU_MP_PHASES", "")
+    selected = set(sel.split(",")) if sel else None
+
+    def want(name):
+        return selected is None or name in selected
+
     phases = [
         ("greedy", {"steps_per_sync": 4}, CONT_TRAFFIC),
         ("spec", {"speculation_k": 3}, CONT_TRAFFIC[:3]),
@@ -100,9 +122,11 @@ def run_continuous(model_dir: str, tensor_parallel: bool):
     ]
     out = {}
     for name, kw, traffic in phases:
+        if not want(name):
+            continue
         cb = ContinuousBatcher(g, num_slots=2, capacity=64, **kw)
         if follower:
-            cb.join(timeout=600)
+            _follower_wait(cb, name)
             continue
         try:
             futures = [cb.submit(p, **skw) for p, skw in traffic]
@@ -118,30 +142,112 @@ def run_continuous(model_dir: str, tensor_parallel: bool):
     # Encoder-decoder serving across hosts (the reference's flagship
     # mpirun mode is translation): per-slot cross-attention memory as
     # global arrays, encode replayed on followers.
-    from ctranslate2_tpu import ContinuousTranslator, Translator
+    if want("translator"):
+        from ctranslate2_tpu import ContinuousTranslator, Translator
 
-    t = Translator(model_dir + "_s2s", tensor_parallel=tensor_parallel)
-    ct = ContinuousTranslator(t, num_slots=2, capacity=64,
-                              max_source_len=16)
-    if follower:
-        ct.join(timeout=600)
-        return None
-    try:
-        srcs = [(["tok1", "tok2", "tok3"], {}),
-                (["tok4"], {"target_prefix": ["tok5", "tok6"]}),
-                (["tok2", "tok5"], {"repetition_penalty": 1.3})]
-        futures = [ct.submit(s, max_length=12, **kw) for s, kw in srcs]
-        results = [f.result(timeout=600) for f in futures]
-        out["translator"] = {
-            "sequences": [r.sequences_ids for r in results],
-            "scores": [[round(s, 4) for s in r.scores] for r in results],
-        }
-    finally:
-        ct.close()
-    return out
+        t = Translator(model_dir + "_s2s", tensor_parallel=tensor_parallel)
+        ct = ContinuousTranslator(t, num_slots=2, capacity=64,
+                                  max_source_len=16)
+        if follower:
+            _follower_wait(ct, "translator")
+        else:
+            try:
+                srcs = [(["tok1", "tok2", "tok3"], {}),
+                        (["tok4"], {"target_prefix": ["tok5", "tok6"]}),
+                        (["tok2", "tok5"], {"repetition_penalty": 1.3})]
+                futures = [ct.submit(s, max_length=12, **kw)
+                           for s, kw in srcs]
+                results = [f.result(timeout=600) for f in futures]
+                out["translator"] = {
+                    "sequences": [r.sequences_ids for r in results],
+                    "scores": [[round(s, 4) for s in r.scores]
+                               for r in results],
+                }
+            finally:
+                ct.close()
+
+    # Streaming callbacks across hosts: tokens are delivered on the
+    # leader only; a callback-driven early stop is broadcast in the
+    # next control record (runtime/continuous.py _leader_loop_inner),
+    # so the result is identical to a single-process early stop.
+    if want("streaming"):
+        cb = ContinuousBatcher(g, num_slots=2, capacity=64,
+                               steps_per_sync=4)
+        if follower:
+            _follower_wait(cb, "streaming")
+        else:
+            try:
+                streamed = [[], []]
+                stop_after = 3
+
+                def on_tok_0(sr):
+                    streamed[0].append(sr.token_id)
+                    return False
+
+                def on_tok_1(sr):
+                    streamed[1].append(sr.token_id)
+                    return len(streamed[1]) >= stop_after  # early stop
+
+                f0 = cb.submit(PROMPTS[0], max_length=10,
+                               callback=on_tok_0)
+                f1 = cb.submit(PROMPTS[2], max_length=12,
+                               callback=on_tok_1)
+                r0 = f0.result(timeout=600)
+                r1 = f1.result(timeout=600)
+                out["streaming"] = {
+                    "sequences": [r0.sequences_ids, r1.sequences_ids],
+                    "streamed": streamed,
+                    "scores": [[round(s, 4) for s in r0.scores],
+                               [round(s, 4) for s in r1.scores]],
+                }
+                assert r1.sequences_ids[0] == streamed[1], (r1, streamed)
+            finally:
+                cb.close()
+
+    # Whisper serving across hosts: mel features ride the admit record
+    # (chunked broadcast); followers replay the speech encode.
+    if want("whisper"):
+        import numpy as np
+
+        from ctranslate2_tpu import ContinuousWhisper, Whisper
+
+        w = Whisper(model_dir + "_whisper",
+                    tensor_parallel=tensor_parallel)
+        rng = np.random.default_rng(0)
+        feats = [rng.standard_normal((24, 64)).astype(np.float32)
+                 for _ in range(3)]
+        prompts = [
+            ["<|startoftranscript|>", "<|en|>", "<|transcribe|>",
+             "<|notimestamps|>"],
+            ["<|startoftranscript|>", "<|en|>", "<|transcribe|>"],
+            ["<|startoftranscript|>", "<|en|>", "<|transcribe|>",
+             "<|notimestamps|>"],
+        ]
+        cw = ContinuousWhisper(w, num_slots=2, capacity=64)
+        if follower:
+            _follower_wait(cw, "whisper")
+        else:
+            try:
+                futs = [cw.submit(f, p, max_length=16)
+                        for f, p in zip(feats, prompts)]
+                results = [f.result(timeout=600) for f in futs]
+                out["whisper"] = {
+                    "sequences": [r.sequences_ids for r in results],
+                    "scores": [[round(s, 4) for s in r.scores]
+                               for r in results],
+                }
+            finally:
+                cw.close()
+
+    return None if follower else out
 
 
 def worker(args) -> int:
+    # Stall diagnostics: dump every thread's stack if a worker wedges
+    # (repeats every 300 s; harmless noise on healthy long compiles).
+    import faulthandler
+
+    faulthandler.dump_traceback_later(300, repeat=True)
     # Device/backend setup must precede the jax import.
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={args.devices_per_process}")
@@ -162,7 +268,7 @@ def worker(args) -> int:
 
     if args.continuous:
         out = run_continuous(args.model_dir, tensor_parallel=True)
-        if out is None:  # follower rank: replay loop ran to close
+        if out is None:  # follower rank: replay loops ran to close
             print(f"MP_OK rank={args.rank} follower", flush=True)
             return 0
         expected = json.load(open(args.expected))
@@ -207,7 +313,7 @@ def launcher(args) -> int:
         f"json.dump(out, open({expected_path!r}, 'w'))"
     )
     subprocess.run([sys.executable, "-c", ref_code], check=True,
-                   timeout=600)
+                   timeout=900)
 
     # Pick a free coordinator port.
     with socket.socket() as s:
@@ -239,8 +345,12 @@ def launcher(args) -> int:
         marker = f"MP_OK rank={rank}"
         status = "ok" if marker in out else "FAILED"
         print(f"--- rank {rank}: {status} (rc={p.returncode})")
+        log_path = os.path.join(tmp, f"rank{rank}.log")
+        with open(log_path, "w") as lf:
+            lf.write(out)
         if marker not in out:
-            print(out[-2000:])
+            print(f"full log: {log_path}")
+            print(out[-4000:])
             rc = 1
         else:
             print([line for line in out.splitlines()
@@ -261,10 +371,10 @@ def main() -> int:
     ap.add_argument("--model-dir", default=None)
     ap.add_argument("--expected", default=None)
     ap.add_argument("--continuous", action="store_true",
-                    help="serve mixed traffic through ContinuousBatcher "
-                         "(leader on rank 0, follower replay on the rest) "
-                         "instead of the batch APIs")
-    ap.add_argument("--timeout", type=float, default=600.0)
+                    help="serve mixed traffic through the continuous "
+                         "engines (leader on rank 0, follower replay on "
+                         "the rest) instead of the batch APIs")
+    ap.add_argument("--timeout", type=float, default=900.0)
     args = ap.parse_args()
     if args.rank is None:
         return launcher(args)
